@@ -1,0 +1,347 @@
+"""Deduplication operators over the `documents` table.
+
+Extension tier beyond the reference (which has no text operators): the
+large-scale-training-pipeline dedup family, each designed for 100 TB and each
+paired with an *exact* DuckDB oracle:
+
+- exact dedup         — md5 fingerprint groupBy (one shuffle on a 16-byte key)
+- n-gram Jaccard      — word-trigram shingles, pairs sharing a shingle, exact
+                        Jaccard; candidate generation IS the shingle join (no
+                        approximation → oracle-exact)
+- MinHash + LSH       — k=16 md5-derived universal hashes; banded candidate
+                        join (band size 1 here = max recall); est. Jaccard =
+                        matching-minhash fraction. Deterministic end-to-end, so
+                        the oracle reproduces it bit-for-bit
+- SimHash             — 32-bit simhash; 4×8-bit band blocking (pigeonhole: any
+                        pair at hamming ≤ 3 shares ≥ 1 exact band, so the
+                        banded join loses nothing vs the oracle's all-pairs)
+
+Scale notes: every operator is a chain of explode → groupBy/join on short keys.
+At 100 TB the shingle explosion dominates — it is a map-side op feeding a
+shuffle keyed by (shingle hash), and AQE coalesces the long tail. The banded
+self-joins key on (band, value) so only genuine candidates shuffle together;
+there is no all-pairs stage anywhere in the Spark plans (all-pairs lives only
+in the sf0.01 oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from templatedb_spark.functions.hashing import (
+    MERSENNE_31,
+    h32,
+    h32_sql,
+    md5_long,
+    md5_long_sql,
+    minhash_params,
+)
+from templatedb_spark.suite import QuerySpec, register, table
+
+# ---------------------------------------------------------------------------
+# Shared tokenization/shingling — one definition per engine, kept in lockstep.
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = "[a-z0-9]+"
+
+
+def tokens_col(text: Column) -> Column:
+    return F.expr(f"regexp_extract_all(lower(text), '{_TOKEN_RE}', 0)").alias("t")
+
+
+_TOKENS_SQL = f"regexp_extract_all(lower(text), '{_TOKEN_RE}')"
+
+
+def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): distinct word-trigram shingles per document."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", tokens_col(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 2), "
+                        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+
+
+# DuckDB twin of `shingles` (1-based arrays match element_at semantics).
+_SHINGLES_SQL = f"""
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: group documents by normalized-text fingerprint.
+# At scale: one shuffle keyed by a 16-byte hash — the canonical first pass of
+# any training-data pipeline.
+# ---------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return (
+        d.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 1)
+    )
+
+
+_DEDUP_EXACT_ORACLE = r"""
+SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup: exact pairwise Jaccard over word trigrams, with the
+# shingle self-join as candidate generation (complete: J > 0 ⇒ shared shingle).
+# ---------------------------------------------------------------------------
+_JACCARD_THRESHOLD = 0.20
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(spark, sf_dir).cache()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("ca.n") + F.col("cb.n") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_SQL},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE), 6) AS jaccard
+FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+WHERE ROUND(CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE), 6) >= {_JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup.
+# ---------------------------------------------------------------------------
+_MINHASH_K = 16
+_MINHASH_MATCH_MIN = 8  # est. Jaccard >= 0.5
+_PERMS = minhash_params(_MINHASH_K)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, i, mh): k=16 minhash values per doc from md5-derived h32."""
+    sh = shingles(spark, sf_dir)
+    hashed = sh.select("doc_id", h32(F.col("sh")).alias("h"))
+    perms = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(_PERMS)], ["i", "a", "b"]
+    )
+    return (
+        hashed.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "i")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % F.lit(MERSENNE_31)).alias("mh"))
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir).cache()
+    s1 = sig.alias("s1")
+    s2 = sig.alias("s2")
+    # LSH banding with band size 1: candidates share >= 1 minhash value.
+    cand = (
+        s1.join(
+            s2,
+            (F.col("s1.i") == F.col("s2.i"))
+            & (F.col("s1.mh") == F.col("s2.mh"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .select(F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    est = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.i") == F.col("sb.i")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.when(F.col("sa.mh") == F.col("sb.mh"), 1).otherwise(0)).alias("matches"))
+    )
+    return (
+        est.filter(F.col("matches") >= _MINHASH_MATCH_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("matches").cast("double") / F.lit(float(_MINHASH_K))).alias("est_jaccard"),
+        )
+    )
+
+
+def _perms_values_sql() -> str:
+    return ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_PERMS))
+
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLES_SQL},
+hs AS (SELECT doc_id, {h32_sql('sh')} AS h FROM sh),
+perms(i, a, b) AS (VALUES {_perms_values_sql()}),
+sig AS (SELECT doc_id, i, MIN((a * h + b) % {MERSENNE_31}) AS mh
+        FROM hs CROSS JOIN perms GROUP BY doc_id, i),
+cand AS (SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+         FROM sig s1 JOIN sig s2
+           ON s1.i = s2.i AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id),
+est AS (SELECT c.doc_a, c.doc_b,
+               SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS matches
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sa.i = sb.i
+        GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(matches AS DOUBLE) / {_MINHASH_K} AS est_jaccard
+FROM est WHERE matches >= {_MINHASH_MATCH_MIN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup: 32-bit token-weighted simhash, 4×8-bit band blocking.
+# ---------------------------------------------------------------------------
+_SIMHASH_BITS = 32
+_SIMHASH_MAX_HAMMING = 3
+_SIMHASH_BANDS = 4  # 4 bands × 8 bits; hamming<=3 ⇒ >=1 clean band (pigeonhole)
+
+
+def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 32-bit weighted simhash over tokens."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select("doc_id", "w", h32(F.col("tok")).alias("h"))
+    )
+    bits = spark.range(_SIMHASH_BITS).select(F.col("id").alias("j"))
+    contrib = (
+        tok.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "j")
+        .agg(
+            # variable shift amounts need the SQL expression form (the PySpark
+            # shiftright helper only takes literal shift counts)
+            F.sum(
+                F.col("w")
+                * F.when(F.expr("shiftright(h, cast(j as int)) & 1") == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return (
+        contrib.select(
+            "doc_id",
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(j as int))"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bitval"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv = simhash_values(spark, sf_dir).cache()
+    bands = spark.range(_SIMHASH_BANDS).select(F.col("id").cast("int").alias("band"))
+    banded = sv.crossJoin(F.broadcast(bands)).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr("shiftright(simhash, band * 8) & 255").alias("band_val"),
+    )
+    b1 = banded.alias("b1")
+    b2 = banded.alias("b2")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("b1.band") == F.col("b2.band"))
+            & (F.col("b1.band_val") == F.col("b2.band_val"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("doc_a"),
+            F.col("b2.doc_id").alias("doc_b"),
+            F.col("b1.simhash").alias("sha"),
+            F.col("b2.simhash").alias("shb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, tok, COUNT(*) AS w FROM (
+    SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+  ) GROUP BY doc_id, tok
+),
+hashed AS (SELECT doc_id, w, {h32_sql('tok')} AS h FROM tok),
+bits AS (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS j),
+contrib AS (
+  SELECT doc_id, j,
+         SUM(w * (CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) AS s
+  FROM hashed CROSS JOIN bits GROUP BY doc_id, j
+),
+sv AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+  FROM contrib GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+for spec in [
+    QuerySpec("dedup_exact", dedup_exact, _DEDUP_EXACT_ORACLE, "exact dedup via md5 fingerprint"),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, _NGRAM_JACCARD_ORACLE, "word-trigram exact Jaccard near-dup"),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _MINHASH_ORACLE, "MinHash(16) + LSH banding near-dup"),
+    QuerySpec("dedup_simhash", dedup_simhash, _SIMHASH_ORACLE, "32-bit SimHash + 4-band blocking near-dup"),
+]:
+    register(spec)

@@ -1,0 +1,240 @@
+"""Similarity search over the `embeddings` table (64-dim float vectors).
+
+Extension tier (the reference has no vector operators). Two paths:
+
+- **Brute-force cosine top-k** (`ann_cosine_topk`): the exactness baseline.
+  Query set × corpus join, JVM-side dot product via `F.zip_with` +
+  `F.aggregate` (no Python in the hot path), window top-k per query.
+  At 100 TB this is the *verification* path you run on samples.
+- **Embedding near-dup pairs** (`dedup_embedding_cosine`): all candidate pairs
+  with cosine ≥ threshold — in Spark via norm-precomputation + join; the
+  sf0.01 oracle does the same all-pairs exactly.
+- **IVF-bucketed ANN** (`ann_ivf_topk`): the scale path. Deterministic
+  "centroids" (a fixed slice of the corpus) partition the space; each corpus
+  vector is assigned to its nearest centroid (one broadcast join — no shuffle
+  of the corpus), and each query probes the `IVF_NPROBE` nearest centroid
+  buckets only. Exactness is traded for a bounded candidate set; recall is
+  measured in tests against the brute-force path. Still fully deterministic →
+  has an exact oracle reproducing the same probe logic.
+
+Float determinism: all arithmetic in double, sequential fold order identical in
+both engines (F.aggregate folds left; DuckDB list reductions are sequential);
+cosine rounded to 6 decimals before threshold/rank comparisons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from templatedb_spark.suite import QuerySpec, register, table
+
+
+def _vec_double(col: str) -> Column:
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product: zip_with + aggregate (whole-stage codegen, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "v") -> DataFrame:
+    v = F.col(vec_col)
+    return df.withColumn("norm", F.sqrt(dot(v, v)))
+
+
+_DOT_SQL = "list_dot_product({a}, {b})"
+_NORM_SQL = "sqrt(list_dot_product({v}, {v}))"
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k
+# ---------------------------------------------------------------------------
+_TOPK_NQUERY = 10
+_TOPK_K = 5
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double("embedding").alias("v")
+    )
+    e = with_norm(e)
+    q = e.filter(F.col("vec_id") < _TOPK_NQUERY).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        F.round(dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.select(
+        "qid", "vec_id", "cosine", F.row_number().over(w).cast("long").alias("rank")
+    ).filter(F.col("rank") <= _TOPK_K)
+
+
+_ANN_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n WHERE vec_id < {_TOPK_NQUERY}),
+scored AS (
+  SELECT q.qid, n.vec_id,
+         ROUND(list_dot_product(q.qv, n.v) / (q.qnorm * n.norm), 6) AS cosine
+  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= {_TOPK_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup pairs
+# ---------------------------------------------------------------------------
+_COSINE_DUP_THRESHOLD = 0.35
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = with_norm(
+        table(spark, sf_dir, "embeddings").select("vec_id", _vec_double("embedding").alias("v"))
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
+    )
+
+
+_COSINE_DUP_ORACLE = f"""
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+           FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= {_COSINE_DUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN: the scale path.
+# Centroids: vec_id % IVF_CENTROID_STEP == 0 (deterministic, no training).
+# Assign corpus → nearest centroid (broadcast join), probe IVF_NPROBE buckets.
+# ---------------------------------------------------------------------------
+_IVF_CENTROID_STEP = 50
+_IVF_NPROBE = 3
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = with_norm(
+        table(spark, sf_dir, "embeddings").select("vec_id", _vec_double("embedding").alias("v"))
+    )
+    cent = e.filter(F.col("vec_id") % _IVF_CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    # corpus → nearest centroid (cosine); broadcast the tiny centroid set
+    assigned_scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "norm",
+        "cid",
+        F.round(dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6).alias("csim"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    assigned = (
+        assigned_scored.withColumn("crank", F.row_number().over(wa))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "v", "norm", "cid")
+    )
+    # queries probe their IVF_NPROBE closest centroids
+    q = e.filter(F.col("vec_id") < _TOPK_NQUERY).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    probe_scored = q.crossJoin(F.broadcast(cent)).select(
+        "qid",
+        "qv",
+        "qnorm",
+        "cid",
+        F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6).alias("csim"),
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    probes = (
+        probe_scored.withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= _IVF_NPROBE)
+        .select("qid", "qv", "qnorm", "cid")
+    )
+    # candidates: corpus vectors in probed buckets only
+    cands = probes.join(assigned, "cid").filter(F.col("vec_id") != F.col("qid"))
+    scored = cands.select(
+        "qid",
+        "vec_id",
+        F.round(dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6).alias("cosine"),
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.select(
+        "qid", "vec_id", "cosine", F.row_number().over(wr).cast("long").alias("rank")
+    ).filter(F.col("rank") <= _TOPK_K)
+
+
+_ANN_IVF_ORACLE = f"""
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+           FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM n WHERE vec_id % {_IVF_CENTROID_STEP} = 0),
+assigned AS (
+  SELECT vec_id, v, norm, cid FROM (
+    SELECT n.vec_id, n.v, n.norm, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             ORDER BY ROUND(list_dot_product(n.v, cent.cv) / (n.norm * cent.cnorm), 6) DESC,
+                      cent.cid ASC) AS crank
+    FROM n CROSS JOIN cent
+  ) WHERE crank = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n WHERE vec_id < {_TOPK_NQUERY}),
+probes AS (
+  SELECT qid, qv, qnorm, cid FROM (
+    SELECT q.qid, q.qv, q.qnorm, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY ROUND(list_dot_product(q.qv, cent.cv) / (q.qnorm * cent.cnorm), 6) DESC,
+                      cent.cid ASC) AS prank
+    FROM q CROSS JOIN cent
+  ) WHERE prank <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.qid, a.vec_id,
+         ROUND(list_dot_product(p.qv, a.v) / (p.qnorm * a.norm), 6) AS cosine
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE a.vec_id <> p.qid
+)
+SELECT qid, vec_id, cosine, rank FROM (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {_TOPK_K}
+"""
+
+
+for spec in [
+    QuerySpec("ann_cosine_topk", ann_cosine_topk, _ANN_TOPK_ORACLE, "brute-force cosine top-k"),
+    QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, _COSINE_DUP_ORACLE, "embedding cosine near-dup pairs"),
+    QuerySpec("ann_ivf_topk", ann_ivf_topk, _ANN_IVF_ORACLE, "IVF-bucketed ANN top-k (scale path)"),
+]:
+    register(spec)

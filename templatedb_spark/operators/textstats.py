@@ -1,0 +1,197 @@
+"""Text analysis operators over the `documents` table.
+
+Extension tier (reference has no text functions): language-ID, quality scoring,
+token counting, fingerprinting. All pure JVM-side expression chains (regexp +
+arithmetic — no UDFs), each with an exact DuckDB oracle built from the same
+formulas. At 100 TB these are embarrassingly parallel map-only stages: no
+shuffle at all except the optional per-language rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from templatedb_spark.functions.hashing import md5_long, md5_long_sql
+from templatedb_spark.suite import QuerySpec, register, table
+
+# Stopword regexes per language — the n-gram-heuristic language classifier.
+# (documents.text is synthetic word soup; what matters is that the classifier
+# is a deterministic formula both engines evaluate identically.)
+_LANG_PATTERNS = {
+    "en": r"\b(the|of|and|to|a|in|is|it)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein)\b",
+    "fr": r"\b(le|la|les|et|est|une|des)\b",
+    "es": r"\b(el|la|los|y|es|una|que)\b",
+}
+
+
+def _count_re(col, pat: str):
+    return F.regexp_count(col, F.lit(pat)).cast("long")
+
+
+def _count_re_sql(expr: str, pat: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{pat}'))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Language ID: stopword-hit argmax with deterministic tie order en>de>fr>es.
+# ---------------------------------------------------------------------------
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    scores = {k: _count_re(low, p) for k, p in _LANG_PATTERNS.items()}
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(best == 0, F.lit("unknown"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        *[scores[k].alias(f"hits_{k}") for k in _LANG_PATTERNS],
+        pred.alias("pred_lang"),
+    )
+
+
+def _lang_oracle() -> str:
+    s = {k: _count_re_sql("lower(text)", p) for k, p in _LANG_PATTERNS.items()}
+    best = f"greatest({s['en']}, {s['de']}, {s['fr']}, {s['es']})"
+    return f"""
+SELECT doc_id, lang,
+       {s['en']} AS hits_en, {s['de']} AS hits_de,
+       {s['fr']} AS hits_fr, {s['es']} AS hits_es,
+       CASE WHEN {best} = 0 THEN 'unknown'
+            WHEN {s['en']} = {best} THEN 'en'
+            WHEN {s['de']} = {best} THEN 'de'
+            WHEN {s['fr']} = {best} THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword / uppercase ratios.
+# ---------------------------------------------------------------------------
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_chars = F.length(text).cast("double")
+    n_tokens = _count_re(text, r"[A-Za-z0-9]+").cast("double")
+    n_punct = _count_re(text, r"[^\w\s]").cast("double")
+    n_stop = _count_re(F.lower(text), _LANG_PATTERNS["en"]).cast("double")
+    avg_tok_len = F.round(
+        F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0)), 6
+    )
+    punct_ratio = F.round(F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0), 6)
+    stop_ratio = F.round(F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0), 6)
+    score = F.round(
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2,
+        6,
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        avg_tok_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+_NT_SQL = _count_re_sql("text", "[A-Za-z0-9]+")
+_NP_SQL = _count_re_sql("text", r"[^\w\s]")
+_NS_SQL = _count_re_sql("lower(text)", _LANG_PATTERNS["en"])
+
+_QUALITY_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, n_chars,
+         CAST(length(text) AS DOUBLE) AS nc,
+         CAST({_NT_SQL} AS DOUBLE) AS nt,
+         CAST({_NP_SQL} AS DOUBLE) AS np,
+         CAST({_NS_SQL} AS DOUBLE) AS ns
+  FROM documents
+)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars,
+       nt::BIGINT AS n_tokens,
+       ROUND(CASE WHEN nt > 0 THEN nc / nt ELSE 0.0 END, 6) AS avg_token_len,
+       ROUND(CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END, 6) AS punct_ratio,
+       ROUND(CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END, 6) AS stopword_ratio,
+       ROUND(least(nt / 50.0, 1.0) * 0.5
+             + ROUND(CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END, 6) * 0.3
+             + (1.0 - least(ROUND(CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END, 6) * 10, 1.0)) * 0.2,
+             6) AS quality_score
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + BPE-ish subword segments.
+# ---------------------------------------------------------------------------
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        _count_re(text, r"\S+").alias("ws_tokens"),
+        # BPE-ish segmentation: letter runs (split every 4 chars at merge
+        # boundaries), digit runs, single punctuation marks
+        _count_re(F.lower(text), r"[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\s]").alias("bpe_tokens"),
+        F.round(
+            _count_re(F.lower(text), r"[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\s]").cast("double")
+            / F.greatest(_count_re(text, r"\S+"), F.lit(1)).cast("double"),
+            6,
+        ).alias("subword_ratio"),
+    )
+
+
+_WS_SQL = _count_re_sql("text", r"\S+")
+_BPE_SQL = _count_re_sql("lower(text)", r"[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\s]")
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       {_WS_SQL} AS ws_tokens,
+       {_BPE_SQL} AS bpe_tokens,
+       ROUND(CAST({_BPE_SQL} AS DOUBLE)
+             / CAST(greatest({_WS_SQL}, 1) AS DOUBLE), 6) AS subword_ratio
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: md5 of normalized text (hex + 60-bit int form).
+# ---------------------------------------------------------------------------
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp_hex"),
+        md5_long(norm).alias("fp_long"),
+        (md5_long(norm) % 1024).alias("fp_shard"),  # shard key for partitioned dedup
+    )
+
+
+_FP_LONG_SQL = md5_long_sql("norm")
+
+_FINGERPRINT_ORACLE = (
+    r"WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents) "
+    f"SELECT doc_id, md5(norm) AS fp_hex, {_FP_LONG_SQL} AS fp_long, "
+    f"{_FP_LONG_SQL} % 1024 AS fp_shard FROM n"
+)
+
+
+for spec in [
+    QuerySpec("text_language_id", text_language_id, _lang_oracle(), "stopword-heuristic language ID"),
+    QuerySpec("text_quality_score", text_quality_score, _QUALITY_ORACLE, "doc quality scoring"),
+    QuerySpec("text_token_count", text_token_count, _TOKEN_COUNT_ORACLE, "whitespace + BPE-ish token counts"),
+    QuerySpec("text_fingerprint", text_fingerprint, _FINGERPRINT_ORACLE, "md5 fingerprint + shard key"),
+]:
+    register(spec)

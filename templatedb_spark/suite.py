@@ -1,0 +1,66 @@
+"""Query suite registry: every operator from SURVEY.md §2 (plus the LLM-pipeline
+extension tier) is declared as a QuerySpec pairing
+
+  - a Spark implementation   (spark, sf_dir) -> DataFrame
+  - a DuckDB oracle SQL text (or None for non-SQL-expressible ops)
+
+The driver's correctness gate runs both at sf0.01 and hash-compares values, so the
+conventions below are load-bearing:
+
+- **Identical column aliases** on both sides (driver sorts columns by name).
+- **Explicit output types**: BIGINT for counts/ints (`.cast("long")` / `::BIGINT`),
+  DOUBLE for measures. Money aggregates go through DECIMAL first (exact, order-
+  independent — also the right answer at 100 TB where float sum order is
+  nondeterministic across partitions) then cast to DOUBLE.
+- **Deterministic LIMIT**: every LIMIT is preceded by a total ORDER BY.
+- Cross-engine hashes come from functions.hashing (md5-derived, bit-identical).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, None → rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(spec: QuerySpec) -> QuerySpec:
+    if spec.name in _REGISTRY:
+        raise ValueError(f"duplicate query spec: {spec.name}")
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    # import for side effects: each module registers its specs
+    from templatedb_spark.operators import (  # noqa: F401
+        relational,
+        dedup,
+        similarity,
+        textstats,
+    )
+
+    return dict(_REGISTRY)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which the Spark parquet reader
+        # rejects; read nanos as long and convert to a micros timestamp.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
