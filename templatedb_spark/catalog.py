@@ -56,9 +56,23 @@ def register_csv_dir(spark: SparkSession, csv_dir: str, header: bool = True) -> 
     with schema inference — the reference slt harness contract
     (tests/sql_logic/src/lib.rs:10-22; inference via arrow CSV, storage/csv.rs:100-105).
     """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
     out: dict[str, DataFrame] = {}
     for p in sorted(Path(csv_dir).glob("**/*.csv")):
         df = spark.read.csv(str(p), header=header, inferSchema=True)
+        # arrow-CSV semantics (the reference's reader): an empty field in a
+        # string column is the empty string, not NULL; numeric stays NULL
+        # (reference fixture: employee.csv row 4, FIXTURES.md §1/§4)
+        df = df.select(
+            *[
+                F.coalesce(F.col(f.name), F.lit("")).alias(f.name)
+                if isinstance(f.dataType, StringType)
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
         df.createOrReplaceTempView(p.stem)
         out[p.stem] = df
     return out

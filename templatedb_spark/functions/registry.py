@@ -56,16 +56,42 @@ _NAMED_ARITH = {
 
 
 def rewrite_named_arithmetic(sql: str) -> str:
-    """Rewrite `add(a, b)` → `(a + b)` etc. (reference function registry parity)."""
+    """Rewrite `add(a, b)` → `(a + b)` etc., innermost-first with balanced-paren
+    argument scanning (reference function registry parity)."""
     import re
 
+    head = re.compile(r"(?i)\b(add|subtract|multiply|divide)\s*\(")
+    changed = True
     out = sql
-    for name, op in _NAMED_ARITH.items():
-        # only rewrite simple two-argument calls (no nested commas inside args
-        # beyond balanced parens — handled by repeated application)
-        pat = re.compile(rf"(?i)\b{name}\s*\(([^(),]+),([^(),]+)\)")
-        prev = None
-        while prev != out:
-            prev = out
-            out = pat.sub(rf"(\1 {op} \2)", out)
+    while changed:
+        changed = False
+        for m in head.finditer(out):
+            # scan the balanced argument list starting after the open paren
+            depth, args, cur = 1, [], []
+            i = m.end()
+            while i < len(out) and depth > 0:
+                ch = out[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif ch == "," and depth == 1:
+                    args.append("".join(cur))
+                    cur = []
+                    i += 1
+                    continue
+                cur.append(ch)
+                i += 1
+            if depth != 0:
+                continue  # unbalanced; leave untouched
+            args.append("".join(cur))
+            if len(args) != 2:
+                continue
+            op = _NAMED_ARITH[m.group(1).lower()]
+            a, b = (rewrite_named_arithmetic(x.strip()) for x in args)
+            out = out[: m.start()] + f"({a} {op} {b})" + out[i + 1 :]
+            changed = True
+            break
     return out

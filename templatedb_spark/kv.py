@@ -1,0 +1,137 @@
+"""KV capability layer — storage-engine parity re-expressed over Spark tables.
+
+The reference's storage engine is a LevelDB-style LSM tree exposing
+`put/get/delete/write(WriteBatch)/iter/snapshot` over ordered byte keys
+(reference: src/storage_engine/src/db_trait.rs:13-47, memtable/batch.rs:42,
+manager/snapshot.rs:9-32). Per SURVEY.md §2.11 this is *semantic* parity —
+ordered map + atomic batch + MVCC snapshot reads — not an LSM re-implementation:
+
+- a **write batch** = one immutable parquet delta file of (key, value, op)
+  rows tagged with a monotonically increasing version (the LSM's sequence
+  number; one batch == one atomic commit, like WriteBatch);
+- **read at version v** = merge-on-read: latest op per key with version ≤ v
+  (window row_number over version desc), dropping tombstones — exactly the
+  LSM's "newest sequence wins, delete shadows" merge
+  (reference: iterator/db_iter.rs, kmerge_iter.rs k-way merge semantics);
+- **snapshot(v)** = reading pinned at an old version (MVCC; the reference's
+  `Snapshot` holds a sequence number);
+- **scan(start, end)** = ordered range read (`iter` over the merged view);
+- **compact()** = rewrite the merged state as a single base version and drop
+  history — the reference's `compact_range` (db_impl/template_impl.rs:180-194).
+
+Scale: deltas are partitioned parquet; the merge is one window over key
+(hash-shuffled by key, no global sort except for ordered scans). At real scale
+you'd bucket by key so point lookups prune files; compaction bounds the number
+of deltas merged per read, same role it plays in the LSM.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SCHEMA = "key string, value string, op string, version long"
+
+
+class KVTable:
+    """Ordered, versioned key-value table over parquet delta files."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- versions -----------------------------------------------------------
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(p.name.split("=")[1])
+            for p in Path(self.path).glob("version=*")
+            if p.is_dir()
+        )
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        return vs[-1] if vs else -1
+
+    # -- writes (each call is one atomic batch == one new version) ----------
+    def write_batch(self, puts: dict[str, str] | None = None, deletes: list[str] | None = None) -> int:
+        """Atomic batch of puts+deletes (reference WriteBatch, batch.rs:42)."""
+        v = self.latest_version() + 1
+        rows = [(k, val, "put", v) for k, val in (puts or {}).items()]
+        rows += [(k, None, "del", v) for k in (deletes or [])]
+        if not rows:
+            return self.latest_version()
+        df = self.spark.createDataFrame(rows, _SCHEMA)
+        df.write.mode("errorifexists").parquet(f"{self.path}/version={v}")
+        return v
+
+    def put(self, key: str, value: str) -> int:
+        return self.write_batch(puts={key: value})
+
+    def delete(self, key: str) -> int:
+        return self.write_batch(deletes=[key])
+
+    # -- reads --------------------------------------------------------------
+    def _deltas(self, as_of: int | None = None) -> DataFrame | None:
+        vs = self._versions()
+        if as_of is not None:
+            vs = [v for v in vs if v <= as_of]
+        if not vs:
+            return None
+        paths = [f"{self.path}/version={v}" for v in vs]
+        df = self.spark.read.schema(_SCHEMA).parquet(*paths)
+        # parquet path discovery loses the version column (it's in the dir
+        # name); re-read it from the file path
+        return df.withColumn(
+            "version",
+            F.regexp_extract(F.input_file_name(), r"version=(\d+)", 1).cast("long"),
+        )
+
+    def snapshot(self, as_of: int | None = None) -> DataFrame:
+        """Merged (key, value) state at a version — MVCC read (snapshot.rs:9-32)."""
+        deltas = self._deltas(as_of)
+        if deltas is None:
+            return self.spark.createDataFrame([], "key string, value string")
+        w = Window.partitionBy("key").orderBy(F.col("version").desc())
+        return (
+            deltas.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") == "put"))
+            .select("key", "value")
+        )
+
+    def get(self, key: str, as_of: int | None = None) -> str | None:
+        rows = self.snapshot(as_of).filter(F.col("key") == key).collect()
+        return rows[0].value if rows else None
+
+    def scan(self, start: str | None = None, end: str | None = None, as_of: int | None = None) -> DataFrame:
+        """Ordered range scan [start, end) — the LSM `iter` (db_iter.rs)."""
+        df = self.snapshot(as_of)
+        if start is not None:
+            df = df.filter(F.col("key") >= start)
+        if end is not None:
+            df = df.filter(F.col("key") < end)
+        return df.orderBy("key")
+
+    def approximate_size(self, start: str | None = None, end: str | None = None) -> int:
+        """Row-count stand-in for get_approximate_size (db_impl/mod.rs:1365)."""
+        return self.scan(start, end).count()
+
+    # -- maintenance --------------------------------------------------------
+    def compact(self) -> int:
+        """Collapse history into a single base version (compact_range parity)."""
+        state = self.snapshot().withColumn("op", F.lit("put"))
+        v = self.latest_version() + 1
+        out = state.withColumn("version", F.lit(v).cast("long")).select(
+            "key", "value", "op", "version"
+        )
+        out.write.mode("errorifexists").parquet(f"{self.path}/version={v}")
+        import shutil
+
+        for old in self._versions():
+            if old != v:
+                shutil.rmtree(f"{self.path}/version={old}")
+        return v

@@ -165,16 +165,25 @@ _PERMS = minhash_params(_MINHASH_K)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, i, mh): k=16 minhash values per doc from md5-derived h32."""
+    """(doc_id, i, mh): k=16 minhash values per doc from md5-derived h32.
+
+    Shape matters at scale: the k permutations are inlined as k aggregate
+    expressions over ONE pass of the shingle stream (map-side partial min,
+    single shuffle keyed by doc_id) — not a shingle × perm cross join, which
+    would shuffle k× the data. The narrow (doc_id, i, mh) form the LSH join
+    wants is then unpivoted from the k columns post-agg (tiny: docs × k rows).
+    """
     sh = shingles(spark, sf_dir)
     hashed = sh.select("doc_id", h32(F.col("sh")).alias("h"))
-    perms = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(_PERMS)], ["i", "a", "b"]
+    sig_wide = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_PERMS)
+        ]
     )
-    return (
-        hashed.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "i")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % F.lit(MERSENNE_31)).alias("mh"))
+    stack_expr = ", ".join(f"{i}, mh_{i}" for i in range(_MINHASH_K))
+    return sig_wide.selectExpr(
+        "doc_id", f"stack({_MINHASH_K}, {stack_expr}) AS (i, mh)"
     )
 
 
@@ -244,7 +253,13 @@ _SIMHASH_BANDS = 4  # 4 bands × 8 bits; hamming<=3 ⇒ >=1 clean band (pigeonho
 
 
 def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash): 32-bit weighted simhash over tokens."""
+    """(doc_id, simhash): 32-bit weighted simhash over tokens.
+
+    One pass, one shuffle: the 32 bit-planes are 32 inlined SUM aggregates over
+    the token stream (literal shift counts keep everything in whole-stage
+    codegen), combined into the final simhash with a single expression — no
+    token × bit cross join (which would shuffle 32× the token stream).
+    """
     d = table(spark, sf_dir, "documents")
     tok = (
         d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
@@ -252,29 +267,20 @@ def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .select("doc_id", "w", h32(F.col("tok")).alias("h"))
     )
-    bits = spark.range(_SIMHASH_BITS).select(F.col("id").alias("j"))
-    contrib = (
-        tok.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "j")
-        .agg(
-            # variable shift amounts need the SQL expression form (the PySpark
-            # shiftright helper only takes literal shift counts)
+    planes = tok.groupBy("doc_id").agg(
+        *[
             F.sum(
                 F.col("w")
-                * F.when(F.expr("shiftright(h, cast(j as int)) & 1") == 1, 1).otherwise(-1)
-            ).alias("s")
-        )
+                * F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s_{j}")
+            for j in range(_SIMHASH_BITS)
+        ]
     )
-    return (
-        contrib.select(
-            "doc_id",
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(j as int))"))
-            .otherwise(F.lit(0).cast("long"))
-            .alias("bitval"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    combine = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN shiftleft(cast(1 as bigint), {j}) ELSE 0 END)"
+        for j in range(_SIMHASH_BITS)
     )
+    return planes.select("doc_id", F.expr(combine).cast("long").alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -105,21 +105,44 @@ _COSINE_DUP_THRESHOLD = 0.35
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = with_norm(
-        table(spark, sf_dir, "embeddings").select("vec_id", _vec_double("embedding").alias("v"))
-    )
-    a = e.alias("a")
-    b = e.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(
-                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")), 6
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
+    """All-pairs cosine ≥ threshold via Arrow-batched numpy block matmul.
+
+    The pairwise score matrix is dense compute, the one place where the JVM
+    expression path loses badly (zip_with/aggregate is interpreted per element:
+    ~25 s for 2M×64-dim pairs at sf0.1 vs ~1 s for BLAS). One normalized copy
+    of the corpus is broadcast to executors; mapInPandas computes each Arrow
+    batch's block of the score matrix with a single matmul and emits only the
+    (vec_a < vec_b, cosine ≥ threshold) survivors. At true scale the broadcast
+    side becomes corpus *blocks* (outer loop over block pairs) — same kernel,
+    bounded memory; for dedup thresholds you'd LSH-bucket first (see
+    dedup_minhash_lsh) and run this kernel per bucket.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.toPandas()  # broadcast side: must fit like any dim table
+    ids = corpus["vec_id"].to_numpy(dtype="int64")
+    mat = np.stack(corpus["embedding"].to_numpy()).astype("float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def block(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype="int64")
+            a_mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = np.round(a_mat @ b_mat.T, 6)
+            ai, bi = np.nonzero(
+                (sims >= _COSINE_DUP_THRESHOLD) & (a_ids[:, None] < b_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ai], "vec_b": b_ids[bi], "cosine": sims[ai, bi]}
+            )
+
+    return e.repartition(32).mapInPandas(
+        block, schema="vec_a long, vec_b long, cosine double"
     )
 
 

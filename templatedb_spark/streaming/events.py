@@ -1,0 +1,96 @@
+"""Structured Streaming over the events table.
+
+Extension tier (SURVEY.md §2.9: the reference has no streaming). The batch twin
+of every streaming query here lives in operators/relational.py
+(`events_rollup`), so correctness is checked by running the stream with an
+`availableNow` trigger and comparing to the batch result — the standard
+Spark pattern for validating streaming logic.
+
+Scale: file-source streaming with watermarked tumbling windows is the shape
+that survives a real event firehose — state is bounded by the watermark, the
+window agg is a partial+final hash agg per trigger, and `foreachBatch` gives
+exactly-once sinks over any batch writer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos-as-long (see suite.table note)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with event-time column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}")
+    )
+    return raw.filter(F.col("event_id").isNotNull()).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+
+
+def windowed_rollup(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window rollup: count + sum(value) per event_type.
+
+    The watermark bounds state: late events beyond it are dropped, finalized
+    windows are evicted — the knob the reference's batch engine never needed.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str = "events_rollup_stream",
+    output_mode: str = "complete",
+) -> list:
+    """Drain the stream with availableNow into a memory sink; return rows.
+
+    `availableNow` processes the full backlog then stops — the deterministic
+    harness mode for validating streaming logic against its batch twin.
+    `complete` mode emits every window including ones the watermark has not
+    finalized (append mode would hold back the tail of a finite backlog).
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(query_name).collect()

@@ -49,6 +49,7 @@ def all_specs() -> dict[str, QuerySpec]:
         dedup,
         similarity,
         textstats,
+        multimodal,
     )
 
     return dict(_REGISTRY)
