@@ -1,0 +1,369 @@
+"""Advanced analytics operators — extension tier beyond the reference's SQL
+surface, chosen for what a large-scale event/training-data pipeline needs:
+sessionization, as-of joins, time-range self-joins, semi/anti joins, rollup
+hierarchies, portable pivot, exact statistical moments, TPC-H workload shapes.
+
+Scale notes:
+- Sessionization and as-of are single-pass window computations partitioned by
+  user — one shuffle on user_id, state bounded per partition; this is the shape
+  that replaces per-user driver loops at 100 TB.
+- The as-of join is the union+last(ignorenulls) formulation (no range-join
+  explosion, no per-key binary search): both sides share one user_id shuffle.
+- The time-range self-join keys on user_id with the range as residual; at
+  skewed scale you'd additionally bucket by coarse time window.
+- Statistical moments (stddev) are computed from DECIMAL power sums — exact,
+  partitioning-independent, unlike streaming float variance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from templatedb_spark.suite import QuerySpec, register, table
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_SQL = "%Y-%m-%d %H:%M:%S"
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap > 30 min starts a new session (per user).
+# ---------------------------------------------------------------------------
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_gap = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)).alias("gap_us"),
+    ).withColumn(
+        "is_new",
+        F.when(F.col("gap_us").isNull() | (F.col("gap_us") > _SESSION_GAP_US), 1).otherwise(0),
+    )
+    sessions = with_gap.withColumn("session_seq", F.sum("is_new").over(wrun))
+    return (
+        sessions.groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+            F.date_format(F.max("ts"), _TS_FMT).alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+_SESSIONIZE_ORACLE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+s AS (
+  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > {_SESSION_GAP_US} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq::BIGINT AS session_seq,
+       COUNT(*) AS n_events,
+       STRFTIME(MIN(ts), '{_TS_FMT_SQL}') AS session_start,
+       STRFTIME(MAX(ts), '{_TS_FMT_SQL}') AS session_end,
+       ROUND(SUM(value), 2) AS session_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each event ↔ the most recent purchase (≤ ts) by the same user.
+# union + last(ignorenulls) formulation — one shuffle, no range explosion.
+# ---------------------------------------------------------------------------
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("purchase_ts"),
+    )
+    return (
+        marked.withColumn("last_purchase", F.last("purchase_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", _TS_FMT).alias("ts"),
+            F.date_format("last_purchase", _TS_FMT).alias("last_purchase"),
+        )
+    )
+
+
+_ASOF_ORACLE = f"""
+WITH m AS (
+  SELECT user_id, event_id, ts, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+  FROM events
+)
+SELECT user_id, event_id, STRFTIME(ts, '{_TS_FMT_SQL}') AS ts,
+       STRFTIME(last_purchase, '{_TS_FMT_SQL}') AS last_purchase
+FROM m WHERE event_type = 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-range self-join: clicks within 30 min before each error, same user.
+# ---------------------------------------------------------------------------
+def range_join_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("user_id"), F.col("event_id").alias("error_id"), F.col("ts").alias("err_ts")
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    joined = err.join(
+        clk,
+        (err.user_id == clk.c_user)
+        & (clk.click_ts >= err.err_ts - F.expr("INTERVAL 30 MINUTE"))
+        & (clk.click_ts <= err.err_ts),
+        "inner",
+    )
+    return joined.groupBy("user_id", "error_id").agg(F.count(F.lit(1)).alias("n_recent_clicks"))
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT a.user_id, a.event_id AS error_id, COUNT(*) AS n_recent_clicks
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.event_type = 'click' AND a.event_type = 'error'
+ AND b.ts >= a.ts - INTERVAL 30 MINUTE AND b.ts <= a.ts
+GROUP BY a.user_id, a.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS) — Spark-gained (reference lacks them,
+# SURVEY.md §2.3 "not implemented" list).
+# ---------------------------------------------------------------------------
+def semi_join_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_acctbal")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP hierarchy (region → nation), NULL indicator rows.
+# ---------------------------------------------------------------------------
+def rollup_customers_by_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    base = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return base.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Portable pivot: event_type counts as columns per user.
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}") for t in _EVENT_TYPES
+    ]
+    return e.groupBy("user_id").agg(*aggs, F.count(F.lit(1)).alias("n_total"))
+
+
+_PIVOT_ORACLE = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}" for t in _EVENT_TYPES
+    )
+    + ", COUNT(*) AS n_total FROM events GROUP BY user_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact statistical moments from DECIMAL power sums (order-independent).
+# ---------------------------------------------------------------------------
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    d = _dec("c_acctbal")
+    agg = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    return agg.select(
+        "c_mktsegment",
+        F.col("n").alias("n"),
+        F.round(s1 / n, 6).alias("avg_bal"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).alias("stddev_bal"),
+        "min_bal",
+        "max_bal",
+    )
+
+
+_STATS_ORACLE = """
+WITH a AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+         SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s1,
+         SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS s2,
+         MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_bal,
+       ROUND(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6) AS stddev_bal,
+       min_bal, max_bal
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# approx_count_distinct (HLL) — algorithms differ across engines, so the
+# contract is rows-only + a tolerance test against the exact count
+# (tests/test_analytics.py); no value oracle.
+# ---------------------------------------------------------------------------
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 (shipping priority) and Q6 (forecast revenue) shapes.
+# ---------------------------------------------------------------------------
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-01-01")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4, 2))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q3_ORACLE = """
+SELECT o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.year("l_shipdate") == 1996)
+            & (F.col("l_discount").between(0.04, 0.08))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 4, 2)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE YEAR(l_shipdate) = 1996 AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24
+"""
+
+
+for spec in [
+    QuerySpec("sessionize", sessionize, _SESSIONIZE_ORACLE, "gap-based sessionization (30 min)"),
+    QuerySpec("asof_last_purchase", asof_last_purchase, _ASOF_ORACLE, "as-of join via last(ignorenulls)"),
+    QuerySpec("range_join_clicks", range_join_clicks_before_error, _RANGE_JOIN_ORACLE, "time-range self-join"),
+    QuerySpec("semi_join", semi_join_customers_with_big_orders, _SEMI_ORACLE, "EXISTS → left semi join"),
+    QuerySpec("anti_join", anti_join_customers_without_orders, _ANTI_ORACLE, "NOT EXISTS → left anti join"),
+    QuerySpec("rollup_geo", rollup_customers_by_geo, _ROLLUP_ORACLE, "ROLLUP hierarchy with NULL indicator rows"),
+    QuerySpec("events_pivot", events_pivot, _PIVOT_ORACLE, "portable pivot (conditional agg)"),
+    QuerySpec("stats_moments", stats_moments, _STATS_ORACLE, "exact avg/stddev from decimal power sums"),
+    QuerySpec("approx_distinct_users", approx_distinct_users, None, "HLL approx distinct (rows-only + tolerance test)"),
+    QuerySpec("q3_shipping_priority", q3_shipping_priority, _Q3_ORACLE, "TPC-H Q3 shape"),
+    QuerySpec("q6_forecast_revenue", q6_forecast_revenue, _Q6_ORACLE, "TPC-H Q6 shape"),
+]:
+    register(spec)

@@ -50,6 +50,7 @@ def all_specs() -> dict[str, QuerySpec]:
         similarity,
         textstats,
         multimodal,
+        analytics,
     )
 
     return dict(_REGISTRY)

@@ -1,0 +1,63 @@
+"""Analytics operators: semantic assertions beyond the differential oracle
+(which already covers exact values in test_suite_oracles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_sessions_partition_users(spark):
+    from templatedb_spark.operators.analytics import sessionize
+
+    df = sessionize(spark, SF_SMALL)
+    # session_seq starts at 1 per user and is dense
+    per_user = df.groupBy("user_id").agg(
+        F.min("session_seq").alias("lo"),
+        F.max("session_seq").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bad = per_user.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count()
+    assert bad == 0
+
+
+def test_asof_never_future(spark):
+    from templatedb_spark.operators.analytics import asof_last_purchase
+
+    df = asof_last_purchase(spark, SF_SMALL)
+    bad = df.filter(F.col("last_purchase") > F.col("ts")).count()
+    assert bad == 0  # as-of must never pick a future purchase
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from templatedb_spark.operators.analytics import approx_distinct_users
+
+    rows = approx_distinct_users(spark, SF_SMALL).collect()
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users), r
+
+
+def test_semi_anti_partition_customers(spark):
+    """semi ∪ anti = all customers; semi ∩ anti = ∅ (same predicate)."""
+    from templatedb_spark.operators.analytics import (
+        anti_join_customers_without_orders,
+        semi_join_customers_with_big_orders,
+    )
+    from templatedb_spark.suite import table
+
+    semi = {r.c_custkey for r in semi_join_customers_with_big_orders(spark, SF_SMALL).collect()}
+    anti = {r.c_custkey for r in anti_join_customers_without_orders(spark, SF_SMALL).collect()}
+    allc = {r.c_custkey for r in table(spark, SF_SMALL, "customer").collect()}
+    assert semi | anti == allc
+    assert not (semi & anti)
+
+
+def test_rollup_grand_total(spark):
+    from templatedb_spark.operators.analytics import rollup_customers_by_geo
+    from templatedb_spark.suite import table
+
+    rows = rollup_customers_by_geo(spark, SF_SMALL).collect()
+    grand = [r for r in rows if r.r_name is None and r.n_name is None]
+    assert len(grand) == 1
+    assert grand[0].n_customers == table(spark, SF_SMALL, "customer").count()
