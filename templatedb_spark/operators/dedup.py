@@ -164,31 +164,36 @@ _MINHASH_MATCH_MIN = 8  # est. Jaccard >= 0.5
 _PERMS = minhash_params(_MINHASH_K)
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, i, mh): k=16 minhash values per doc from md5-derived h32.
+def minhash_signatures_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh_0..mh_15): k=16 minhash values per doc from md5-derived h32.
 
     Shape matters at scale: the k permutations are inlined as k aggregate
     expressions over ONE pass of the shingle stream (map-side partial min,
     single shuffle keyed by doc_id) — not a shingle × perm cross join, which
-    would shuffle k× the data. The narrow (doc_id, i, mh) form the LSH join
-    wants is then unpivoted from the k columns post-agg (tiny: docs × k rows).
+    would shuffle k× the data.
     """
     sh = shingles(spark, sf_dir)
     hashed = sh.select("doc_id", h32(F.col("sh")).alias("h"))
-    sig_wide = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh_{i}")
             for i, (a, b) in enumerate(_PERMS)
         ]
     )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow (doc_id, i, mh) form — the unpivot the LSH band join wants."""
     stack_expr = ", ".join(f"{i}, mh_{i}" for i in range(_MINHASH_K))
-    return sig_wide.selectExpr(
+    return minhash_signatures_wide(spark, sf_dir).selectExpr(
         "doc_id", f"stack({_MINHASH_K}, {stack_expr}) AS (i, mh)"
     )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signatures(spark, sf_dir).cache()
+    sig_wide = minhash_signatures_wide(spark, sf_dir).cache()
+    stack_expr = ", ".join(f"{i}, mh_{i}" for i in range(_MINHASH_K))
+    sig = sig_wide.selectExpr("doc_id", f"stack({_MINHASH_K}, {stack_expr}) AS (i, mh)")
     s1 = sig.alias("s1")
     s2 = sig.alias("s2")
     # LSH banding with band size 1: candidates share >= 1 minhash value.
@@ -202,16 +207,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    est = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.i") == F.col("sb.i")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.when(F.col("sa.mh") == F.col("sb.mh"), 1).otherwise(0)).alias("matches"))
+    # estimate on the wide form: one row per doc, 16 equality terms — no 16×
+    # fan-out join + re-aggregation for the estimate phase
+    sa = sig_wide.alias("sa")
+    sb = sig_wide.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
+        for i in range(_MINHASH_K)
     )
     return (
-        est.filter(F.col("matches") >= _MINHASH_MATCH_MIN)
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", matches.alias("matches"))
+        .filter(F.col("matches") >= _MINHASH_MATCH_MIN)
         .select(
             "doc_a",
             "doc_b",

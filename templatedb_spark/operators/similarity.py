@@ -141,7 +141,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_a": a_ids[ai], "vec_b": b_ids[bi], "cosine": sims[ai, bi]}
             )
 
-    return e.repartition(32).mapInPandas(
+    # parallelism sized to the corpus: ~512 rows per task keeps every core busy
+    # at real scale without paying 32 python-worker spin-ups on a small corpus
+    n_parts = max(1, min(32, len(ids) // 512))
+    return e.repartition(n_parts).mapInPandas(
         block, schema="vec_a long, vec_b long, cosine double"
     )
 
