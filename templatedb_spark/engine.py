@@ -115,6 +115,13 @@ class Engine:
         query = substitute_where_aliases(query, extract_select_aliases(query))
         return self.spark.sql(query)
 
+    def explain(self, query: str) -> str:
+        """EXPLAIN — renders the plan tree as a string
+        (reference: bind_explain.rs / physical_explain.rs; tests/slt/explain.slt)."""
+        from templatedb_spark.plans.explain import formatted_plan
+
+        return formatted_plan(self.sql(query))
+
     # -- slt-compatible result rendering ------------------------------------
     @staticmethod
     def format_rows(df: DataFrame) -> list[list[str]]:

@@ -281,6 +281,36 @@ FROM a
 
 
 # ---------------------------------------------------------------------------
+# Correlated scalar subquery: customers above their nation's average balance.
+# Expressed in its decorrelated form (group-agg + join) — the rewrite Catalyst
+# itself applies to the correlated SQL; the oracle keeps the correlated
+# spelling to prove semantic equivalence. (The reference only supports
+# *uncorrelated* scalar subqueries, binder/table/subquery.rs:69-72 — this is
+# the Spark-gained generalization.)
+# ---------------------------------------------------------------------------
+def correlated_scalar_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    per_nation = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("nation_avg")
+    )
+    return (
+        c.join(F.broadcast(per_nation), c.c_nationkey == F.col("nk"))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_acctbal", F.round("nation_avg", 6).alias("nation_avg"))
+    )
+
+
+_CORRELATED_ORACLE = """
+SELECT c_custkey, c_acctbal,
+       ROUND((SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+              FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey), 6) AS nation_avg
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+# ---------------------------------------------------------------------------
 # approx_count_distinct (HLL) — algorithms differ across engines, so the
 # contract is rows-only + a tolerance test against the exact count
 # (tests/test_analytics.py); no value oracle.
@@ -362,6 +392,7 @@ for spec in [
     QuerySpec("rollup_geo", rollup_customers_by_geo, _ROLLUP_ORACLE, "ROLLUP hierarchy with NULL indicator rows"),
     QuerySpec("events_pivot", events_pivot, _PIVOT_ORACLE, "portable pivot (conditional agg)"),
     QuerySpec("stats_moments", stats_moments, _STATS_ORACLE, "exact avg/stddev from decimal power sums"),
+    QuerySpec("correlated_scalar", correlated_scalar_above_nation_avg, _CORRELATED_ORACLE, "correlated scalar subquery (decorrelated form)"),
     QuerySpec("approx_distinct_users", approx_distinct_users, None, "HLL approx distinct (rows-only + tolerance test)"),
     QuerySpec("q3_shipping_priority", q3_shipping_priority, _Q3_ORACLE, "TPC-H Q3 shape"),
     QuerySpec("q6_forecast_revenue", q6_forecast_revenue, _Q6_ORACLE, "TPC-H Q6 shape"),

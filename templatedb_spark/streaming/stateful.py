@@ -1,0 +1,87 @@
+"""Custom stateful streaming operator: sessionization with
+applyInPandasWithState.
+
+The batch twin is operators/analytics.sessionize (gap-based sessions). In
+streaming, per-user session state (start, last-seen, count, value) lives in the
+state store; a session CLOSES when an event arrives more than `gap` after the
+previous one, and the closed session is emitted. The in-flight session stays in
+state (with a real event-time timeout it would flush on watermark expiry; the
+availableNow harness drains the backlog in one pass, so tests compare closed
+sessions only).
+
+Scale: state is O(active users), keyed and partitioned by user_id; Arrow
+batches flow per group — this is the Spark-native replacement for the per-user
+driver loop that cannot exist at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_OUTPUT_SCHEMA = (
+    "user_id long, session_start string, session_end string, "
+    "n_events long, session_value double"
+)
+_STATE_SCHEMA = "start_us long, last_us long, n long, value double"
+
+
+def _fmt(us: int) -> str:
+    import datetime
+
+    return datetime.datetime.utcfromtimestamp(us / 1_000_000).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _sessionize_group(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator:
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        start_us, last_us, n, value = state.get
+    else:
+        start_us = last_us = -1
+        n, value = 0, 0.0
+
+    closed: list[dict[str, Any]] = []
+    events: list[tuple[int, float]] = []
+    for pdf in pdfs:
+        us = (pdf["ts"].astype("int64") // 1000).tolist()  # ns → µs
+        events += list(zip(us, pdf["value"].tolist()))
+    events.sort()
+
+    for ts_us, val in events:
+        if last_us >= 0 and ts_us - last_us > SESSION_GAP_US:
+            closed.append(
+                {
+                    "user_id": user_id,
+                    "session_start": _fmt(start_us),
+                    "session_end": _fmt(last_us),
+                    "n_events": n,
+                    "session_value": round(value, 2),
+                }
+            )
+            start_us, n, value = ts_us, 0, 0.0
+        if start_us < 0:
+            start_us = ts_us
+        last_us = ts_us
+        n += 1
+        value += val
+
+    state.update((start_us, last_us, n, value))
+    yield pd.DataFrame(closed, columns=["user_id", "session_start", "session_end", "n_events", "session_value"])
+
+
+def stream_sessionize(events: DataFrame) -> DataFrame:
+    """Streaming gap-sessionization; emits sessions as they close."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -150,3 +150,56 @@ def test_named_arithmetic_rewrite():
         rewrite_named_arithmetic("select multiply(subtract(5, 2), 3)")
         == "select ((5 - 2) * 3)"
     )
+
+
+# reference: tests/slt/conjunction_function.slt:150-159 — Kleene 3-valued logic
+def test_kleene_logic(engine):
+    got = rows(
+        engine,
+        "select (false and null) as a, (true and null) as b, "
+        "(true or null) as c, (false or null) as d",
+    )
+    assert got == [["false", "NULL", "true", "NULL"]]
+
+
+# reference: tests/slt/time.slt — date ± interval year/month/day
+def test_date_plus_interval(engine):
+    got = rows(
+        engine,
+        "select cast(cast('2021-01-02' as date) + interval '1' day as date) as d, "
+        "cast(cast('2021-01-02' as date) + interval '1' month as date) as m, "
+        "cast(cast('2021-01-02' as date) + interval '1' year as date) as y",
+    )
+    assert got == [["2021-01-03", "2021-02-02", "2022-01-02"]]
+
+
+# reference: tests/slt/time.slt — interval commutes for +, and date - interval
+def test_interval_commute_and_minus(engine):
+    got = rows(
+        engine,
+        "select cast(interval '1' day + cast('2021-01-02' as date) as date) as a, "
+        "cast(cast('2021-01-02' as date) - interval '1' day as date) as b",
+    )
+    assert got == [["2021-01-03", "2021-01-01"]]
+
+
+# reference: tests/slt/alias.slt — table and column aliases
+def test_aliases(engine):
+    got = rows(
+        engine,
+        "select e.id as emp_id, e.salary * 2 as double_pay "
+        "from employee as e where e.id <= 2",
+    )
+    assert got == sorted([["1", "24000"], ["2", "20000"]])
+
+
+# reference: tests/slt/select.slt:33-39 — qualified star expansion
+def test_qualified_star(engine):
+    df = engine.sql("select t1.*, t2.a as a2 from t1 join t2 on t1.b = t2.b")
+    assert df.columns == ["a", "b", "c", "a2"]
+
+
+# reference: explain.slt — EXPLAIN renders a plan
+def test_explain_renders(engine):
+    plan = engine.explain("select id from employee where id > 1")
+    assert "Scan" in plan and "PushedFilters" in plan
