@@ -116,12 +116,16 @@ _JACCARD_THRESHOLD = 0.20
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles(spark, sf_dir).cache()
+    # join on the 60-bit md5 hash of the shingle, not the string: same join
+    # keys in Spark and the oracle (identical hash function), half the shuffle
+    # bytes. With both engines hashing identically, even a collision would
+    # produce identical (still exact-to-oracle) output.
+    sh = shingles(spark, sf_dir).select("doc_id", md5_long(F.col("sh")).alias("h")).cache()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -145,9 +149,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_JACCARD_ORACLE = f"""
 WITH {_SHINGLES_SQL},
-cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+hs AS (SELECT doc_id, {md5_long_sql('sh')} AS h FROM sh),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
 pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT doc_a, doc_b,
        ROUND(CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE), 6) AS jaccard

@@ -14,10 +14,17 @@ FIXTURES = str(REPO / "tests" / "fixtures")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from templatedb_spark.session import EngineConfig, build_session
 
-    s = build_session(EngineConfig(master="local[8]", shuffle_partitions=8))
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    s = build_session(
+        EngineConfig(
+            master="local[8]",
+            shuffle_partitions=8,
+            extra={"spark.sql.warehouse.dir": str(warehouse)},
+        )
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

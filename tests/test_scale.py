@@ -1,0 +1,58 @@
+"""Scale strategies: salting must preserve results; bucketed joins must elide
+the shuffle (no Exchange over the bucketed scans)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from templatedb_spark.suite import table
+
+
+def test_salted_group_count_matches_naive(spark):
+    from templatedb_spark.operators.scale import salted_group_count
+
+    l = table(spark, SF_SMALL, "lineitem")
+    naive = {r.l_suppkey: r.n for r in l.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r.l_suppkey: r.n for r in salted_group_count(l, "l_suppkey").collect()}
+    assert salted == naive
+
+
+def test_salted_join_matches_naive(spark):
+    from templatedb_spark.operators.scale import salted_join
+
+    o = table(spark, SF_SMALL, "orders")
+    c = table(spark, SF_SMALL, "customer").select("c_custkey", "c_name")
+    naive = o.join(c, o.o_custkey == c.c_custkey).count()
+    salted = salted_join(o, c, "o_custkey", "c_custkey").count()
+    assert salted == naive
+
+
+def test_bucketed_join_elides_shuffle(spark):
+    from templatedb_spark.operators.scale import bucketed_join, write_bucketed
+    from templatedb_spark.plans.explain import formatted_plan
+
+    # warehouse dir is static config, set session-wide in conftest
+    o = table(spark, SF_SMALL, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_acctbal"
+    )
+    write_bucketed(o, "b_orders", "o_custkey")
+    write_bucketed(c, "b_customer", "o_custkey")
+
+    # force the sort-merge path (tiny test tables would broadcast, which hides
+    # the property under test: bucketed SMJ without exchanges)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_customer", "o_custkey")
+        plan = formatted_plan(joined)
+        # co-bucketed sort-merge join: no Exchange anywhere in the plan
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and it actually answers correctly
+        naive = o.join(c, "o_custkey").count()
+        assert joined.count() == naive
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
