@@ -112,6 +112,9 @@ class Engine:
                 "comparison between string literal and numeric literal "
                 "(reference rejects at bind time: comparison_function.slt:1-8)"
             )
+        from templatedb_spark.functions.registry import rewrite_named_arithmetic
+
+        query = rewrite_named_arithmetic(query)
         query = substitute_where_aliases(query, extract_select_aliases(query))
         return self.spark.sql(query)
 

@@ -203,3 +203,28 @@ def test_qualified_star(engine):
 def test_explain_renders(engine):
     plan = engine.explain("select id from employee where id > 1")
     assert "Scan" in plan and "PushedFilters" in plan
+
+
+# reference: tests/slt/scalar_function.slt — add/subtract/multiply/divide run
+# through the engine SQL entry (function registry parity end-to-end)
+def test_named_arithmetic_through_sql(engine):
+    got = rows(engine, "select add(id, 10) as a, multiply(id, 2) as m from employee where id <= 2")
+    assert got == sorted([["11", "2"], ["12", "4"]])
+
+
+# reference: table-function protocol (function/table/table_function.rs) —
+# user-defined Python TVFs registered into SQL
+def test_python_udtf_table_functions(spark):
+    from templatedb_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    got = [tuple(r) for r in spark.sql("SELECT * FROM shingles('A b c d', 3)").collect()]
+    assert got == [(0, "a b c"), (1, "b c d")]
+    # lateral usage over a table
+    got = spark.sql(
+        "SELECT t.id, s.sh FROM (SELECT 1 AS id, 'x y z' AS txt) t, "
+        "LATERAL shingles(t.txt, 2) s"
+    ).collect()
+    assert [(r.id, r.sh) for r in got] == [(1, "x y"), (1, "y z")]
+    counts = {r.tok: r['count'] for r in spark.sql("SELECT * FROM token_counts('a b a')").collect()}
+    assert counts == {"a": 2, "b": 1}
