@@ -357,8 +357,48 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
 """
 
 
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup on short strings (customer names): all-pairs within a
+# bounded slice, levenshtein <= threshold. Both engines implement exact
+# Levenshtein, so the oracle matches bit-for-bit. At scale the slice becomes a
+# blocking key (e.g. name prefix or phonetic bucket) — the all-pairs stage only
+# ever runs within a block.
+# ---------------------------------------------------------------------------
+_LEV_MAX = 2
+_LEV_SLICE = 300
+
+
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= _LEV_SLICE)
+        .select("c_custkey", F.lower(F.col("c_name")).alias("nm"))
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.levenshtein(F.col("a.nm"), F.col("b.nm")).cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= _LEV_MAX)
+    )
+
+
+_LEVENSHTEIN_ORACLE = f"""
+WITH c AS (SELECT c_custkey, lower(c_name) AS nm FROM customer WHERE c_custkey <= {_LEV_SLICE})
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       levenshtein(a.nm, b.nm)::BIGINT AS dist
+FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.nm, b.nm) <= {_LEV_MAX}
+"""
+
+
 for spec in [
     QuerySpec("dedup_exact", dedup_exact, _DEDUP_EXACT_ORACLE, "exact dedup via md5 fingerprint"),
+    QuerySpec("dedup_levenshtein", dedup_levenshtein, _LEVENSHTEIN_ORACLE, "edit-distance near-dup (blocked all-pairs)"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, _NGRAM_JACCARD_ORACLE, "word-trigram exact Jaccard near-dup"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _MINHASH_ORACLE, "MinHash(16) + LSH banding near-dup"),
     QuerySpec("dedup_simhash", dedup_simhash, _SIMHASH_ORACLE, "32-bit SimHash + 4-band blocking near-dup"),
