@@ -24,8 +24,18 @@ def main() -> None:
     from templatedb_spark.session import EngineConfig, build_session
     from templatedb_spark.suite import all_specs
 
+    # Size the initial shuffle-partition count to the input volume (~32 MB per
+    # partition, the same granularity as files.maxPartitionBytes), clamped to
+    # [8, cpus]. AQE coalesces post-shuffle partitions at runtime, but the
+    # *initial* count still drives task-scheduling overhead — at sf0.1 (~60 MB)
+    # 8 partitions is right; at cluster scale the cap is the core count times
+    # whatever oversubscription the deployment wants.
+    total_bytes = sum(
+        f.stat().st_size for f in Path(sf_dir).glob("*.parquet") if f.is_file()
+    )
+    parts = max(8, min(int(cpus), total_bytes // (32 << 20) or 8))
     spark = build_session(
-        EngineConfig(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+        EngineConfig(master=f"local[{cpus}]", shuffle_partitions=int(parts))
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -383,8 +383,38 @@ WHERE YEAR(l_shipdate) = 1996 AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantit
 """
 
 
+# ---------------------------------------------------------------------------
+# JSON extraction from the events props column (semi-structured payloads — the
+# shape of real event pipelines; stays JVM-side via get_json_object).
+# ---------------------------------------------------------------------------
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 for spec in [
     QuerySpec("sessionize", sessionize, _SESSIONIZE_ORACLE, "gap-based sessionization (30 min)"),
+    QuerySpec("json_extract_props", json_extract_props, _JSON_ORACLE, "JSON extraction + rollup over semi-structured props"),
     QuerySpec("asof_last_purchase", asof_last_purchase, _ASOF_ORACLE, "as-of join via last(ignorenulls)"),
     QuerySpec("range_join_clicks", range_join_clicks_before_error, _RANGE_JOIN_ORACLE, "time-range self-join"),
     QuerySpec("semi_join", semi_join_customers_with_big_orders, _SEMI_ORACLE, "EXISTS → left semi join"),
