@@ -188,7 +188,41 @@ _FINGERPRINT_ORACLE = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic hash-based sampling: the reproducible sampling primitive for
+# training pipelines. `md5(key) % 100 < pct` selects the same rows on every
+# engine, every run, every partitioning — unlike TABLESAMPLE/rand(), which are
+# engine- and partitioning-dependent. Stratified variant: per-language quotas.
+# ---------------------------------------------------------------------------
+_SAMPLE_QUOTA = {"en": 50, "de": 20, "fr": 20, "es": 20, "zh": 10}  # pct per lang
+
+
+def text_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    quota = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _SAMPLE_QUOTA.items()],
+        F.lit(0),
+    )
+    return d.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") < quota
+    )
+
+
+def _hash_sample_oracle() -> str:
+    bucket = md5_long_sql("CAST(doc_id AS VARCHAR)")
+    quota = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in _SAMPLE_QUOTA.items()
+    )
+    return f"""
+SELECT doc_id, lang, {bucket} % 100 AS bucket
+FROM documents
+WHERE {bucket} % 100 < (CASE {quota} ELSE 0 END)
+"""
+
+
 for spec in [
+    QuerySpec("text_hash_sample", text_hash_sample, _hash_sample_oracle(), "deterministic stratified hash sampling"),
     QuerySpec("text_language_id", text_language_id, _lang_oracle(), "stopword-heuristic language ID"),
     QuerySpec("text_quality_score", text_quality_score, _QUALITY_ORACLE, "doc quality scoring"),
     QuerySpec("text_token_count", text_token_count, _TOKEN_COUNT_ORACLE, "whitespace + BPE-ish token counts"),
