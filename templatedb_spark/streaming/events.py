@@ -72,6 +72,66 @@ def windowed_rollup(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def stream_stream_interval_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: clicks within 30 min before each error,
+    per user — the streaming twin of operators/analytics.range_join_clicks.
+
+    Both sides carry watermarks so the join state is bounded: a click can be
+    dropped from state once it is older than the maximum lookback plus the
+    watermark delay. This is the canonical funnel/attribution join shape.
+    """
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    return errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "inner",
+    ).select("e_user", "error_id", "click_ts")
+
+
+def sink_rollup_to_kv(rollup: DataFrame, kv, query_name: str = "rollup_to_kv"):
+    """foreachBatch sink: land each micro-batch of the (already aggregated,
+    hence small) rollup into a KVTable as one atomic write batch — streaming
+    output with the KV layer's MVCC versioning as the exactly-once ledger.
+    Each micro-batch == one KV version; replays overwrite the same keys
+    idempotently. (The collect here is bounded by the rollup's cardinality,
+    not the stream volume.)
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.collect()
+        if rows:
+            kv.write_batch(
+                puts={
+                    f"{r.hour}|{r.event_type}": f"{r.n_events}|{r.sum_value}" for r in rows
+                }
+            )
+
+    q = (
+        rollup.writeStream.foreachBatch(write)
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return kv
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str = "events_rollup_stream",

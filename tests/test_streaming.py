@@ -53,3 +53,76 @@ def test_watermark_bounds_state(spark, tmp_path):
     stream = read_events_stream(spark, str(stage))
     rollup = windowed_rollup(stream, watermark="2 hours")
     assert "EventTimeWatermark" in rollup._jdf.queryExecution().analyzed().toString()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (clicks before errors) drained with
+    availableNow must reproduce the batch range join pair-for-pair."""
+    import shutil
+
+    from templatedb_spark.operators.analytics import range_join_clicks_before_error
+    from templatedb_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        stream_stream_interval_join,
+    )
+
+    stage = tmp_path / "events_in"
+    stage.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", stage / "part-0.parquet")
+    stream = read_events_stream(spark, str(stage))
+    rows = run_available_now(
+        stream_stream_interval_join(stream), "t_ss_join", output_mode="append"
+    )
+    got = {}
+    for r in rows:
+        got[(r.e_user, r.error_id)] = got.get((r.e_user, r.error_id), 0) + 1
+
+    batch = range_join_clicks_before_error(spark, SF_SMALL)
+    want = {(r.user_id, r.error_id): r.n_recent_clicks for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_foreachbatch_sink_to_kv(spark, tmp_path):
+    """Streaming rollup → foreachBatch → KVTable: the KV snapshot must hold
+    exactly the batch rollup's rows, and replaying the stream must not
+    duplicate state (idempotent puts, new MVCC version)."""
+    import shutil
+
+    from templatedb_spark.kv import KVTable
+    from templatedb_spark.streaming.events import (
+        read_events_stream,
+        sink_rollup_to_kv,
+        windowed_rollup,
+    )
+    from templatedb_spark.suite import table
+    from pyspark.sql import functions as F
+
+    stage = tmp_path / "events_in"
+    stage.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", stage / "part-0.parquet")
+
+    kv = KVTable(spark, str(tmp_path / "kv"))
+    stream = read_events_stream(spark, str(stage))
+    sink_rollup_to_kv(windowed_rollup(stream), kv, "t_kv_sink_1")
+
+    batch = (
+        table(spark, SF_SMALL, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    want = {f"{r.hour}|{r.event_type}": f"{r.n}|{r.v}" for r in batch.collect()}
+    got = {r.key: r.value for r in kv.snapshot().collect()}
+    assert got == want
+
+    # replay: same keys overwritten, no duplicates, one more version
+    v_before = kv.latest_version()
+    stream2 = read_events_stream(spark, str(stage))
+    sink_rollup_to_kv(windowed_rollup(stream2), kv, "t_kv_sink_2")
+    got2 = {r.key: r.value for r in kv.snapshot().collect()}
+    assert got2 == want
+    assert kv.latest_version() == v_before + 1
