@@ -412,8 +412,64 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Window navigation: lag / lead / ntile over per-user event streams.
+# ---------------------------------------------------------------------------
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)).alias("us_since_prev"),
+    )
+
+
+_LAG_LEAD_ORACLE = """
+SELECT user_id, event_id,
+       LAG(event_type, 1)  OVER w AS prev_type,
+       LEAD(event_type, 1) OVER w AS next_type,
+       NTILE(4) OVER w::BIGINT AS quartile,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS us_since_prev
+FROM events WHERE user_id < 10
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE over (region, segment): all four grouping combinations.
+# ---------------------------------------------------------------------------
+def cube_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    base = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return base.cube("r_name", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT r_name, c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, c_mktsegment)
+"""
+
+
 for spec in [
     QuerySpec("sessionize", sessionize, _SESSIONIZE_ORACLE, "gap-based sessionization (30 min)"),
+    QuerySpec("window_lag_lead", window_lag_lead, _LAG_LEAD_ORACLE, "lag/lead/ntile navigation windows"),
+    QuerySpec("cube_geo_segment", cube_customers, _CUBE_ORACLE, "CUBE over (region, segment)"),
     QuerySpec("json_extract_props", json_extract_props, _JSON_ORACLE, "JSON extraction + rollup over semi-structured props"),
     QuerySpec("asof_last_purchase", asof_last_purchase, _ASOF_ORACLE, "as-of join via last(ignorenulls)"),
     QuerySpec("range_join_clicks", range_join_clicks_before_error, _RANGE_JOIN_ORACLE, "time-range self-join"),
