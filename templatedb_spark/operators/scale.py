@@ -50,6 +50,19 @@ def salted_join(
     return joined.drop("_salt")
 
 
+def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """MERGE INTO semantics over plain DataFrames: rows in `source` update
+    matching `target` rows (by `key`) and insert the rest — the tabular form
+    of the KV layer's newest-version-wins merge (kv.py), and the engine-side
+    equivalent of Delta's MERGE for environments without a lakehouse format.
+
+    One anti-join + union; both sides shuffle once on the key. Deterministic:
+    source wins on key collision.
+    """
+    surviving = target.join(source.select(key), on=key, how="left_anti")
+    return surviving.unionByName(source)
+
+
 def write_bucketed(df: DataFrame, name: str, key: str, buckets: int = 8) -> None:
     """Persist `df` bucketed+sorted by `key` into the session warehouse."""
     (

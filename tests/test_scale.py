@@ -56,3 +56,16 @@ def test_bucketed_join_elides_shuffle(spark):
         assert joined.count() == naive
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_merge_upsert(spark):
+    from templatedb_spark.operators.scale import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    source = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k int, v string"
+    )
+    got = {(r.k, r.v) for r in merge_upsert(target, source, "k").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "D")}
