@@ -324,6 +324,47 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Group-map applyInPandas: per-group OLS fit (acctbal ~ custkey) — the
+# Arrow-batched group-aggregation surface (pandas "UDAF"). Each nation's rows
+# arrive as one pandas frame; numpy computes the closed-form fit. Rounded to 6
+# decimals: numpy's pairwise summation and DuckDB's streaming REGR_* sums
+# differ at ~1e-12 relative, far below the rounding grain.
+# ---------------------------------------------------------------------------
+def groupmap_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_custkey", "c_acctbal")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["c_custkey"].to_numpy(dtype="float64")
+        y = pdf["c_acctbal"].to_numpy(dtype="float64")
+        n = len(x)
+        mx, my = x.mean(), y.mean()
+        varx = ((x - mx) ** 2).sum()
+        slope = float(((x - mx) * (y - my)).sum() / varx) if varx > 0 else 0.0
+        return pd.DataFrame(
+            {
+                "c_nationkey": [int(pdf["c_nationkey"].iloc[0])],
+                "n": [n],
+                "slope": [round(slope, 6)],
+                "intercept": [round(my - slope * mx, 6)],
+            }
+        )
+
+    return c.groupBy("c_nationkey").applyInPandas(
+        fit, schema="c_nationkey long, n long, slope double, intercept double"
+    )
+
+
+_GROUPMAP_ORACLE = """
+SELECT c_nationkey::BIGINT AS c_nationkey, COUNT(*) AS n,
+       ROUND(REGR_SLOPE(c_acctbal, c_custkey), 6) AS slope,
+       ROUND(REGR_INTERCEPT(c_acctbal, c_custkey), 6) AS intercept
+FROM customer GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q3 (shipping priority) and Q6 (forecast revenue) shapes.
 # ---------------------------------------------------------------------------
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,6 +521,7 @@ for spec in [
     QuerySpec("stats_moments", stats_moments, _STATS_ORACLE, "exact avg/stddev from decimal power sums"),
     QuerySpec("correlated_scalar", correlated_scalar_above_nation_avg, _CORRELATED_ORACLE, "correlated scalar subquery (decorrelated form)"),
     QuerySpec("approx_distinct_users", approx_distinct_users, None, "HLL approx distinct (rows-only + tolerance test)"),
+    QuerySpec("groupmap_regression", groupmap_regression, _GROUPMAP_ORACLE, "applyInPandas per-group OLS fit"),
     QuerySpec("q3_shipping_priority", q3_shipping_priority, _Q3_ORACLE, "TPC-H Q3 shape"),
     QuerySpec("q6_forecast_revenue", q6_forecast_revenue, _Q6_ORACLE, "TPC-H Q6 shape"),
 ]:
