@@ -79,7 +79,12 @@ def main() -> None:
     # heavies forming a serial tail. Names not listed keep registry order.
     # `critical` = the suite's makespan critical path (multi-stage dedup
     # self-joins); they get the top-weight scheduler pool.
-    critical = ["dedup_ngram_jaccard", "dedup_simhash", "dedup_minhash_lsh"]
+    critical = [
+        "dedup_ngram_jaccard",
+        "dedup_ngram_capped",
+        "dedup_simhash",
+        "dedup_minhash_lsh",
+    ]
     heavy = critical + [
         "dedup_embedding_cosine",
         "multimodal_features",

@@ -507,10 +507,44 @@ GROUP BY CUBE (r_name, c_mktsegment)
 """
 
 
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS: a hand-picked set list (not the cube/rollup
+# closures) — (region, segment), (region), (segment). Uses the Spark 4
+# DataFrame.groupingSets API directly.
+# ---------------------------------------------------------------------------
+def grouping_sets_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    base = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return base.groupingSets(
+        [["r_name", "c_mktsegment"], ["r_name"], ["c_mktsegment"]],
+        "r_name",
+        "c_mktsegment",
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT r_name, c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment))
+"""
+
+
 for spec in [
     QuerySpec("sessionize", sessionize, _SESSIONIZE_ORACLE, "gap-based sessionization (30 min)"),
     QuerySpec("window_lag_lead", window_lag_lead, _LAG_LEAD_ORACLE, "lag/lead/ntile navigation windows"),
     QuerySpec("cube_geo_segment", cube_customers, _CUBE_ORACLE, "CUBE over (region, segment)"),
+    QuerySpec("grouping_sets_geo", grouping_sets_customers, _GROUPING_SETS_ORACLE, "explicit GROUPING SETS list"),
     QuerySpec("json_extract_props", json_extract_props, _JSON_ORACLE, "JSON extraction + rollup over semi-structured props"),
     QuerySpec("asof_last_purchase", asof_last_purchase, _ASOF_ORACLE, "as-of join via last(ignorenulls)"),
     QuerySpec("range_join_clicks", range_join_clicks_before_error, _RANGE_JOIN_ORACLE, "time-range self-join"),

@@ -162,6 +162,73 @@ WHERE ROUND(CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE), 6) >= {
 
 
 # ---------------------------------------------------------------------------
+# N-gram Jaccard with a document-frequency cap on shingles: the at-scale
+# variant. A shingle appearing in m documents contributes m² candidate pairs;
+# stop-shingles ("in the of") make the uncapped self-join quadratic in the
+# hottest key. Capping df ≤ K bounds every key's pair fan-out at K² — the
+# standard trick that keeps shingle-join dedup linear-ish at 100 TB. Semantics
+# change (Jaccard is computed over the capped shingle sets), so the oracle
+# applies the identical cap.
+# ---------------------------------------------------------------------------
+_DF_CAP = 50
+
+
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    sh = shingles(spark, sf_dir).select("doc_id", md5_long(F.col("sh")).alias("h"))
+    capped = (
+        sh.withColumn("dfh", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("dfh") <= _DF_CAP)
+        .select("doc_id", "h")
+        .cache()
+    )
+    counts = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("ca.n") + F.col("cb.n") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+_NGRAM_CAPPED_ORACLE = f"""
+WITH {_SHINGLES_SQL},
+hs AS (SELECT doc_id, {md5_long_sql('sh')} AS h FROM sh),
+capped AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS dfh FROM hs
+  ) WHERE dfh <= {_DF_CAP}
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE), 6) AS jaccard
+FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+WHERE ROUND(CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE), 6) >= {_JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dup.
 # ---------------------------------------------------------------------------
 _MINHASH_K = 16
@@ -400,6 +467,7 @@ for spec in [
     QuerySpec("dedup_exact", dedup_exact, _DEDUP_EXACT_ORACLE, "exact dedup via md5 fingerprint"),
     QuerySpec("dedup_levenshtein", dedup_levenshtein, _LEVENSHTEIN_ORACLE, "edit-distance near-dup (blocked all-pairs)"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, _NGRAM_JACCARD_ORACLE, "word-trigram exact Jaccard near-dup"),
+    QuerySpec("dedup_ngram_capped", dedup_ngram_capped, _NGRAM_CAPPED_ORACLE, "df-capped shingle Jaccard (the at-scale variant)"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _MINHASH_ORACLE, "MinHash(16) + LSH banding near-dup"),
     QuerySpec("dedup_simhash", dedup_simhash, _SIMHASH_ORACLE, "32-bit SimHash + 4-band blocking near-dup"),
 ]:

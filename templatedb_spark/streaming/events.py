@@ -103,6 +103,35 @@ def stream_stream_interval_join(events: DataFrame) -> DataFrame:
     ).select("e_user", "error_id", "click_ts")
 
 
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id, state bounded by the watermark.
+
+    `dropDuplicatesWithinWatermark` keeps a key in state only until the
+    watermark passes its event time — the streaming twin of the batch
+    `dedup_exact` operator, and the only dedup formulation whose state does
+    NOT grow with stream lifetime (a plain dropDuplicates on an unbounded
+    stream retains every key forever). Duplicates arriving within the
+    watermark delay are suppressed by state; rows older than the watermark
+    are dropped as late — either way each event_id is emitted exactly once.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def rocksdb_state_conf() -> dict[str, str]:
+    """Session confs that move streaming state from the executor heap into
+    embedded RocksDB — the configuration that makes watermarked state scale
+    past memory (billions of in-flight keys) on a real cluster. Local tests
+    run with the same provider to keep the code path identical.
+    """
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        # changelog checkpointing ships deltas, not full SST files, per batch
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+
+
 def sink_rollup_to_kv(rollup: DataFrame, kv, query_name: str = "rollup_to_kv"):
     """foreachBatch sink: land each micro-batch of the (already aggregated,
     hence small) rollup into a KVTable as one atomic write batch — streaming

@@ -51,6 +51,8 @@ def all_specs() -> dict[str, QuerySpec]:
         textstats,
         multimodal,
         analytics,
+        collections,
+        profiling,
     )
 
     return dict(_REGISTRY)

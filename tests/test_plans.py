@@ -71,3 +71,46 @@ def test_topk_fuses_to_take_ordered(spark):
     specs = all_specs()
     plan = formatted_plan(specs["topk"].spark(spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_filter_join_pruning(spark):
+    """Runtime Bloom-filter join pruning: with a selective dim-side filter, the
+    optimizer injects bloom_filter_might_contain on the fact-side scan so
+    non-joining fact rows die before the shuffle — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling only the
+    ~matching slice. Thresholds are lowered here because the test tables are
+    tiny; a real deployment keeps the 10 MB/10 GB defaults."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        # disable the competing strategies so the bloom path is deterministic
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = table(spark, SF_SMALL, "orders").filter(F.col("o_totalprice") > 500000)
+        l = table(spark, SF_SMALL, "lineitem")
+        joined = l.join(o, l.l_orderkey == o.o_orderkey).select("l_orderkey", "l_quantity")
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:2000]
+        # and the pruned join still computes the right thing
+        expected = (
+            table(spark, SF_SMALL, "lineitem")
+            .join(
+                table(spark, SF_SMALL, "orders").filter(F.col("o_totalprice") > 500000),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

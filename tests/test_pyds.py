@@ -1,0 +1,42 @@
+"""Python DataSource API (Spark 4): the partition-parallel table-function
+contract — schema bind, declared partitions, per-partition deterministic
+generation, retry-safety (reference table-function protocol analogue,
+src/query_engine/src/function/table/table_function.rs:26-49)."""
+
+from __future__ import annotations
+
+from templatedb_spark.sources.pyds import expected_kv_value, register_python_sources
+
+
+def _kvgen(spark, **opts):
+    register_python_sources(spark)
+    r = spark.read.format("kvgen")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_kvgen_schema_and_count(spark):
+    df = _kvgen(spark, numRows=1000, numPartitions=8, numBuckets=16)
+    assert [f.name for f in df.schema.fields] == ["key", "bucket", "value"]
+    assert df.count() == 1000
+    assert df.select("key").distinct().count() == 1000
+
+
+def test_kvgen_partition_parallelism(spark):
+    df = _kvgen(spark, numRows=100, numPartitions=5)
+    assert df.rdd.getNumPartitions() == 5
+
+
+def test_kvgen_values_deterministic(spark):
+    rows = {r.key: (r.bucket, r.value) for r in _kvgen(spark, numRows=50).collect()}
+    for key in (0, 7, 49):
+        assert rows[key] == (key % 16, expected_kv_value(key))
+
+
+def test_kvgen_composes_with_sql(spark):
+    """The source is a first-class scan: filters/aggregates plan over it."""
+    df = _kvgen(spark, numRows=1000, numBuckets=10)
+    agg = df.filter("key >= 500").groupBy("bucket").count().collect()
+    assert len(agg) == 10
+    assert sum(r["count"] for r in agg) == 500

@@ -126,3 +126,58 @@ def test_foreachbatch_sink_to_kv(spark, tmp_path):
     got2 = {r.key: r.value for r in kv.snapshot().collect()}
     assert got2 == want
     assert kv.latest_version() == v_before + 1
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Two copies of the events file arrive in separate micro-batches; the
+    watermarked streaming dedup emits each event_id exactly once, on the
+    RocksDB state store (the at-scale state backend)."""
+    import shutil
+
+    from templatedb_spark.streaming.events import (
+        dedup_stream,
+        read_events_stream,
+        rocksdb_state_conf,
+        run_available_now,
+    )
+    from templatedb_spark.suite import table
+
+    stage = tmp_path / "events_dup"
+    stage.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", stage / "a.parquet")
+    shutil.copy(f"{SF_SMALL}/events.parquet", stage / "b.parquet")
+
+    old = {k: spark.conf.get(k, None) for k in rocksdb_state_conf()}
+    for k, v in rocksdb_state_conf().items():
+        spark.conf.set(k, v)
+    try:
+        stream = dedup_stream(read_events_stream(spark, str(stage)))
+        rows = run_available_now(stream, "t_stream_dedup", output_mode="append")
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    n_batch = table(spark, SF_SMALL, "events").count()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids)) == n_batch
+
+
+def test_stream_dedup_plan_carries_watermark_state(spark, tmp_path):
+    import shutil
+
+    from templatedb_spark.streaming.events import dedup_stream, read_events_stream
+
+    stage = tmp_path / "events_one"
+    stage.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", stage / "a.parquet")
+    plan = (
+        dedup_stream(read_events_stream(spark, str(stage)))
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "DeduplicateWithinWatermark" in plan
+    assert "EventTimeWatermark" in plan
