@@ -53,6 +53,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics,
         collections,
         profiling,
+        tpch,
     )
 
     return dict(_REGISTRY)
