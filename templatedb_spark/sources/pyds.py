@@ -19,10 +19,19 @@ the property that matters when a 1000-task scan retries a partition.
 from __future__ import annotations
 
 import hashlib
+import json
+import os
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 @dataclass
@@ -64,9 +73,102 @@ class KVGenDataSource(DataSource):
         return KVGenReader(self.options)
 
 
+# ---------------------------------------------------------------------------
+# jsondir: a full read+write Python DataSource with manifest-based atomic
+# commit. The write path is the two-phase contract every distributed sink
+# needs: executors write uniquely-named part files (task retries can never
+# collide or double-count), the driver's commit() publishes a manifest, and
+# readers only believe the manifest — uncommitted/aborted parts are invisible.
+# This is the same visibility protocol as parquet's _SUCCESS/commit
+# coordinators, expressed through the Python DataSource API.
+# ---------------------------------------------------------------------------
+_MANIFEST = "_MANIFEST.json"
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    filename: str
+    rows: int
+
+
+class JsonDirWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema_json: str) -> None:
+        self.path = options["path"]
+        self.schema_json = schema_json
+
+    def write(self, rows) -> _PartFile:
+        # executor-side: unique name per task attempt → retry-safe
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in rows:
+                f.write(json.dumps(list(row)) + "\n")
+                n += 1
+        return _PartFile(name, n)
+
+    def commit(self, messages) -> None:
+        # driver-side: publishing the manifest is the atomic commit point
+        manifest = {
+            "schema": self.schema_json,
+            "files": [{"name": m.filename, "rows": m.rows} for m in messages],
+        }
+        with open(os.path.join(self.path, _MANIFEST), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    filename: str
+
+
+class JsonDirReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        with open(os.path.join(self.path, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+
+    def partitions(self):  # one scan partition per committed part file
+        return [_FilePartition(f["name"]) for f in self.manifest["files"]]
+
+    def read(self, partition: _FilePartition):
+        with open(os.path.join(self.path, partition.filename)) as f:
+            for line in f:
+                yield tuple(json.loads(line))
+
+
+class JsonDirDataSource(DataSource):
+    """df.write.format("jsondir").option("path", p) /
+    spark.read.format("jsondir").option("path", p)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsondir"
+
+    def schema(self):  # read path: schema comes from the manifest
+        from pyspark.sql.types import StructType
+
+        with open(os.path.join(self.options["path"], _MANIFEST)) as f:
+            return StructType.fromJson(json.loads(json.load(f)["schema"]))
+
+    def reader(self, schema) -> JsonDirReader:
+        return JsonDirReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> JsonDirWriter:
+        return JsonDirWriter(dict(self.options), schema.json())
+
+
 def register_python_sources(spark: SparkSession) -> None:
     """Register all Python DataSources on the session (idempotent)."""
     spark.dataSource.register(KVGenDataSource)
+    spark.dataSource.register(JsonDirDataSource)
 
 
 def expected_kv_value(key: int) -> str:

@@ -103,6 +103,22 @@ def stream_stream_interval_join(events: DataFrame) -> DataFrame:
     ).select("e_user", "error_id", "click_ts")
 
 
+def stream_static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer dimension
+    (user_id = c_custkey). The static side is planned per micro-batch — on a
+    cluster it broadcasts when dimension-sized, and picks up dimension updates
+    between batches (slowly-changing dim without restarts). No watermark is
+    needed: static joins keep no stream-side state.
+    """
+    dim = customer.select(
+        F.col("c_custkey").alias("dim_key"), "c_name", "c_mktsegment"
+    )
+    return (
+        events.join(dim, events.user_id == F.col("dim_key"), "left")
+        .select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id, state bounded by the watermark.
 

@@ -40,3 +40,31 @@ def test_kvgen_composes_with_sql(spark):
     agg = df.filter("key >= 500").groupBy("bucket").count().collect()
     assert len(agg) == 10
     assert sum(r["count"] for r in agg) == 500
+
+
+def test_jsondir_write_read_roundtrip(spark, tmp_path):
+    """Write path: executors emit uniquely-named parts, driver commit publishes
+    the manifest; read path: only manifest-listed files are visible."""
+    import json
+    import os
+
+    path = str(tmp_path / "jd")
+    register_python_sources(spark)
+    src = spark.range(500).selectExpr(
+        "id AS key", "concat('v', id) AS value", "cast(id % 7 as int) AS bucket"
+    )
+    src.write.format("jsondir").option("path", path).mode("append").save()
+
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert sum(e["rows"] for e in manifest["files"]) == 500
+
+    back = spark.read.format("jsondir").option("path", path).load()
+    assert back.schema.simpleString() == src.schema.simpleString()
+    assert back.count() == 500
+    assert sorted(r.key for r in back.collect()) == list(range(500))
+
+    # an orphan (uncommitted) part file must be invisible to readers
+    with open(os.path.join(path, "part-orphan.jsonl"), "w") as f:
+        f.write('[9999, "ghost", 0]\n')
+    assert spark.read.format("jsondir").option("path", path).load().count() == 500

@@ -228,3 +228,29 @@ def test_python_udtf_table_functions(spark):
     assert [(r.id, r.sh) for r in got] == [(1, "x y"), (1, "y z")]
     counts = {r.tok: r['count'] for r in spark.sql("SELECT * FROM token_counts('a b a')").collect()}
     assert counts == {"a": 2, "b": 1}
+
+
+# reference: tests/slt/order.slt — ORDER BY semantics need ordered comparison
+# (the one slt file whose expected output is order-sensitive end-to-end).
+def ordered_rows(engine, sql: str) -> list[list[str]]:
+    return engine.format_rows(engine.sql(sql))
+
+
+# order.slt:1-5 — order desc + offset/limit compose (offset skips first)
+def test_order_desc_offset_limit(engine):
+    got = ordered_rows(engine, "select id from employee order by id desc limit 1 offset 2")
+    assert got == [["2"]]
+
+
+# order.slt:7-14 — multi-key: state asc (empty string sorts first), id desc
+def test_order_multi_key_asc_desc(engine):
+    got = ordered_rows(engine, "select id, state from employee order by state, id desc")
+    assert got == [["4", "(empty)"], ["1", "CA"], ["3", "CO"], ["2", "CO"]]
+
+
+# order.slt:16-20 — order by a non-projected column
+def test_order_by_non_projected_column(engine):
+    got = ordered_rows(
+        engine, "select id from employee order by first_name desc limit 1 offset 2"
+    )
+    assert got == [["2"]]

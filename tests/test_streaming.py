@@ -181,3 +181,34 @@ def test_stream_dedup_plan_carries_watermark_state(spark, tmp_path):
     )
     assert "DeduplicateWithinWatermark" in plan
     assert "EventTimeWatermark" in plan
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Stream-static dimension join drained with availableNow equals the batch
+    join (no stream-side state; dim planned per micro-batch)."""
+    import shutil
+
+    from templatedb_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        stream_static_enrich,
+    )
+    from templatedb_spark.suite import table
+
+    stage = tmp_path / "events_enrich"
+    stage.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", stage / "a.parquet")
+    customer = table(spark, SF_SMALL, "customer")
+    stream = stream_static_enrich(read_events_stream(spark, str(stage)), customer)
+    got = sorted(
+        (r.event_id, r.c_name) for r in run_available_now(stream, "t_enrich", "append")
+    )
+
+    e = table(spark, SF_SMALL, "events")
+    batch = e.join(
+        customer.select(F.col("c_custkey").alias("dim_key"), "c_name"),
+        e.user_id == F.col("dim_key"),
+        "left",
+    )
+    want = sorted((r.event_id, r.c_name) for r in batch.select("event_id", "c_name").collect())
+    assert got == want
