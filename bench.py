@@ -112,6 +112,9 @@ def main() -> None:
         "dedup_levenshtein",
         "approx_distinct_users",
         "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q7_nation_volume",
+        "q18_large_orders",
     ]
     order = {n: i for i, n in enumerate(heavy)}
     items = sorted(specs.items(), key=lambda kv: order.get(kv[0], len(heavy)))

@@ -54,7 +54,16 @@ _TOKENS_SQL = f"regexp_extract_all(lower(text), '{_TOKEN_RE}')"
 
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh): distinct word-trigram shingles per document."""
+    """(doc_id, sh): distinct word-trigram shingles per document.
+
+    Cached: the shingle stream is THE shared intermediate of the dedup family
+    (ngram, capped, minhash all start from it). Spark's cache manager
+    substitutes the in-memory relation into ANY plan containing an equal
+    subtree, so concurrent dedup queries tokenize the corpus once instead of
+    once each. Storage level is MEMORY_AND_DISK (spills, never OOMs); at
+    100 TB a pipeline would materialize this to a parquet/Delta table instead
+    — same architecture, durable medium.
+    """
     d = table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", tokens_col(F.col("text")).alias("t"))
@@ -70,6 +79,7 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("sh"),
         )
+        .cache()
     )
 
 

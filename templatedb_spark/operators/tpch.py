@@ -186,10 +186,193 @@ LIMIT 100
 """
 
 
+# ---------------------------------------------------------------------------
+# Q7: volume shipped between two nations per year (either direction). The
+# supp_nation/cust_nation pair filter rides the joins; the two nation dims
+# broadcast under their aliases.
+# ---------------------------------------------------------------------------
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2)
+    ) | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+    return (
+        s.join(l, s.s_suppkey == l.l_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+    )
+
+
+_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(rev) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         YEAR(l_shipdate)::BIGINT AS l_year, {_REV} AS rev
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+      OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10: returned-item revenue per customer in a quarter, top 20.
+# ---------------------------------------------------------------------------
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19: disjunction of brand/size/quantity conjunctions — the OR-of-ANDs
+# predicate Catalyst splits into partial pushdowns (brand+size reach the part
+# scan; quantity reaches lineitem) while the full disjunction stays on the
+# join. part broadcasts.
+# ---------------------------------------------------------------------------
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 21)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25))
+           & (F.col("l_quantity").between(10, 30)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35))
+           & (F.col("l_quantity").between(20, 40)))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_rev_col()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q19_ORACLE = f"""
+SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22: global-acquisition prospects — customers in selected "country codes"
+# (last two digits of c_name; the synthetic data has no phone column) with
+# above-average positive balance and no RECENT orders (every synthetic
+# customer has some order, so the classic no-orders-ever form is empty;
+# "dormant since 2000" keeps the anti join non-trivial). Combines a global
+# scalar subquery (broadcast one-row aggregate) with an anti join.
+# ---------------------------------------------------------------------------
+_Q22_CODES = ["00", "11", "22", "33", "44", "55", "66", "77"]
+_Q22_CUTOFF = "2000-01-01"
+
+
+def q22_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.substring("c_name", 17, 2)
+    )
+    sel = c.filter(F.col("cntrycode").isin(_Q22_CODES))
+    avg_pos = sel.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double") / F.count(F.lit(1))).alias("ap")
+    )
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= _Q22_CUTOFF)
+    return (
+        sel.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("ap"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+_Q22_ORACLE = f"""
+WITH sel AS (
+  SELECT *, substr(c_name, 17, 2) AS cntrycode FROM customer
+  WHERE substr(c_name, 17, 2) IN ({", ".join(f"'{c}'" for c in _Q22_CODES)})
+)
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM sel
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+  FROM sel WHERE c_acctbal > 0.0
+)
+AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY cntrycode
+"""
+
+
 for spec in [
     QuerySpec("q5_local_supplier_volume", q5_local_supplier_volume, _Q5_ORACLE, "TPC-H Q5: six-table star join"),
     QuerySpec("q13_customer_distribution", q13_customer_distribution, _Q13_ORACLE, "TPC-H Q13: outer join count-of-counts"),
     QuerySpec("q14_promo_revenue", q14_promo_revenue, _Q14_ORACLE, "TPC-H Q14: conditional agg revenue share"),
     QuerySpec("q18_large_orders", q18_large_orders, _Q18_ORACLE, "TPC-H Q18: IN over grouped HAVING (semi-join)"),
+    QuerySpec("q7_nation_volume", q7_nation_volume, _Q7_ORACLE, "TPC-H Q7: two-nation volume, aliased dims"),
+    QuerySpec("q10_returned_items", q10_returned_items, _Q10_ORACLE, "TPC-H Q10: returned-item revenue top 20"),
+    QuerySpec("q19_discounted_revenue", q19_discounted_revenue, _Q19_ORACLE, "TPC-H Q19: OR-of-ANDs partial pushdown"),
+    QuerySpec("q22_prospects", q22_prospects, _Q22_ORACLE, "TPC-H Q22: scalar subquery + anti join"),
 ]:
     register(spec)
