@@ -1,0 +1,90 @@
+"""Seeded random-query differential fuzz: generate dialect-neutral ANSI SQL
+over the synthetic tables, run the SAME text through Spark SQL and DuckDB,
+and require identical results.
+
+This extends the reference's fixed sqllogictest corpus (SURVEY.md §5) with
+randomized coverage of the filter/aggregate/order surface — the strategy the
+reference lacks entirely (no property-based testing, §5.3). The seed is
+pinned: failures reproduce.
+
+Dialect-neutral subset: comparisons, AND/OR, IN, BETWEEN, GROUP BY, HAVING,
+ORDER BY (+ key tiebreaker) with LIMIT. Aggregate sums go through DECIMAL
+(order-independent — Spark shuffles, DuckDB doesn't; float sums would
+diverge).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tests.conftest import SF_SMALL, normalize_pdf
+
+_NUM_CASES = 30
+_SEED = 20260813
+
+_NUM_COLS = ["c_acctbal", "c_custkey", "c_nationkey"]
+_STR_COL_VALS = {
+    "c_mktsegment": ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"],
+}
+_GROUP_COLS = ["c_mktsegment", "c_nationkey"]
+
+
+def _gen_query(rng: random.Random) -> str:
+    preds = []
+    for _ in range(rng.randint(1, 3)):
+        kind = rng.choice(["cmp", "between", "in"])
+        if kind == "cmp":
+            col = rng.choice(_NUM_COLS)
+            op = rng.choice([">", ">=", "<", "<=", "<>"])
+            val = round(rng.uniform(-500, 8000), 2)
+            preds.append(f"{col} {op} {val}")
+        elif kind == "between":
+            col = rng.choice(_NUM_COLS)
+            lo = round(rng.uniform(-500, 4000), 2)
+            preds.append(f"{col} BETWEEN {lo} AND {round(lo + rng.uniform(1, 5000), 2)}")
+        else:
+            col, vals = rng.choice(list(_STR_COL_VALS.items()))
+            chosen = rng.sample(vals, rng.randint(1, 3))
+            preds.append(f"{col} IN ({', '.join(repr(v) for v in chosen)})")
+    conn = " AND " if rng.random() < 0.7 else " OR "
+    where = " WHERE " + conn.join(preds) if preds else ""
+
+    if rng.random() < 0.7:
+        keys = rng.sample(_GROUP_COLS, rng.randint(1, 2))
+        having = (
+            f" HAVING COUNT(*) >= {rng.randint(1, 3)}" if rng.random() < 0.4 else ""
+        )
+        return (
+            f"SELECT {', '.join(keys)}, COUNT(*) AS n, "
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS s, "
+            "MIN(c_custkey) AS mn, MAX(c_custkey) AS mx "
+            f"FROM customer{where} GROUP BY {', '.join(keys)}{having}"
+        )
+    n = rng.randint(1, 50)
+    return (
+        "SELECT c_custkey, c_mktsegment, c_acctbal "
+        f"FROM customer{where} "
+        f"ORDER BY c_acctbal DESC, c_custkey ASC LIMIT {n}"
+    )
+
+
+_CASES = [_gen_query(random.Random(_SEED + i)) for i in range(_NUM_CASES)]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark):
+    from templatedb_spark.suite import table
+
+    table(spark, SF_SMALL, "customer").createOrReplaceTempView("customer")
+    yield
+    spark.catalog.dropTempView("customer")
+
+
+@pytest.mark.parametrize("sql", _CASES)
+def test_random_query_matches_duckdb(sql, spark, duck):
+    got = normalize_pdf(spark.sql(sql).toPandas())
+    want = normalize_pdf(duck.sql(sql).df())
+    assert len(got) == len(want), f"rowcount {len(got)} vs {len(want)}\n{sql}"
+    assert got == want, sql

@@ -212,3 +212,50 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
     )
     want = sorted((r.event_id, r.c_name) for r in batch.select("event_id", "c_name").collect())
     assert got == want
+
+
+def test_session_window_matches_sessionize_spec(spark):
+    """Spark's built-in session_window (the streaming-native sessionization
+    operator, usable in batch too) must agree with the window-function
+    sessionize spec: same session count, event totals, and session starts
+    per user at the same 30-min gap."""
+    from templatedb_spark.operators.analytics import sessionize
+    from templatedb_spark.suite import table
+
+    e = table(spark, SF_SMALL, "events")
+    sw = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    got = {(r.user_id, r.session_start): r.n_events for r in sw.collect()}
+    want = {
+        (r.user_id, r.session_start): r.n_events
+        for r in sessionize(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_session_window_streaming_plan(spark, tmp_path):
+    """The same session_window aggregation is a legal watermarked streaming
+    plan (bounded state) — assert the analyzed plan carries both."""
+    import shutil
+
+    from templatedb_spark.streaming.events import read_events_stream
+
+    stage = tmp_path / "events_sw"
+    stage.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", stage / "a.parquet")
+    stream = (
+        read_events_stream(spark, str(stage))
+        .withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+    )
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert "session_window" in plan
+    assert "EventTimeWatermark" in plan
