@@ -540,8 +540,101 @@ GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment))
 """
 
 
+# ---------------------------------------------------------------------------
+# RANGE-frame window: 7-day trailing spend per customer, ordered by epoch
+# seconds (numeric RANGE frames are the portable form; Spark's range frame
+# needs a numeric sort key, and DuckDB agrees on the same spelling).
+# ---------------------------------------------------------------------------
+_RANGE_7D = 7  # days; day-granular epoch key is timezone-proof in both engines
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    epoch_days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_days)
+        .rangeBetween(-_RANGE_7D, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_spend"),
+    )
+
+
+_RANGE_FRAME_ORACLE = f"""
+SELECT o_custkey, o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+         RANGE BETWEEN {_RANGE_7D} PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_7d_spend
+FROM orders WHERE o_custkey < 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rank family: dense_rank / percent_rank / cume_dist (same rational formulas
+# in both engines; ROUND 6 absorbs float-repr noise).
+# ---------------------------------------------------------------------------
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+_RANK_FAMILY_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       DENSE_RANK()   OVER w::BIGINT AS drank,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+       ROUND(CUME_DIST()    OVER w, 6) AS cdist
+FROM customer WHERE c_custkey < 500
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Explicit NULLS FIRST/LAST ordering: the engines' *defaults* disagree (Spark
+# ASC puts nulls first, DuckDB last — arrow SortOptions parity is the
+# reference's default, SURVEY §2.6), so portable queries must spell it out.
+# ---------------------------------------------------------------------------
+def order_nulls_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    flagged = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).alias("pos_bal"),
+    )
+    return flagged.orderBy(
+        F.col("pos_bal").desc_nulls_last(), F.col("c_custkey").asc()
+    ).limit(150)
+
+
+_ORDER_NULLS_ORACLE = """
+SELECT c_custkey, CASE WHEN c_acctbal > 0 THEN c_acctbal END AS pos_bal
+FROM customer WHERE c_custkey < 200
+ORDER BY pos_bal DESC NULLS LAST, c_custkey ASC
+LIMIT 150
+"""
+
+
 for spec in [
     QuerySpec("sessionize", sessionize, _SESSIONIZE_ORACLE, "gap-based sessionization (30 min)"),
+    QuerySpec("window_range_frame", window_range_frame, _RANGE_FRAME_ORACLE, "7-day trailing RANGE frame"),
+    QuerySpec("window_rank_family", window_rank_family, _RANK_FAMILY_ORACLE, "dense_rank/percent_rank/cume_dist"),
+    QuerySpec("order_nulls_explicit", order_nulls_explicit, _ORDER_NULLS_ORACLE, "explicit NULLS LAST total order"),
     QuerySpec("window_lag_lead", window_lag_lead, _LAG_LEAD_ORACLE, "lag/lead/ntile navigation windows"),
     QuerySpec("cube_geo_segment", cube_customers, _CUBE_ORACLE, "CUBE over (region, segment)"),
     QuerySpec("grouping_sets_geo", grouping_sets_customers, _GROUPING_SETS_ORACLE, "explicit GROUPING SETS list"),
