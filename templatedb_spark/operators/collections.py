@@ -171,8 +171,43 @@ FROM spine LEFT JOIN per_day ON spine.d = per_day.od
 """
 
 
+# ---------------------------------------------------------------------------
+# VariantType (Spark 4): parse the JSON props column ONCE into the binary
+# variant encoding, then extract typed paths — the open-format answer to
+# repeated get_json_object reparsing (each extraction re-parses the string;
+# variant_get reads the parsed tree). The oracle states the same semantics
+# via DuckDB's json_extract: the result contract is typed values, not the
+# encoding.
+# ---------------------------------------------------------------------------
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 for spec in [
     QuerySpec("array_functions", array_functions, _ARRAY_ORACLE, "array structural ops over embeddings"),
+    QuerySpec("variant_extract", variant_extract, _VARIANT_ORACLE, "VariantType semi-structured extraction (Spark 4)"),
     QuerySpec("map_functions", map_functions, _MAP_ORACLE, "map build + lookup per user"),
     QuerySpec("explode_tokens", explode_tokens, _EXPLODE_ORACLE, "posexplode correlated generator"),
     QuerySpec("date_spine_orders", date_spine_orders, _DATE_SPINE_ORACLE, "sequence() date spine densification"),

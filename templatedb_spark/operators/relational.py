@@ -629,6 +629,41 @@ SELECT nationkey, 'except' AS src    FROM (SELECT * FROM rc EXCEPT SELECT * FROM
 
 
 # ---------------------------------------------------------------------------
+# Bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep duplicate
+# multiplicity (min / difference of per-row counts) — the multiset algebra
+# DISTINCT set ops throw away. Same extension tier as set_ops.
+# ---------------------------------------------------------------------------
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cust_nations = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    supp_nations = s.filter(F.col("s_acctbal") > 9000).select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    inter = cust_nations.intersectAll(supp_nations).withColumn("src", F.lit("intersect_all"))
+    minus = cust_nations.exceptAll(supp_nations).withColumn("src", F.lit("except_all"))
+    return (
+        inter.union(minus)
+        .groupBy("src", "nationkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    )
+
+
+_SET_OPS_ALL_ORACLE = """
+WITH rc AS (SELECT c_nationkey::BIGINT AS nationkey FROM customer WHERE c_acctbal > 9000),
+     rs AS (SELECT s_nationkey::BIGINT AS nationkey FROM supplier WHERE s_acctbal > 9000),
+     both_ops AS (
+       SELECT nationkey, 'intersect_all' AS src FROM (SELECT * FROM rc INTERSECT ALL SELECT * FROM rs)
+       UNION ALL
+       SELECT nationkey, 'except_all' AS src    FROM (SELECT * FROM rc EXCEPT ALL SELECT * FROM rs)
+     )
+SELECT src, nationkey, COUNT(*) AS multiplicity FROM both_ops GROUP BY src, nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # VALUES / table-less SELECT (reference: expression_scan.rs, dummy_scan.rs)
 # ---------------------------------------------------------------------------
 def q_values_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,6 +747,7 @@ for spec in [
     QuerySpec("window_rank", q_window_rank, _WINDOW_RANK_ORACLE, "window rank/row_number (extension)"),
     QuerySpec("window_running_sum", q_window_running_sum, _WINDOW_RUNNING_ORACLE, "running window agg (extension)"),
     QuerySpec("set_ops", q_set_ops, _SET_OPS_ORACLE, "UNION/INTERSECT/EXCEPT (extension)"),
+    QuerySpec("set_ops_all", q_set_ops_all, _SET_OPS_ALL_ORACLE, "INTERSECT ALL/EXCEPT ALL multiset semantics"),
     QuerySpec("values_scan", q_values_scan, _VALUES_ORACLE, "VALUES + table-less select"),
     QuerySpec("topk", q_topk, _TOPK_ORACLE, "fused top-k"),
     QuerySpec("events_rollup", q_events_rollup, _EVENTS_ROLLUP_ORACLE, "tumbling-window rollup (batch twin of streaming)"),

@@ -114,3 +114,26 @@ def test_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_observation_metrics_free_telemetry(spark):
+    """df.observe() computes data-quality metrics as a side effect of the
+    action — zero extra scans. At 100 TB, this replaces the separate
+    count/validity queries monitoring pipelines usually pay for."""
+    from pyspark.sql import Observation
+
+    obs = Observation("lineitem_quality")
+    l = table(spark, SF_SMALL, "lineitem")
+    observed = l.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("bad_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+    ).filter(F.col("l_quantity") > 45)
+    filtered_count = observed.count()
+
+    metrics = obs.get
+    assert metrics["n_rows"] == l.count()          # observed BEFORE the filter
+    assert metrics["bad_qty"] == 0
+    assert metrics["min_ship"] is not None
+    assert filtered_count < metrics["n_rows"]
