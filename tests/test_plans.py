@@ -137,3 +137,44 @@ def test_observation_metrics_free_telemetry(spark):
     assert metrics["bad_qty"] == 0
     assert metrics["min_ship"] is not None
     assert filtered_count < metrics["n_rows"]
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling: build a join where one key holds ~100× the
+    rows of the others and thresholds force skew detection; AQE must split
+    the skewed partition (skew=true in the executed plan) and the result
+    must equal the unsplit answer. This is the runtime answer to hot keys at
+    100 TB — no manual salting for moderately skewed joins."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # the downstream groupBy wants the join's partitioning; force the
+        # split anyway (AQE re-shuffles for the agg — the right trade when
+        # one partition is 100× the rest)
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 7 ELSE id END AS k", "id AS payload"
+        )
+        right = spark.range(64).selectExpr("id AS rk", "id * 10 AS rv")
+        joined = left.join(right, F.col("k") == F.col("rk")).groupBy("rk").count()
+        rows = {r.rk: r["count"] for r in joined.collect()}
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        # key 7: all 100k even ids plus its own odd occurrence (id=7)
+        assert rows[7] == 100_001
+        assert rows[9] == 1
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
