@@ -125,12 +125,16 @@ FROM documents GROUP BY 1
 _JACCARD_THRESHOLD = 0.20
 
 
+def hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h): md5-hashed shingles — the shared cached input of both
+    ngram variants (joining on the 60-bit hash instead of the string halves
+    the shuffle bytes; both engines hash identically, so even a collision
+    would produce identical, still-exact-to-oracle output)."""
+    return shingles(spark, sf_dir).select("doc_id", md5_long(F.col("sh")).alias("h")).cache()
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # join on the 60-bit md5 hash of the shingle, not the string: same join
-    # keys in Spark and the oracle (identical hash function), half the shuffle
-    # bytes. With both engines hashing identically, even a collision would
-    # produce identical (still exact-to-oracle) output.
-    sh = shingles(spark, sf_dir).select("doc_id", md5_long(F.col("sh")).alias("h")).cache()
+    sh = hashed_shingles(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -186,7 +190,7 @@ _DF_CAP = 50
 def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    sh = shingles(spark, sf_dir).select("doc_id", md5_long(F.col("sh")).alias("h"))
+    sh = hashed_shingles(spark, sf_dir)
     capped = (
         sh.withColumn("dfh", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .filter(F.col("dfh") <= _DF_CAP)
