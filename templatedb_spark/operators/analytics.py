@@ -239,6 +239,39 @@ _PIVOT_ORACLE = (
 
 
 # ---------------------------------------------------------------------------
+# Native pivot / unpivot pair: groupBy().pivot(values) is the real wide-cast
+# operator (values pinned → no extra distinct-scan job, required at scale);
+# unpivot() melts it back. events_pivot keeps the portable conditional-agg
+# formulation; this spec exercises the operators themselves, roundtripping
+# pivot → unpivot so the oracle is the plain long-form aggregate.
+# ---------------------------------------------------------------------------
+def events_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.unpivot(
+        ids=["user_id"],
+        values=_EVENT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+    # pivot fills absent combinations with NULL; drop them to recover the
+    # original long form exactly
+    return long.filter(F.col("n").isNotNull()).select(
+        "user_id", "event_type", F.col("n").cast("long").alias("n")
+    )
+
+
+_PIVOT_UNPIVOT_ORACLE = """
+SELECT user_id, event_type, COUNT(*) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact statistical moments from DECIMAL power sums (order-independent).
 # ---------------------------------------------------------------------------
 def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,6 +678,7 @@ for spec in [
     QuerySpec("anti_join", anti_join_customers_without_orders, _ANTI_ORACLE, "NOT EXISTS → left anti join"),
     QuerySpec("rollup_geo", rollup_customers_by_geo, _ROLLUP_ORACLE, "ROLLUP hierarchy with NULL indicator rows"),
     QuerySpec("events_pivot", events_pivot, _PIVOT_ORACLE, "portable pivot (conditional agg)"),
+    QuerySpec("events_pivot_unpivot", events_pivot_unpivot, _PIVOT_UNPIVOT_ORACLE, "native pivot()/unpivot() roundtrip"),
     QuerySpec("stats_moments", stats_moments, _STATS_ORACLE, "exact avg/stddev from decimal power sums"),
     QuerySpec("correlated_scalar", correlated_scalar_above_nation_avg, _CORRELATED_ORACLE, "correlated scalar subquery (decorrelated form)"),
     QuerySpec("approx_distinct_users", approx_distinct_users, None, "HLL approx distinct (rows-only + tolerance test)"),

@@ -205,8 +205,33 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# unionByName with schema evolution: batches written under an old schema
+# union with new-schema batches by COLUMN NAME (position-based union silently
+# miswires reordered columns); missing columns null-fill. This is the append
+# path every long-lived 100 TB table hits when its schema grows.
+# ---------------------------------------------------------------------------
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    old_batch = e.filter(F.col("event_id") % 2 == 0).select("user_id", "event_id")
+    new_batch = e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "value"  # reordered + extra column
+    )
+    return old_batch.unionByName(new_batch, allowMissingColumns=True).select(
+        "event_id", "user_id", "value"
+    )
+
+
+_UNION_BY_NAME_ORACLE = """
+SELECT event_id, user_id, NULL::DOUBLE AS value FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 1
+"""
+
+
 for spec in [
     QuerySpec("array_functions", array_functions, _ARRAY_ORACLE, "array structural ops over embeddings"),
+    QuerySpec("union_by_name_evolution", union_by_name_evolution, _UNION_BY_NAME_ORACLE, "unionByName schema evolution append"),
     QuerySpec("variant_extract", variant_extract, _VARIANT_ORACLE, "VariantType semi-structured extraction (Spark 4)"),
     QuerySpec("map_functions", map_functions, _MAP_ORACLE, "map build + lookup per user"),
     QuerySpec("explode_tokens", explode_tokens, _EXPLODE_ORACLE, "posexplode correlated generator"),
