@@ -144,20 +144,33 @@ def main() -> None:
         total = round(time.time() - suite_t0, 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": int(cpus),
-                "mode": mode,
-                "workers": workers if mode != "seq" else 1,
-            }
-        )
-    )
+    result = {
+        "metric": "suite_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus),
+        "mode": mode,
+        "workers": workers if mode != "seq" else 1,
+    }
+    # drop the dedup family's cached intermediates before teardown (no-op for
+    # this process's lifetime, but keeps the teardown path honest for anyone
+    # looping the bench in one session)
+    from templatedb_spark.operators.dedup import clear_dedup_caches
+
+    clear_dedup_caches(spark)
+    # The driver parses the FINAL stdout line as JSON and stores only a bounded
+    # tail of the raw stream (BENCH_r01 recorded parsed=null because the line
+    # was diluted by late JVM log output). Three defenses: stop the JVM first
+    # so nothing can interleave into the line, emit compact separators to keep
+    # the line short, and persist a file copy for humans.
+    spark.stop()
+    out_dir = Path(__file__).resolve().parent / "bench_results"
+    out_dir.mkdir(exist_ok=True)
+    (out_dir / "latest.json").write_text(json.dumps(result, indent=2) + "\n")
+    sys.stderr.flush()
+    print(json.dumps(result, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":
