@@ -53,6 +53,18 @@ def tokens_col(text: Column) -> Column:
 _TOKENS_SQL = f"regexp_extract_all(lower(text), '{_TOKEN_RE}')"
 
 
+def clear_dedup_caches(spark: SparkSession) -> None:
+    """Unpersist the dedup family's shared cached intermediates.
+
+    shingles()/hashed_shingles()/the capped intermediate cache themselves so
+    concurrent dedup queries share one tokenization pass; nothing unpersists
+    them mid-session (MEMORY_AND_DISK spills rather than OOMs). Long-lived
+    sessions (REPL, bench loops) should call this after the dedup family
+    completes to drop the retained relations.
+    """
+    spark.catalog.clearCache()
+
+
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh): distinct word-trigram shingles per document.
 
@@ -418,27 +430,32 @@ FROM est WHERE matches >= {_MINHASH_MATCH_MIN}
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup: 32-bit token-weighted simhash, 4×8-bit band blocking.
+# SimHash near-dup: 60-bit token-weighted simhash, 4×15-bit band blocking.
+# 60 bits because the cross-engine hash (md5_long) yields 60 usable bits; a
+# 15-bit band has 32768 values, so the banded self-join's collision rate is
+# ~2^-15 per band — at corpus scale the candidate set stays near-linear where
+# an 8-bit band (256 values) would degenerate toward N²/256 all-pairs.
 # ---------------------------------------------------------------------------
-_SIMHASH_BITS = 32
+_SIMHASH_BITS = 60
 _SIMHASH_MAX_HAMMING = 3
-_SIMHASH_BANDS = 4  # 4 bands × 8 bits; hamming<=3 ⇒ >=1 clean band (pigeonhole)
+_SIMHASH_BANDS = 4  # 4 bands × 15 bits; hamming<=3 ⇒ >=1 clean band (pigeonhole)
+_SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS
 
 
 def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash): 32-bit weighted simhash over tokens.
+    """(doc_id, simhash): 60-bit weighted simhash over tokens.
 
-    One pass, one shuffle: the 32 bit-planes are 32 inlined SUM aggregates over
+    One pass, one shuffle: the 60 bit-planes are 60 inlined SUM aggregates over
     the token stream (literal shift counts keep everything in whole-stage
     codegen), combined into the final simhash with a single expression — no
-    token × bit cross join (which would shuffle 32× the token stream).
+    token × bit cross join (which would shuffle 60× the token stream).
     """
     d = table(spark, sf_dir, "documents")
     tok = (
         d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("w"))
-        .select("doc_id", "w", h32(F.col("tok")).alias("h"))
+        .select("doc_id", "w", md5_long(F.col("tok")).alias("h"))
     )
     planes = tok.groupBy("doc_id").agg(
         *[
@@ -463,7 +480,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "simhash",
         "band",
-        F.expr("shiftright(simhash, band * 8) & 255").alias("band_val"),
+        F.expr(
+            f"shiftright(simhash, band * {_SIMHASH_BAND_BITS})"
+            f" & {(1 << _SIMHASH_BAND_BITS) - 1}"
+        ).alias("band_val"),
     )
     b1 = banded.alias("b1")
     b2 = banded.alias("b2")
@@ -498,7 +518,7 @@ WITH tok AS (
     SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
   ) GROUP BY doc_id, tok
 ),
-hashed AS (SELECT doc_id, w, {h32_sql('tok')} AS h FROM tok),
+hashed AS (SELECT doc_id, w, {md5_long_sql('tok')} AS h FROM tok),
 bits AS (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS j),
 contrib AS (
   SELECT doc_id, j,

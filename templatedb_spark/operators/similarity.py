@@ -104,48 +104,83 @@ SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= {_TOPK_K}
 _COSINE_DUP_THRESHOLD = 0.35
 
 
+_COSINE_BLOCKS = 8  # B blocks → B(B+1)/2 block-pair tasks, each holding 2·N/B vectors
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine ≥ threshold via Arrow-batched numpy block matmul.
+    """All-pairs cosine ≥ threshold, distributed-exact via block-pair matmul.
 
     The pairwise score matrix is dense compute, the one place where the JVM
     expression path loses badly (zip_with/aggregate is interpreted per element:
-    ~25 s for 2M×64-dim pairs at sf0.1 vs ~1 s for BLAS). One normalized copy
-    of the corpus is broadcast to executors; mapInPandas computes each Arrow
-    batch's block of the score matrix with a single matmul and emits only the
-    (vec_a < vec_b, cosine ≥ threshold) survivors. At true scale the broadcast
-    side becomes corpus *blocks* (outer loop over block pairs) — same kernel,
-    bounded memory; for dedup thresholds you'd LSH-bucket first (see
-    dedup_minhash_lsh) and run this kernel per bucket.
+    ~25 s for 2M×64-dim pairs at sf0.1 vs ~1 s for BLAS). The semantics are
+    *exact* all-pairs (the oracle enumerates every pair), so bucketing schemes
+    that drop cross-bucket pairs (IVF/LSH) can't be used alone — instead each
+    vector is assigned one of B blocks and every block *pair* (i ≤ j) becomes
+    one applyInPandas group whose kernel computes that tile of the score matrix
+    with a single numpy matmul. Nothing materializes on the driver; shuffle
+    volume is N·B rows and each task holds 2·N/B vectors, so at 100 TB you
+    raise B (tiles stay memory-bounded) — or pre-filter candidates with
+    dedup_minhash_lsh and run this same kernel per LSH bucket.
     """
     import numpy as np
     import pandas as pd
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    corpus = e.toPandas()  # broadcast side: must fit like any dim table
-    ids = corpus["vec_id"].to_numpy(dtype="int64")
-    mat = np.stack(corpus["embedding"].to_numpy()).astype("float64")
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    B = _COSINE_BLOCKS
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % B).cast("int").alias("blk")
+    )
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(B) for j in range(i, B)], "bi int, bj int"
+    )
+    # Replicate each vector to every block-pair it participates in: side 0 for
+    # pairs where its block is the left element, side 1 for the right. The
+    # block-pair relation is tiny (B(B+1)/2 rows) and broadcast; the i == j
+    # diagonal needs the rows only once (the kernel self-joins the tile).
+    left = e.join(F.broadcast(block_pairs), F.col("blk") == F.col("bi")).select(
+        "bi", "bj", F.lit(0).alias("side"), "vec_id", "embedding"
+    )
+    right = e.join(
+        F.broadcast(block_pairs.filter(F.col("bi") != F.col("bj"))),
+        F.col("blk") == F.col("bj"),
+    ).select("bi", "bj", F.lit(1).alias("side"), "vec_id", "embedding")
 
-    def block(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype="int64")
-            a_mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = np.round(a_mat @ b_mat.T, 6)
-            ai, bi = np.nonzero(
-                (sims >= _COSINE_DUP_THRESHOLD) & (a_ids[:, None] < b_ids[None, :])
+    def tile(key, pdf):
+        bi, bj = key
+        a = pdf[pdf["side"] == 0]
+        b = a if bi == bj else pdf[pdf["side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
             )
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ai], "vec_b": b_ids[bi], "cosine": sims[ai, bi]}
-            )
+        a_ids = a["vec_id"].to_numpy(dtype="int64")
+        b_ids = b["vec_id"].to_numpy(dtype="int64")
+        a_mat = np.stack(a["embedding"].to_numpy()).astype("float64")
+        a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+        if bi == bj:
+            b_mat = a_mat
+        else:
+            b_mat = np.stack(b["embedding"].to_numpy()).astype("float64")
+            b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+        sims = np.round(a_mat @ b_mat.T, 6)
+        mask = sims >= _COSINE_DUP_THRESHOLD
+        if bi == bj:
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ai, bix = np.nonzero(mask)
+        va, vb = a_ids[ai], b_ids[bix]
+        # cross-block tiles see each unordered pair exactly once but in block
+        # order, not id order — canonicalize to vec_a < vec_b
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "cosine": sims[ai, bix],
+            }
+        )
 
-    # parallelism sized to the corpus: ~512 rows per task keeps every core busy
-    # at real scale without paying 32 python-worker spin-ups on a small corpus
-    n_parts = max(1, min(32, len(ids) // 512))
-    return e.repartition(n_parts).mapInPandas(
-        block, schema="vec_a long, vec_b long, cosine double"
+    return (
+        left.unionAll(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(tile, schema="vec_a long, vec_b long, cosine double")
     )
 
 
