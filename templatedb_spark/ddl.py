@@ -48,6 +48,10 @@ _TYPE_MAP: dict[str, tuple[str, int | None, int | None]] = {
 }
 
 
+# Truncate a table view's unionByName lineage after this many INSERTs.
+_VIEW_CHECKPOINT_EVERY = 8
+
+
 class RangeError(ValueError):
     """Out-of-range INSERT — the reference rejects these (insert_table.slt:81-86)."""
 
@@ -76,6 +80,7 @@ class Catalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.tables: dict[str, list[ColumnDef]] = {}
+        self._insert_depth: dict[str, int] = {}
 
     # -- CREATE TABLE -------------------------------------------------------
     def create_table(self, sql_or_name: str, columns: list[tuple[str, str]] | None = None) -> None:
@@ -132,8 +137,21 @@ class Catalog:
         in_cols = [c.lower() for c in columns] if columns else target_cols
 
         if isinstance(rows, DataFrame):
+            if len(rows.columns) != len(in_cols):
+                raise ValueError(
+                    f"INSERT column count mismatch: {len(rows.columns)} values for "
+                    f"{len(in_cols)} target column(s)"
+                )
             src = rows.toDF(*in_cols)
         else:
+            # arity check first — the reference rejects e.g.
+            # `insert into t1(v3) values ('0','4')` (insert_table.slt:5-7)
+            for row in rows:
+                if len(row) != len(in_cols):
+                    raise ValueError(
+                        f"INSERT column count mismatch: {len(row)} values for "
+                        f"{len(in_cols)} target column(s)"
+                    )
             # build with the declared schema (avoids inference failures on
             # all-NULL columns); range checks below use decimal literals, so
             # take values in as decimal wide enough for bigint-unsigned
@@ -142,15 +160,19 @@ class Catalog:
                 f"{c} {'decimal(38,0)' if by_name[c].lo is not None else by_name[c].spark_type}"
                 for c in in_cols
             )
+            import datetime
             from decimal import Decimal
 
-            rows = [
-                tuple(
-                    None if v is None else (Decimal(v) if by_name[c].lo is not None else v)
-                    for c, v in zip(in_cols, row)
-                )
-                for row in rows
-            ]
+            def coerce(c: str, v):
+                if v is None:
+                    return None
+                if by_name[c].lo is not None:
+                    return Decimal(v)
+                if by_name[c].spark_type == "date" and isinstance(v, str):
+                    return datetime.date.fromisoformat(v)
+                return v
+
+            rows = [tuple(coerce(c, v) for c, v in zip(in_cols, row)) for row in rows]
             src = self.spark.createDataFrame(rows, schema)
 
         # reorder + NULL-fill + cast to declared spark types
@@ -166,21 +188,38 @@ class Catalog:
         # the *source* value before the cast (a cast of an out-of-range value
         # wraps in non-ANSI mode). Bounds as decimal literals: bigint-unsigned's
         # max exceeds int64, so plain Python-int literals can't cross py4j.
-        for d in defs:
-            if d.lo is None or d.name not in in_cols:
-                continue
+        # All per-column violation counts (and the inserted-row count) fold into
+        # ONE aggregate → one Spark job per INSERT regardless of column count.
+        checked = [d for d in defs if d.lo is not None and d.name in in_cols]
+        aggs = [F.count(F.lit(1)).alias("__inserted")]
+        for d in checked:
             v = F.col(d.name).cast("decimal(38,0)")
             lo = F.expr(f"CAST('{d.lo}' AS DECIMAL(38,0))")
             hi = F.expr(f"CAST('{d.hi}' AS DECIMAL(38,0))")
-            bad = src.filter(F.col(d.name).isNotNull() & ((v < lo) | (v > hi))).count()
+            aggs.append(
+                F.sum(
+                    F.when(F.col(d.name).isNotNull() & ((v < lo) | (v > hi)), 1).otherwise(0)
+                ).alias(f"__bad_{d.name}")
+            )
+        stats = src.agg(*aggs).first()
+        for d in checked:
+            bad = stats[f"__bad_{d.name}"] or 0
             if bad:
                 raise RangeError(
                     f"{bad} value(s) out of range for {name}.{d.name} {d.logical_type} [{d.lo}, {d.hi}]"
                 )
 
         merged = self.spark.table(name).unionByName(out)
+        # Each INSERT stacks one more unionByName onto the view's plan; after K
+        # inserts the analyzer re-walks a K-deep tree per query. Truncate the
+        # lineage periodically (localCheckpoint materializes to executor-local
+        # storage — no driver collect).
+        depth = self._insert_depth.get(name, 0) + 1
+        self._insert_depth[name] = depth
+        if depth % _VIEW_CHECKPOINT_EVERY == 0:
+            merged = merged.localCheckpoint(eager=True)
         merged.createOrReplaceTempView(name)
-        return out.count()
+        return int(stats["__inserted"])
 
     # -- COPY FROM ----------------------------------------------------------
     def copy_from(self, name: str, path: str, header: bool = True, delim: str = ",") -> int:

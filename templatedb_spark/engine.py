@@ -91,11 +91,20 @@ def substitute_where_aliases(sql: str, aliases: dict[str, str]) -> str:
 
 class Engine:
     """Session + catalog + sql() entry. The reference's `Database::run(sql)`
-    (src/query_engine/src/db.rs:125-168) equivalent, where stages 2-6 are Catalyst."""
+    (src/query_engine/src/db.rs:125-168) equivalent, where stages 2-6 are Catalyst.
 
-    def __init__(self, spark: SparkSession, strict: bool = False):
+    ``base_dir`` anchors relative file paths in ``FROM 'file.csv'`` / ``read_csv``
+    (the reference resolves them against its process cwd — sql_logic.rs:6-9 chdirs
+    to the repo root). ``catalog`` (a :class:`templatedb_spark.ddl.Catalog`) backs
+    the introspection TVFs when present, so declared logical types are reported.
+    """
+
+    def __init__(self, spark: SparkSession, strict: bool = False, base_dir: str = ".", catalog=None):
         self.spark = spark
         self.strict = strict
+        self.base_dir = base_dir
+        self.catalog = catalog
+        self._view_n = 0
         register_builtin_functions(spark)
 
     # -- catalog -----------------------------------------------------------
@@ -105,6 +114,113 @@ class Engine:
     def register_csv_dir(self, csv_dir: str):
         return register_csv_dir(self.spark, csv_dir)
 
+    # -- table-source rewrites ----------------------------------------------
+    def _fresh_view(self, df: DataFrame, prefix: str) -> str:
+        self._view_n += 1
+        name = f"__{prefix}_{self._view_n}"
+        df.createOrReplaceTempView(name)
+        return name
+
+    def _resolve(self, path: str) -> str:
+        import os
+
+        return path if os.path.isabs(path) else os.path.join(self.base_dir, path)
+
+    def _rewrite_read_csv(self, query: str) -> str:
+        """`FROM read_csv('f.csv'[, header=>b, delim=>'c'])` → registered view.
+
+        The reference binds read_csv as a TVF (function/table/read_csv.rs:18-210);
+        with header=>false it names columns column_1.. (table_function.slt:23-29).
+        """
+        from templatedb_spark.sources.csv import read_csv
+
+        def repl(m: re.Match) -> str:
+            args = m.group(1)
+            pm = re.search(r"'([^']+)'", args)
+            if not pm:
+                return m.group(0)
+            header = not re.search(r"(?i)header\s*=>\s*false", args)
+            dm = re.search(r"(?i)delim\s*=>\s*'([^']*)'", args)
+            df = read_csv(
+                self.spark, self._resolve(pm.group(1)),
+                header=header, delim=dm.group(1) if dm else ",",
+            )
+            if not header:
+                df = df.toDF(*[f"column_{i + 1}" for i in range(len(df.columns))])
+            return self._fresh_view(df, "read_csv")
+
+        return re.sub(r"(?is)\bread_csv\s*\(([^)]*)\)", repl, query)
+
+    def _rewrite_quoted_csv(self, query: str) -> str:
+        """Implicit `FROM 'file.csv' [alias]` binding (reference: read_csv.rs /
+        table_function.slt:37-52 — the bare path binds as a table whose qualifier
+        is the file stem, or the explicit alias when given).
+
+        The view gets a fresh name and the file stem becomes an ALIAS, so an
+        existing table with the same name isn't clobbered and `stem.col`
+        references still resolve.
+        """
+        import os
+
+        from templatedb_spark.sources.csv import read_csv
+
+        def repl(m: re.Match) -> str:
+            kw, path, alias = m.group(1), m.group(2), m.group(3)
+            stem = os.path.splitext(os.path.basename(path))[0]
+            df = read_csv(self.spark, self._resolve(path))
+            view = self._fresh_view(df, "csvfile")
+            return f"{kw} {view} AS {alias or stem}"
+
+        return re.sub(
+            r"(?is)\b(from|join)\s+'([^']+\.csv)'(?:\s+(?:as\s+)?(\w+))?",
+            repl,
+            query,
+        )
+
+    def _rewrite_introspection(self, query: str) -> str:
+        """template_query_tables() / template_query_columns() TVFs
+        (reference: function/table/query_tables.rs, query_columns.rs)."""
+        from templatedb_spark.functions.introspect import query_columns, query_tables
+
+        if re.search(r"(?i)template_query_tables\s*\(\s*\)", query):
+            view = self._fresh_view(query_tables(self.spark, catalog=self.catalog), "tables")
+            query = re.sub(r"(?i)template_query_tables\s*\(\s*\)", view, query)
+        if re.search(r"(?i)template_query_columns\s*\(\s*\)", query):
+            view = self._fresh_view(query_columns(self.spark, catalog=self.catalog), "columns")
+            query = re.sub(r"(?i)template_query_columns\s*\(\s*\)", view, query)
+        return query
+
+    @staticmethod
+    def _normalize_offset_limit(query: str) -> str:
+        """The reference grammar accepts `OFFSET n LIMIT m` (order.slt:1-5);
+        Spark only parses `LIMIT m OFFSET n` — swap."""
+        return re.sub(
+            r"(?is)\boffset\s+(\d+)\s+limit\s+(\d+)", r"limit \2 offset \1", query
+        )
+
+    def _check_derived_alias(self, query: str) -> None:
+        """The reference requires FROM-subqueries to carry an alias, like
+        Postgres (tests/slt/subquery.slt:4-7); Spark would accept them."""
+        for m in re.finditer(r"(?is)\b(?:from|join)\s*\(\s*select\b", query):
+            depth, j = 0, m.end() - len("select") - 1
+            for j in range(m.start(), len(query)):
+                if query[j] == "(":
+                    depth += 1
+                elif query[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            rest = query[j + 1 :].lstrip()
+            am = re.match(r"(?i)(?:as\s+)?([a-z_]\w*)", rest)
+            if not am or am.group(1).lower() in (
+                "where", "group", "order", "limit", "having", "on", "join",
+                "inner", "left", "right", "full", "cross", "union",
+                "intersect", "except",
+            ):
+                raise StrictTypeError(
+                    "subquery in FROM must have an alias (reference: subquery.slt:4-7)"
+                )
+
     # -- query -------------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
         if self.strict and _STRICT_CMP_RE.search(query):
@@ -112,9 +228,15 @@ class Engine:
                 "comparison between string literal and numeric literal "
                 "(reference rejects at bind time: comparison_function.slt:1-8)"
             )
+        if self.strict:
+            self._check_derived_alias(query)
         from templatedb_spark.functions.registry import rewrite_named_arithmetic
 
         query = rewrite_named_arithmetic(query)
+        query = self._rewrite_read_csv(query)
+        query = self._rewrite_quoted_csv(query)
+        query = self._rewrite_introspection(query)
+        query = self._normalize_offset_limit(query)
         query = substitute_where_aliases(query, extract_select_aliases(query))
         return self.spark.sql(query)
 
@@ -130,6 +252,8 @@ class Engine:
     def format_rows(df: DataFrame) -> list[list[str]]:
         """Render like the reference's record_batch_to_string: NULL / (empty)."""
 
+        from decimal import Decimal
+
         def fmt(v) -> str:
             if v is None:
                 return "NULL"
@@ -139,6 +263,8 @@ class Engine:
                 return "true" if v else "false"
             if isinstance(v, float) and v == int(v):
                 return str(int(v))
+            if isinstance(v, Decimal):
+                return str(int(v)) if v == v.to_integral_value() else str(v.normalize())
             return str(v)
 
         return [[fmt(v) for v in row] for row in df.collect()]

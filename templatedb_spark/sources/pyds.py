@@ -117,7 +117,11 @@ class JsonDirWriter(DataSourceWriter):
             json.dump(manifest, f)
 
     def abort(self, messages) -> None:
+        # tasks that never produced a commit message arrive as None — skip
+        # them, or one AttributeError aborts cleanup and leaks the rest
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(os.path.join(self.path, m.filename))
             except OSError:

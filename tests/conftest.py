@@ -42,8 +42,11 @@ def duck():
     return con
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture
 def engine(spark):
+    # function-scoped: the slt runner (test_slt_runner.py) clears the temp-view
+    # namespace per file, so each consumer re-registers the fixture views
+    # (createOrReplaceTempView — cheap, lazy).
     from templatedb_spark.engine import Engine
 
     eng = Engine(spark)

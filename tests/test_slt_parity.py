@@ -120,14 +120,17 @@ def test_read_csv_tvf(spark):
     assert row3.job_title == "Manager, Software"
 
 
-# reference: function/table/query_tables.rs / query_columns.rs
+# reference: function/table/query_tables.rs / query_columns.rs — one row per
+# table, bracketed column/type lists (tests/slt/table_function.slt:7-20)
 def test_introspection(spark, engine):
     from templatedb_spark.functions.introspect import query_columns, query_tables
 
     tables = {r.table_name for r in query_tables(spark).collect()}
     assert {"employee", "department", "t1", "t2"} <= tables
-    cols = {r.column_name for r in query_columns(spark, "employee").collect()}
-    assert {"id", "first_name", "salary"} <= cols
+    row = query_columns(spark, "employee").collect()[0]
+    assert row.table_name == "employee"
+    assert row.column_names.startswith("[id, first_name")
+    assert row.column_types.startswith("[Integer, Varchar")
 
 
 # reference: comparison strictness (comparison_function.slt:1-8)
