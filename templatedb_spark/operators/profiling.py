@@ -105,8 +105,30 @@ FROM q
 """
 
 
+# ---------------------------------------------------------------------------
+# Approximate percentiles: the 100 TB path. Spark's approx_percentile keeps a
+# bounded mergeable sketch per partition (partial state merges map-side), so
+# unbounded group cardinality never triggers a per-group sort. Sketch results
+# are engine-specific (Spark GK vs DuckDB t-digest) → rows-only driver check;
+# the accuracy bound vs the exact sort is asserted in
+# tests/test_analytics.py::test_approx_percentile_within_tolerance.
+# ---------------------------------------------------------------------------
+_APPROX_ACC = 10000  # 1/accuracy relative-rank error bound
+
+
+def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"approx_percentile(l_extendedprice, 0.5, {_APPROX_ACC})").alias("p50"),
+        F.expr(f"approx_percentile(l_extendedprice, 0.9, {_APPROX_ACC})").alias("p90"),
+        F.expr(f"approx_percentile(l_extendedprice, 0.99, {_APPROX_ACC})").alias("p99"),
+    )
+
+
 for spec in [
     QuerySpec("percentiles_price", percentiles_price, _PERCENTILES_ORACLE, "exact interpolated percentiles per group"),
+    QuerySpec("approx_percentiles_price", approx_percentiles_price, None, "sketch-based percentiles (rows-only + tolerance test)"),
     QuerySpec("histogram_event_values", histogram_event_values, _HISTOGRAM_ORACLE, "floor-binned value histogram"),
     QuerySpec("embedding_quantize", embedding_quantize, _QUANTIZE_ORACLE, "int8 embedding quantization stats"),
 ]:

@@ -724,7 +724,35 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Modulo arithmetic. The reference *binds* % (parser/binder accept it) but its
+# compute kernel panics at execution (array_compute.rs:75-87 — Remainder is an
+# unimplemented match arm); we claim the capability correctly. Both engines
+# truncate toward zero with dividend-sign results, so integer % is exact
+# cross-engine.
+# ---------------------------------------------------------------------------
+def q_modulo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy((F.col("l_orderkey") % 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_linenumber") % 3).cast("long").alias("sum_ln_mod"),
+            F.max(F.col("l_partkey") % 1000).alias("max_pk_mod"),
+        )
+    )
+
+
+_MODULO_ORACLE = """
+SELECT l_orderkey % 7 AS bucket, COUNT(*) AS n,
+       SUM(l_linenumber % 3)::BIGINT AS sum_ln_mod,
+       MAX(l_partkey % 1000) AS max_pk_mod
+FROM lineitem GROUP BY 1
+"""
+
+
 for spec in [
+    QuerySpec("modulo_buckets", q_modulo, _MODULO_ORACLE, "% modulo arithmetic (reference binds but panics: array_compute.rs:75-87)"),
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1-style group agg"),
     QuerySpec("filter_project", q_filter_project, _FILTER_PROJECT_ORACLE, "filter + projection + expr arithmetic"),
     QuerySpec("join_inner_residual", q_join_inner_residual, _JOIN_INNER_ORACLE, "inner equi join + non-equi residual"),

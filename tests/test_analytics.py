@@ -38,6 +38,24 @@ def test_approx_distinct_within_tolerance(spark):
         assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users), r
 
 
+def test_approx_percentile_within_tolerance(spark):
+    """Sketch percentiles track the exact sort within 1% of the group's value
+    spread — the accuracy contract that justifies the 100 TB swap."""
+    from templatedb_spark.operators.profiling import (
+        approx_percentiles_price,
+        percentiles_price,
+    )
+
+    exact = {r.l_returnflag: r for r in percentiles_price(spark, SF_SMALL).collect()}
+    approx = {r.l_returnflag: r for r in approx_percentiles_price(spark, SF_SMALL).collect()}
+    assert exact.keys() == approx.keys()
+    for k, a in approx.items():
+        e = exact[k]
+        spread = max(e.p99 - e.p50, 1.0)
+        for q in ("p50", "p90", "p99"):
+            assert abs(getattr(a, q) - getattr(e, q)) <= 0.01 * spread + 1e-6, (k, q)
+
+
 def test_semi_anti_partition_customers(spark):
     """semi ∪ anti = all customers; semi ∩ anti = ∅ (same predicate)."""
     from templatedb_spark.operators.analytics import (
