@@ -178,3 +178,53 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_embedding_cosine_no_driver_materialization(spark):
+    """Round-2 fix (VERDICT r1 #2): the exact all-pairs kernel must not stage
+    the corpus through the driver. The plan runs the numpy matmul as a grouped
+    Arrow kernel (FlatMapGroupsInPandas) over the block-pair shuffle."""
+    import inspect
+
+    from templatedb_spark.operators.similarity import dedup_embedding_cosine
+    from templatedb_spark.plans.explain import formatted_plan
+
+    src = inspect.getsource(dedup_embedding_cosine)
+    assert "toPandas" not in src and ".collect(" not in src
+    plan = formatted_plan(dedup_embedding_cosine(spark, SF_SMALL))
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_multimodal_decode_pipelines_without_shuffle(spark):
+    """encode→decode are consecutive map-only Arrow stages: two MapInPandas
+    nodes, zero Exchange — payload bytes stream executor-local end to end."""
+    from templatedb_spark.plans.explain import formatted_plan
+
+    specs = all_specs()
+    for name in ("multimodal_decode_image", "multimodal_decode_audio"):
+        plan = formatted_plan(specs[name].spark(spark, SF_SMALL))
+        assert plan.count("MapInPandas") >= 2, name
+        assert "Exchange" not in plan, name
+
+
+def test_modulo_partial_aggregation(spark):
+    """modulo_buckets aggregates partially map-side before the single shuffle
+    (partial + final HashAggregate pair)."""
+    from templatedb_spark.plans.explain import physical_plan
+
+    specs = all_specs()
+    plan = physical_plan(specs["modulo_buckets"].spark(spark, SF_SMALL))
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+
+
+def test_approx_percentile_single_shuffle(spark):
+    """The sketch path must keep the one-shuffle partial/final shape (mergeable
+    partial_approx_percentile buffers) — the property that makes it the
+    unbounded-cardinality answer."""
+    from templatedb_spark.plans.explain import physical_plan
+
+    specs = all_specs()
+    plan = physical_plan(specs["approx_percentiles_price"].spark(spark, SF_SMALL))
+    assert plan.count("Exchange") == 1
+    assert plan.count("ObjectHashAggregate") == 2
