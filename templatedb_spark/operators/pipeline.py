@@ -1,0 +1,176 @@
+"""Training-data pipeline compositions over the `documents` table.
+
+Extension tier (no reference counterpart): the corpus-preparation operators a
+large-scale LLM data pipeline runs after cleaning — vocabulary statistics,
+TF-IDF salience, and token-budget shard packing. All three are pure
+DataFrame/SQL plans with exact DuckDB oracles.
+
+Scale notes:
+- `vocab_top_tokens`: explode → partial+final agg on the token key → fused
+  top-k. One shuffle on the token; stop-token skew is absorbed by the
+  map-side partial agg (counts, not rows, cross the wire).
+- `tfidf_top_terms`: tf is one agg on (doc, token); df is one agg on token;
+  idf joins back on the token key (broadcast at real scale: the surviving
+  vocabulary is small relative to the corpus); per-doc top-k is a bounded
+  window.
+- `pack_token_shards`: cumulative token offsets are computed per hash bucket
+  (`doc_id % BUCKETS`) — parallel window partitions, NO global sort. This is
+  how real packers shard: sequential fill within a worker's slice, never a
+  total order over 100 TB. The assignment (shard = floor(start_offset /
+  budget)) is the deterministic Megatron-style offset rule.
+
+Tokenization reuses the dedup family's regex (`dedup.tokens_col`) so every
+text operator in the repo agrees on what a token is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from templatedb_spark.operators.dedup import _TOKENS_SQL, tokens_col
+from templatedb_spark.suite import QuerySpec, register, table
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary: token frequency + document frequency, top 100.
+# ---------------------------------------------------------------------------
+_VOCAB_K = 100
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    return (
+        tok.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(_VOCAB_K)
+    )
+
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents)
+SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+FROM tok GROUP BY tok
+ORDER BY n DESC, tok ASC LIMIT {_VOCAB_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: smooth idf = ln((N+1)/(df+1)); top 3 salient terms per document.
+# ---------------------------------------------------------------------------
+_TFIDF_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.select(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("c")
+                * F.log((F.col("n_total") + 1) / (F.col("df") + 1).cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .filter(F.col("doc_id") < 100)  # bounded output for the differential gate
+    )
+
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_total FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         ROUND(tf.c * ln((n.n_total + 1) / (df.df + 1)::DOUBLE), 6) AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tok, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC)::BIGINT AS rank
+  FROM scored
+)
+SELECT doc_id, tok, tfidf, rank FROM ranked WHERE rank <= {_TFIDF_K} AND doc_id < 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing: per-bucket sequential fill, shard by start
+# offset. Output is the shard manifest (doc counts + token totals per shard).
+# ---------------------------------------------------------------------------
+_PACK_BUCKETS = 32
+_PACK_BUDGET = 2048
+
+
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = counted.select(
+        "bucket",
+        "doc_id",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_BUDGET)
+        .cast("long")
+        .alias("shard"),
+    )
+    return placed.groupBy("bucket", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_PACK_ORACLE = f"""
+WITH counted AS (
+  SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+         len({_TOKENS_SQL})::BIGINT AS n_tok
+  FROM documents
+),
+placed AS (
+  SELECT bucket, doc_id, n_tok,
+         CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                    / {_PACK_BUDGET}) AS BIGINT) AS shard
+  FROM counted
+)
+SELECT bucket, shard, COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS sum_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM placed GROUP BY bucket, shard
+"""
+
+
+for spec in [
+    QuerySpec("vocab_top_tokens", vocab_top_tokens, _VOCAB_ORACLE, "corpus vocabulary: token + doc frequency, fused top-k"),
+    QuerySpec("tfidf_top_terms", tfidf_top_terms, _TFIDF_ORACLE, "TF-IDF salient terms per document (smooth idf)"),
+    QuerySpec("pack_token_shards", pack_token_shards, _PACK_ORACLE, "token-budget shard packing, per-bucket sequential fill"),
+]:
+    register(spec)

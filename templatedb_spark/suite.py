@@ -78,6 +78,7 @@ def all_specs() -> dict[str, QuerySpec]:
         collections,
         profiling,
         tpch,
+        pipeline,
     )
 
     covered = _driver_covered_names()
