@@ -117,6 +117,9 @@ def main() -> None:
         "q5_local_supplier_volume",
         "q7_nation_volume",
         "q18_large_orders",
+        "percentiles_price",
+        "vocab_top_tokens",
+        "tfidf_top_terms",
     ]
     order = {n: i for i, n in enumerate(heavy)}
     items = sorted(specs.items(), key=lambda kv: order.get(kv[0], len(heavy)))

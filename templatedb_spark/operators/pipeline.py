@@ -71,7 +71,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives from tf (one row per (doc, tok)) — the corpus is tokenized
+    # and shuffled once, not twice; df's input is the much smaller tf relation
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.select(F.count(F.lit(1)).alias("n_total"))
     scored = (
         tf.join(df, "tok")
@@ -97,7 +99,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TFIDF_ORACLE = f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents),
 tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
-df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
 n AS (SELECT COUNT(*) AS n_total FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.tok,
