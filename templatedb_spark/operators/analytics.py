@@ -663,7 +663,109 @@ LIMIT 150
 """
 
 
+# ---------------------------------------------------------------------------
+# Funnel conversion: per user, first signup → first purchase strictly after
+# it, within a bounded window. Two tiny per-user aggregates and one join —
+# no window over the full event stream. Classic product-analytics shape.
+# ---------------------------------------------------------------------------
+_FUNNEL_DAYS = 7
+
+
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchase = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    conv = (
+        signup.join(purchase, "user_id", "left")
+        .filter(F.col("ts").isNull() | (F.col("ts") > F.col("signup_ts")))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    hours = (
+        (F.unix_timestamp("first_purchase") - F.unix_timestamp("signup_ts")) / 3600.0
+    )
+    return conv.select(
+        F.count(F.lit(1)).cast("long").alias("n_signup"),
+        F.count("first_purchase").cast("long").alias("n_purchased"),
+        F.sum(
+            (hours <= _FUNNEL_DAYS * 24).cast("int")
+        ).cast("long").alias("n_converted_7d"),
+        F.round(F.avg(F.when(hours <= _FUNNEL_DAYS * 24, hours)), 6).alias(
+            "avg_hours_to_convert"
+        ),
+    )
+
+
+_FUNNEL_ORACLE = f"""
+WITH signup AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+purchase AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+conv AS (
+  SELECT s.user_id, s.signup_ts, MIN(p.ts) AS first_purchase
+  FROM signup s LEFT JOIN purchase p
+    ON s.user_id = p.user_id AND p.ts > s.signup_ts
+  GROUP BY s.user_id, s.signup_ts
+),
+hrs AS (
+  -- FLOOR before the cast: Spark's unix_timestamp truncates sub-second parts,
+  -- DuckDB's epoch()::BIGINT would round
+  SELECT *, (CAST(FLOOR(epoch(first_purchase)) AS BIGINT)
+             - CAST(FLOOR(epoch(signup_ts)) AS BIGINT)) / 3600.0 AS h
+  FROM conv
+)
+SELECT COUNT(*)::BIGINT AS n_signup,
+       COUNT(first_purchase)::BIGINT AS n_purchased,
+       SUM(CASE WHEN h <= {_FUNNEL_DAYS * 24} THEN 1 ELSE 0 END)::BIGINT AS n_converted_7d,
+       ROUND(AVG(CASE WHEN h <= {_FUNNEL_DAYS * 24} THEN h END), 6) AS avg_hours_to_convert
+FROM hrs
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: cohort = user's first-activity week; count distinct users
+# active k weeks after their cohort week. Two aggs + one join, all keyed —
+# the standard retention matrix at any scale.
+# ---------------------------------------------------------------------------
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    activity = e.select("user_id", week.alias("wk")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = activity.join(cohort, "user_id").select(
+        "user_id",
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+        F.floor(
+            (F.unix_timestamp("wk") - F.unix_timestamp("cohort_wk")) / (7 * 86400)
+        )
+        .cast("long")
+        .alias("week_offset"),
+    )
+    return joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+_COHORT_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk FROM events
+),
+cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM activity GROUP BY user_id)
+SELECT STRFTIME(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+       CAST(FLOOR((epoch(a.wk)::BIGINT - epoch(c.cohort_wk)::BIGINT) / (7 * 86400)) AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 for spec in [
+    QuerySpec("funnel_signup_purchase", funnel_signup_purchase, _FUNNEL_ORACLE, "signup→purchase funnel conversion within 7 days"),
+    QuerySpec("cohort_retention", cohort_retention, _COHORT_ORACLE, "weekly cohort retention matrix"),
     QuerySpec("sessionize", sessionize, _SESSIONIZE_ORACLE, "gap-based sessionization (30 min)"),
     QuerySpec("window_range_frame", window_range_frame, _RANGE_FRAME_ORACLE, "7-day trailing RANGE frame"),
     QuerySpec("window_rank_family", window_rank_family, _RANK_FAMILY_ORACLE, "dense_rank/percent_rank/cume_dist"),

@@ -170,7 +170,81 @@ FROM placed GROUP BY bucket, shard
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD2 history build (warehouse/CDC tier): collapse each user's event stream
+# into type-2 dimension rows — consecutive runs of the same event_type become
+# one row with [valid_from, valid_to) and an is_current flag. Gaps-and-islands
+# via two window passes (change marker → running island id), then one
+# aggregate per island and a lead() for the close timestamp. All windows
+# partition by user — parallel at corpus scale, no global sort.
+# ---------------------------------------------------------------------------
+_SCD2_USERS = 50
+
+
+def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < _SCD2_USERS)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    runs = islands.groupBy("user_id", "island", "event_type").agg(
+        F.min("ts").alias("vf"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("island")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return runs.select(
+        "user_id",
+        F.col("island").cast("long").alias("version"),
+        F.col("event_type").alias("segment"),
+        F.date_format("vf", fmt).alias("valid_from"),
+        F.date_format(F.lead("vf").over(w2), fmt).alias("valid_to"),
+        "n_events",
+        F.lead("vf").over(w2).isNull().alias("is_current"),
+    )
+
+
+_SCD2_ORACLE = f"""
+WITH e AS (SELECT user_id, ts, event_id, event_type FROM events WHERE user_id < {_SCD2_USERS}),
+marked AS (
+  SELECT *, CASE WHEN LAG(event_type) OVER w IS NULL
+                   OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+runs AS (
+  SELECT user_id, island, event_type, MIN(ts) AS vf, COUNT(*) AS n_events
+  FROM islands GROUP BY user_id, island, event_type
+)
+SELECT user_id, island::BIGINT AS version, event_type AS segment,
+       STRFTIME(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       STRFTIME(LEAD(vf) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       n_events,
+       (LEAD(vf) OVER w2 IS NULL) AS is_current
+FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY island)
+"""
+
+
 for spec in [
+    QuerySpec("scd2_user_segments", scd2_user_segments, _SCD2_ORACLE, "SCD2 history build: gaps-and-islands + validity windows"),
     QuerySpec("vocab_top_tokens", vocab_top_tokens, _VOCAB_ORACLE, "corpus vocabulary: token + doc frequency, fused top-k"),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, _TFIDF_ORACLE, "TF-IDF salient terms per document (smooth idf)"),
     QuerySpec("pack_token_shards", pack_token_shards, _PACK_ORACLE, "token-budget shard packing, per-bucket sequential fill"),

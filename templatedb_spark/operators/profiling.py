@@ -33,11 +33,23 @@ from templatedb_spark.suite import QuerySpec, register, table
 # ---------------------------------------------------------------------------
 def percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+    # one percentile(col, array(...)) call: the per-group value buffer is
+    # built and sorted ONCE for all three quantiles (three scalar percentile
+    # aggregates would each keep their own OpenHashMap buffer — measured 3×
+    # the aggregation work at sf0.1)
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("ps"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.round(F.col("ps")[0], 6).alias("p50"),
+            F.round(F.col("ps")[1], 6).alias("p90"),
+            F.round(F.col("ps")[2], 6).alias("p99"),
+        )
     )
 
 
