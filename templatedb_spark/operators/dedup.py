@@ -409,8 +409,10 @@ def _perms_values_sql() -> str:
     return ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_PERMS))
 
 
-_MINHASH_ORACLE = f"""
-WITH {_SHINGLES_SQL},
+# CTE list and final SELECT kept separable so downstream oracles (the
+# connected-components clustering in operators/pipeline.py) can embed the
+# minhash pair generation inside their own WITH chain.
+_MINHASH_CTES = f"""{_SHINGLES_SQL},
 hs AS (SELECT doc_id, {h32_sql('sh')} AS h FROM sh),
 perms(i, a, b) AS (VALUES {_perms_values_sql()}),
 sig AS (SELECT doc_id, i, MIN((a * h + b) % {MERSENNE_31}) AS mh
@@ -423,9 +425,14 @@ est AS (SELECT c.doc_a, c.doc_b,
         FROM cand c
         JOIN sig sa ON sa.doc_id = c.doc_a
         JOIN sig sb ON sb.doc_id = c.doc_b AND sa.i = sb.i
-        GROUP BY 1, 2)
-SELECT doc_a, doc_b, CAST(matches AS DOUBLE) / {_MINHASH_K} AS est_jaccard
-FROM est WHERE matches >= {_MINHASH_MATCH_MIN}
+        GROUP BY 1, 2)"""
+
+_MINHASH_SELECT = f"""SELECT doc_a, doc_b, CAST(matches AS DOUBLE) / {_MINHASH_K} AS est_jaccard
+FROM est WHERE matches >= {_MINHASH_MATCH_MIN}"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CTES}
+{_MINHASH_SELECT}
 """
 
 

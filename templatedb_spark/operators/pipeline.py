@@ -243,7 +243,89 @@ FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY island)
 """
 
 
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the MinHash-LSH pair graph —
+# the step real pipelines run between pair generation and the keep/drop
+# decision (keep one representative per component, drop the rest). Spark side
+# is iterative min-label propagation (each round is one distributed
+# join+aggregate; rounds ≈ component diameter, tiny for dup clusters); the
+# oracle is a DuckDB recursive CTE computing the same label closure. The only
+# driver values are the per-round convergence counters (scalars, not data).
+# At 100 TB: same loop, each round shuffles (edges ⋈ labels) on doc_id —
+# this is exactly large-scale GraphX/GraphFrames connected components minus
+# the framework dependency.
+# ---------------------------------------------------------------------------
+_CLUSTER_MAX_ROUNDS = 20
+
+
+def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionAll(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # pair generation runs once, not per round
+    )
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    for _ in range(_CLUSTER_MAX_ROUNDS):
+        msgs = edges.join(labels, F.col("doc_a") == F.col("doc_id")).select(
+            F.col("doc_b").alias("doc_id"), F.col("label")
+        )
+        new_labels = (
+            labels.unionAll(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "doc_id")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keep_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE {ctes},
+pairs AS ({select}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+labeled AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT cluster_id, COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_doc_id, MAX(doc_id) AS max_doc_id
+FROM labeled GROUP BY cluster_id
+"""
+
+
+def _clusters_oracle() -> str:
+    from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
+
+    return _CLUSTERS_ORACLE.format(ctes=_MINHASH_CTES, select=_MINHASH_SELECT)
+
+
 for spec in [
+    QuerySpec("dedup_dup_clusters", dedup_dup_clusters, _clusters_oracle(), "connected-components dup clustering (iterative label propagation vs recursive CTE)"),
     QuerySpec("scd2_user_segments", scd2_user_segments, _SCD2_ORACLE, "SCD2 history build: gaps-and-islands + validity windows"),
     QuerySpec("vocab_top_tokens", vocab_top_tokens, _VOCAB_ORACLE, "corpus vocabulary: token + doc frequency, fused top-k"),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, _TFIDF_ORACLE, "TF-IDF salient terms per document (smooth idf)"),
