@@ -120,6 +120,7 @@ def main() -> None:
         "percentiles_price",
         "vocab_top_tokens",
         "tfidf_top_terms",
+        "dedup_dup_clusters",
     ]
     order = {n: i for i, n in enumerate(heavy)}
     items = sorted(specs.items(), key=lambda kv: order.get(kv[0], len(heavy)))

@@ -79,3 +79,37 @@ def test_rollup_grand_total(spark):
     grand = [r for r in rows if r.r_name is None and r.n_name is None]
     assert len(grand) == 1
     assert grand[0].n_customers == table(spark, SF_SMALL, "customer").count()
+
+
+def test_dup_clusters_consistent_with_pairs(spark):
+    """Every near-dup pair must land in one cluster, and cluster ids are the
+    component-minimum doc id (so keep_doc_id == cluster_id)."""
+    from templatedb_spark.operators.dedup import dedup_minhash_lsh
+    from templatedb_spark.operators.pipeline import dedup_dup_clusters
+
+    pairs = [(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, SF_SMALL).collect()]
+    clusters = dedup_dup_clusters(spark, SF_SMALL).collect()
+    for c in clusters:
+        assert c.keep_doc_id == c.cluster_id
+        assert c.n_docs >= 2  # singletons are not dup clusters
+    # rebuild membership: cluster_id is the min; recover per-doc labels by
+    # union-find over the pairs and compare component structure
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for d in parent:
+        comp.setdefault(find(d), set()).add(d)
+    expected = {(min(m), len(m), max(m)) for m in comp.values()}
+    got = {(c.cluster_id, c.n_docs, c.max_doc_id) for c in clusters}
+    assert got == expected
