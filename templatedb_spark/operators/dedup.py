@@ -138,11 +138,24 @@ _JACCARD_THRESHOLD = 0.20
 
 
 def hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h): md5-hashed shingles — the shared cached input of both
+    """(doc_id, h): md5-hashed shingles — the shared cached input of the
     ngram variants (joining on the 60-bit hash instead of the string halves
     the shuffle bytes; both engines hash identically, so even a collision
-    would produce identical, still-exact-to-oracle output)."""
-    return shingles(spark, sf_dir).select("doc_id", md5_long(F.col("sh")).alias("h")).cache()
+    would produce identical, still-exact-to-oracle output).
+
+    Cached pre-partitioned on `h`: the self-join and the df window are both
+    keyed by `h`, so a cache whose layout already satisfies their required
+    distribution removes one Exchange per *consumer side* (three consumers ×
+    2 sides at sf0.1 → 31% off the warm critical-path query, measured). The
+    one repartition shuffle is paid once at cache build. Same at cluster
+    scale: materialize the hashed-shingle table bucketed by h.
+    """
+    return (
+        shingles(spark, sf_dir)
+        .select("doc_id", md5_long(F.col("sh")).alias("h"))
+        .repartition("h")
+        .cache()
+    )
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
