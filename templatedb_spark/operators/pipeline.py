@@ -324,7 +324,71 @@ def _clusters_oracle() -> str:
     return _CLUSTERS_ORACLE.format(ctes=_MINHASH_CTES, select=_MINHASH_SELECT)
 
 
+# ---------------------------------------------------------------------------
+# Running z-score anomaly detection (batch form; the streaming twin is
+# streaming/anomaly.stream_anomaly_zscore and must agree bit-for-bit). Each
+# event is scored against the running distribution of the events BEFORE it:
+# running sums S/Q/n over the per-user (ts, event_id) order — window state is
+# three doubles per user, the exact shape the streaming state store keeps.
+# ---------------------------------------------------------------------------
+_Z_THRESHOLD = 3.0
+_Z_MIN_PRIOR = 12
+
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = e.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "value",
+        F.count("value").over(w).alias("n_prior"),
+        F.sum("value").over(w).alias("s"),
+        F.sum(F.col("value") * F.col("value")).over(w).alias("q"),
+    ).filter(F.col("n_prior") >= _Z_MIN_PRIOR)
+    var = (F.col("q") - F.col("s") * F.col("s") / F.col("n_prior")) / (
+        F.col("n_prior") - 1
+    )
+    z = F.round(
+        (F.col("value") - F.col("s") / F.col("n_prior")) / F.sqrt(var), 6
+    )
+    return (
+        scored.filter(var > 0)
+        .select("user_id", "ts", "value", "n_prior", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= _Z_THRESHOLD)
+    )
+
+
+_ANOMALY_ORACLE = f"""
+WITH scored AS (
+  SELECT user_id,
+         STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+         value,
+         COUNT(value) OVER w AS n_prior,
+         SUM(value) OVER w AS s,
+         SUM(value * value) OVER w AS q
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT user_id, ts_s AS ts, value, n_prior,
+         ROUND((value - s / n_prior)
+               / sqrt((q - s * s / n_prior) / (n_prior - 1)), 6) AS z
+  FROM scored
+  WHERE n_prior >= {_Z_MIN_PRIOR}
+    AND (q - s * s / n_prior) / (n_prior - 1) > 0
+)
+SELECT user_id, ts, value, n_prior, z FROM z WHERE ABS(z) >= {_Z_THRESHOLD}
+"""
+
+
 for spec in [
+    QuerySpec("anomaly_zscore", anomaly_zscore, _ANOMALY_ORACLE, "running z-score anomaly detection (batch twin of the stateful stream)"),
     QuerySpec("dedup_dup_clusters", dedup_dup_clusters, _clusters_oracle(), "connected-components dup clustering (iterative label propagation vs recursive CTE)"),
     QuerySpec("scd2_user_segments", scd2_user_segments, _SCD2_ORACLE, "SCD2 history build: gaps-and-islands + validity windows"),
     QuerySpec("vocab_top_tokens", vocab_top_tokens, _VOCAB_ORACLE, "corpus vocabulary: token + doc frequency, fused top-k"),

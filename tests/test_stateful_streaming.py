@@ -43,3 +43,29 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     }
     assert got_set == want_set
     assert len(got_set) > 0  # the comparison is not vacuous
+
+
+def test_stream_anomaly_matches_batch(spark, tmp_path):
+    """The stateful z-score stream must agree bit-for-bit with the batch spec:
+    both accumulate (n, sum, sumsq) in the same per-user (ts, event_id) order
+    and evaluate the identical scoring expression."""
+    from templatedb_spark.operators.pipeline import anomaly_zscore
+    from templatedb_spark.streaming.events import read_events_stream, run_available_now
+    from templatedb_spark.streaming.anomaly import stream_anomaly_zscore
+
+    stage = tmp_path / "events_in"
+    stage.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", stage / "part-0.parquet")
+
+    got = run_available_now(
+        stream_anomaly_zscore(read_events_stream(spark, str(stage))),
+        "t_stream_anomaly",
+        output_mode="append",
+    )
+    got_set = {(r.user_id, r.ts, r.value, r.n_prior, r.z) for r in got}
+    want_set = {
+        (r.user_id, r.ts, r.value, r.n_prior, r.z)
+        for r in anomaly_zscore(spark, SF_SMALL).collect()
+    }
+    assert got_set == want_set
+    assert len(want_set) > 0  # not vacuous
