@@ -46,7 +46,8 @@ def _anomaly_group(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator:
 
     events: list[tuple[int, int, float]] = []
     for pdf in pdfs:
-        us = (pdf["ts"].astype("int64") // 1000).tolist()  # ns → µs
+        # unit-safe: datetime64[ns] or [us] both land on epoch-µs
+        us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64").tolist()
         events += list(zip(us, pdf["event_id"].tolist(), pdf["value"].tolist()))
     events.sort()
 

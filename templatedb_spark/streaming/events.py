@@ -38,16 +38,23 @@ EVENTS_SCHEMA = StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet with event-time column."""
+    """File-source stream over the events parquet with event-time column.
+
+    File streams require an explicit schema, but the driver has shipped ts as
+    both TIMESTAMP(NANOS) (long under the legacy flag) and TIMESTAMP(MICROS),
+    so probe the actual file schema with a batch footer read first, then
+    normalize ts the same way as the batch path (suite.normalize_events_ts).
+    """
+    from templatedb_spark.suite import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{sf_dir}")
     )
-    return raw.filter(F.col("event_id").isNotNull()).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    return normalize_events_ts(raw.filter(F.col("event_id").isNotNull()))
 
 
 def windowed_rollup(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

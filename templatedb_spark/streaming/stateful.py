@@ -50,7 +50,8 @@ def _sessionize_group(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator
     closed: list[dict[str, Any]] = []
     events: list[tuple[int, float]] = []
     for pdf in pdfs:
-        us = (pdf["ts"].astype("int64") // 1000).tolist()  # ns → µs
+        # unit-safe: datetime64[ns] or [us] both land on epoch-µs
+        us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64").tolist()
         events += list(zip(us, pdf["value"].tolist()))
     events.sort()
 

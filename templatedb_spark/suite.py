@@ -78,6 +78,7 @@ def all_specs() -> dict[str, QuerySpec]:
         collections,
         profiling,
         tpch,
+        tpch2,
         pipeline,
     )
 
@@ -86,13 +87,24 @@ def all_specs() -> dict[str, QuerySpec]:
     return dict(ordered)
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to a session-timezone TIMESTAMP.
+
+    The driver has shipped the column as both TIMESTAMP(NANOS) (read as long
+    under spark.sql.legacy.parquet.nanosAsLong) and plain TIMESTAMP(MICROS)
+    (read natively as TIMESTAMP_NTZ), so adapt on the observed type.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which the Spark parquet reader
-        # rejects; read nanos as long and convert to a micros timestamp.
+        # Tolerate TIMESTAMP(NANOS) variants of the file (see normalize_events_ts).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -228,3 +228,45 @@ def test_approx_percentile_single_shuffle(spark):
     plan = physical_plan(specs["approx_percentiles_price"].spark(spark, SF_SMALL))
     assert plan.count("Exchange") == 1
     assert plan.count("ObjectHashAggregate") == 2
+
+
+def test_tpch_completion_plan_shapes(spark):
+    """The round-3 TPC-H completion tier keeps the canonical distributed
+    shapes: correlated EXISTS / NOT IN / NOT EXISTS become semi/anti joins
+    (never per-row subplans), dimension sides broadcast, and nothing falls
+    back to a Python UDF or a cartesian product."""
+    from templatedb_spark.plans.explain import physical_plan
+
+    specs = all_specs()
+    q4 = physical_plan(specs["q4_order_priority"].spark(spark, SF_SMALL))
+    assert "LeftSemi" in q4 and "CartesianProduct" not in q4
+
+    q21 = physical_plan(specs["q21_waiting_suppliers"].spark(spark, SF_SMALL))
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    assert "CartesianProduct" not in q21
+
+    q16 = physical_plan(specs["q16_parts_supplier_relationship"].spark(spark, SF_SMALL))
+    assert "LeftAnti" in q16
+
+    for name in (
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q9_product_profit",
+        "q17_small_quantity_revenue",
+        "q20_excess_suppliers",
+    ):
+        plan = physical_plan(specs[name].spark(spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan, name
+        assert not uses_python_udf(specs[name].spark(spark, SF_SMALL)), name
+
+
+def test_q11_scalar_threshold_broadcasts(spark):
+    """Q11's fraction-of-total HAVING: the one-row threshold joins back via a
+    broadcast (BroadcastNestedLoopJoin over a single row is the right plan —
+    not a shuffle, not a driver collect)."""
+    from templatedb_spark.plans.explain import physical_plan
+
+    specs = all_specs()
+    plan = physical_plan(specs["q11_important_stock"].spark(spark, SF_SMALL))
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
