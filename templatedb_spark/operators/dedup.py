@@ -65,20 +65,32 @@ def clear_dedup_caches(spark: SparkSession) -> None:
     spark.catalog.clearCache()
 
 
+def tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, t): the tokenized corpus — the shared base relation of every
+    token-level operator in the repo (dedup shingles, vocabulary, TF-IDF,
+    token-budget shard packing).
+
+    Cached: Spark's cache manager substitutes the in-memory relation into ANY
+    plan containing an equal subtree, so a concurrent suite run pays the
+    corpus scan + regex tokenization once, not once per family. At 100 TB a
+    pipeline would materialize this to a parquet/Delta table instead — same
+    architecture, durable medium.
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", tokens_col(F.col("text")).alias("t")).cache()
+
+
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh): distinct word-trigram shingles per document.
 
     Cached: the shingle stream is THE shared intermediate of the dedup family
-    (ngram, capped, minhash all start from it). Spark's cache manager
-    substitutes the in-memory relation into ANY plan containing an equal
-    subtree, so concurrent dedup queries tokenize the corpus once instead of
-    once each. Storage level is MEMORY_AND_DISK (spills, never OOMs); at
-    100 TB a pipeline would materialize this to a parquet/Delta table instead
-    — same architecture, durable medium.
+    (ngram, capped, minhash all start from it); it derives from the shared
+    tokenized() base so dedup and the vocab/tfidf/packing tier tokenize the
+    corpus once between them. Storage level is MEMORY_AND_DISK (spills,
+    never OOMs).
     """
-    d = table(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", tokens_col(F.col("text")).alias("t"))
+        tokenized(spark, sf_dir)
         .filter(F.size("t") >= 3)
         .select(
             "doc_id",

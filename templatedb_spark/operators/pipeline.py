@@ -19,8 +19,11 @@ Scale notes:
   total order over 100 TB. The assignment (shard = floor(start_offset /
   budget)) is the deterministic Megatron-style offset rule.
 
-Tokenization reuses the dedup family's regex (`dedup.tokens_col`) so every
-text operator in the repo agrees on what a token is.
+Tokenization reuses the dedup family's shared cached base relation
+(`dedup.tokenized`) so every text operator in the repo agrees on what a token
+is AND the corpus is scanned + regex-tokenized once per suite run, not once
+per family (vocab, tfidf, packing, and the dedup shingle cache all derive
+from the same cached subtree).
 """
 
 from __future__ import annotations
@@ -29,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from templatedb_spark.operators.dedup import _TOKENS_SQL, tokens_col
+from templatedb_spark.operators.dedup import _TOKENS_SQL, tokenized
 from templatedb_spark.suite import QuerySpec, register, table
 
 
@@ -40,8 +43,7 @@ _VOCAB_K = 100
 
 
 def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    tok = tokenized(spark, sf_dir).select("doc_id", F.explode("t").alias("tok"))
     return (
         tok.groupBy("tok")
         .agg(
@@ -69,7 +71,7 @@ _TFIDF_K = 3
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    tok = tokenized(spark, sf_dir).select("doc_id", F.explode("t").alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     # df derives from tf (one row per (doc, tok)) — the corpus is tokenized
     # and shuffled once, not twice; df's input is the much smaller tf relation
@@ -124,11 +126,10 @@ _PACK_BUDGET = 2048
 
 
 def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    counted = d.select(
+    counted = tokenized(spark, sf_dir).select(
         "doc_id",
         (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
-        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tok"),
+        F.size("t").cast("long").alias("n_tok"),
     )
     w = (
         Window.partitionBy("bucket")
@@ -244,6 +245,211 @@ FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY island)
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus documents sharing >= _CONTAM_MIN
+# distinct trigram shingles with any eval-set document (here: doc_id < 20 as
+# the eval proxy). The standard pre-training hygiene pass: the eval side is
+# small by construction, so it broadcasts and the probe is one map-side hash
+# join over the corpus shingle stream — no shuffle of the corpus at all.
+# Reuses the dedup family's cached shingle relation.
+# ---------------------------------------------------------------------------
+_CONTAM_EVAL_MAX = 20
+_CONTAM_MIN = 3
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.operators.dedup import shingles
+
+    sh = shingles(spark, sf_dir)
+    ev = sh.filter(F.col("doc_id") < _CONTAM_EVAL_MAX).select(
+        F.col("doc_id").alias("eval_id"), "sh"
+    )
+    corp = sh.filter(F.col("doc_id") >= _CONTAM_EVAL_MAX)
+    return (
+        corp.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _CONTAM_MIN)
+    )
+
+
+def _contam_oracle() -> str:
+    from templatedb_spark.operators.dedup import _SHINGLES_SQL
+
+    return f"""
+WITH {_SHINGLES_SQL},
+ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id < {_CONTAM_EVAL_MAX}),
+corp AS (SELECT doc_id, sh FROM sh WHERE doc_id >= {_CONTAM_EVAL_MAX})
+SELECT corp.doc_id, ev.eval_id, COUNT(*) AS n_shared
+FROM corp JOIN ev USING (sh)
+GROUP BY corp.doc_id, ev.eval_id
+HAVING COUNT(*) >= {_CONTAM_MIN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring (Gopher-style quality rule, token form): distinct-token
+# ratio + most-frequent-bigram fraction per document, with the keep/drop
+# verdict. Map-only until the per-doc bigram aggregate (keyed by doc — never
+# a corpus-wide shuffle of text), from the shared tokenized base.
+# ---------------------------------------------------------------------------
+_REP_MIN_DISTINCT = 0.3
+_REP_MAX_TOP_BIGRAM = 0.1
+
+
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = tokenized(spark, sf_dir).filter(F.size("t") >= 2)
+    bi = tok.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct("t")) / F.size("t")).alias("distinct_ratio"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    cnt = bi.groupBy("doc_id", "n_tokens", "distinct_ratio", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = cnt.groupBy("doc_id", "n_tokens", "distinct_ratio").agg(
+        (F.max("c") / F.sum("c")).alias("top_bigram_frac")
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        (
+            (F.col("distinct_ratio") >= _REP_MIN_DISTINCT)
+            & (F.col("top_bigram_frac") <= _REP_MAX_TOP_BIGRAM)
+        ).alias("keep"),
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+base AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens,
+         len(list_distinct(t)) / len(t) AS distinct_ratio, t
+  FROM toks WHERE len(t) >= 2
+),
+bg AS (
+  SELECT doc_id, n_tokens, distinct_ratio, t[i] || ' ' || t[i+1] AS bg
+  FROM (SELECT *, unnest(generate_series(1, len(t) - 1)) AS i FROM base)
+),
+cnt AS (SELECT doc_id, n_tokens, distinct_ratio, bg, COUNT(*) AS c
+        FROM bg GROUP BY 1, 2, 3, 4),
+stats AS (SELECT doc_id, n_tokens, distinct_ratio, MAX(c) / SUM(c) AS top_bigram_frac
+          FROM cnt GROUP BY 1, 2, 3)
+SELECT doc_id, n_tokens,
+       ROUND(distinct_ratio, 6) AS distinct_ratio,
+       ROUND(top_bigram_frac, 6) AS top_bigram_frac,
+       (distinct_ratio >= {_REP_MIN_DISTINCT} AND top_bigram_frac <= {_REP_MAX_TOP_BIGRAM}) AS keep
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC net-effect apply (warehouse/CDC tier, completing SCD2 + merge_upsert):
+# treat the events stream as a change feed against the customer dimension —
+# per key, compact the feed to its LAST change (net effect), then MERGE:
+# 'error' → DELETE, existing key → UPDATE (segment/balance), unseen key →
+# INSERT a synthesized row. This is the Debezium/Delta-CDF apply pattern:
+# compaction is one window per key (never replaying intermediate states),
+# the merge is one outer join — two shuffles total regardless of feed length.
+# The key offset maps users into the upper customer range so all three MERGE
+# branches (update / insert / delete) are exercised and asserted.
+# ---------------------------------------------------------------------------
+_CDC_KEY_OFFSET = 1400
+_CDC_VIEW_LO, _CDC_VIEW_HI = 1350, 1600  # bounded slice for the gate
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    e = table(spark, sf_dir, "events")
+    changes = e.select(
+        (F.col("user_id") + _CDC_KEY_OFFSET).alias("key"),
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+    )
+    w = Window.partitionBy("key").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    # Compact once, reuse thrice: the three MERGE branches all read the
+    # net-effect feed, so cache it instead of re-running the window per branch
+    # (at warehouse scale this is the materialized staging table CDC appliers
+    # write before the merge).
+    latest = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .cache()
+    )
+    dels = latest.filter(F.col("event_type") == "error").select("key")
+    ups = latest.filter(F.col("event_type") != "error")
+    touched = dels.unionByName(ups.select("key"))
+    surviving = c.join(touched, c.c_custkey == touched.key, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal", F.lit("kept").alias("src")
+    )
+    updated = c.join(ups, c.c_custkey == ups.key).select(
+        "c_custkey",
+        "c_name",
+        F.col("event_type").alias("c_mktsegment"),
+        F.col("value").alias("c_acctbal"),
+        F.lit("updated").alias("src"),
+    )
+    inserted = ups.join(c, ups.key == c.c_custkey, "left_anti").select(
+        F.col("key").alias("c_custkey"),
+        F.concat(F.lit("cdc:"), F.col("key")).alias("c_name"),
+        F.col("event_type").alias("c_mktsegment"),
+        F.col("value").alias("c_acctbal"),
+        F.lit("inserted").alias("src"),
+    )
+    return (
+        surviving.unionByName(updated)
+        .unionByName(inserted)
+        .filter(F.col("c_custkey").between(_CDC_VIEW_LO, _CDC_VIEW_HI - 1))
+    )
+
+
+_CDC_ORACLE = f"""
+WITH changes AS (
+  SELECT user_id + {_CDC_KEY_OFFSET} AS key, ts, event_id, event_type, value
+  FROM events
+),
+latest AS (
+  SELECT key, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+),
+dels AS (SELECT key FROM latest WHERE event_type = 'error'),
+ups  AS (SELECT * FROM latest WHERE event_type <> 'error'),
+surviving AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal, 'kept' AS src
+  FROM customer
+  WHERE c_custkey NOT IN (SELECT key FROM dels)
+    AND c_custkey NOT IN (SELECT key FROM ups)
+),
+updated AS (
+  SELECT c_custkey, c_name, event_type AS c_mktsegment, value AS c_acctbal,
+         'updated' AS src
+  FROM customer JOIN ups ON c_custkey = key
+),
+inserted AS (
+  SELECT key AS c_custkey, 'cdc:' || key AS c_name, event_type AS c_mktsegment,
+         value AS c_acctbal, 'inserted' AS src
+  FROM ups WHERE key NOT IN (SELECT c_custkey FROM customer)
+)
+SELECT * FROM (
+  SELECT * FROM surviving UNION ALL SELECT * FROM updated UNION ALL SELECT * FROM inserted
+)
+WHERE c_custkey BETWEEN {_CDC_VIEW_LO} AND {_CDC_VIEW_HI} - 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clustering: connected components over the MinHash-LSH pair graph —
 # the step real pipelines run between pair generation and the keep/drop
 # decision (keep one representative per component, drop the rest). Spark side
@@ -258,7 +464,22 @@ FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY island)
 _CLUSTER_MAX_ROUNDS = 20
 
 
-def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+_LABELS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label) for every document in the LSH dup-pair graph — label =
+    the component's minimum doc_id after iterative min-label propagation.
+
+    Memoized per (application, sf_dir): the iterative loop drives eager
+    checkpoint jobs at build time, which Spark's subtree-equality cache cannot
+    deduplicate, so both consumers (dedup_dup_clusters, dedup_keep_policy)
+    would otherwise each run the full propagation. The checkpointed result is
+    tiny (one row per dup-graph member)."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LABELS_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     from templatedb_spark.operators.dedup import dedup_minhash_lsh
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
@@ -291,10 +512,38 @@ def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+    _LABELS_MEMO[memo_key] = labels
+    return labels
+
+
+def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_labels(spark, sf_dir).groupBy(F.col("label").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("keep_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup pipeline: the corpus keep/drop manifest.
+
+    Every document gets a verdict — docs outside any dup cluster are kept;
+    inside a cluster only the representative (minimum doc_id) survives. This
+    is the actual deliverable of a production dedup pass (the filter applied
+    before training), composed from the same label relation as
+    dedup_dup_clusters: one broadcast-sized join against the labels (dup
+    clusters are a small fraction of any real corpus), never a corpus shuffle.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    labels = cluster_labels(spark, sf_dir).select(
+        "doc_id", F.col("label").alias("cluster_id")
+    )
+    return d.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id"))).alias(
+            "keep"
+        ),
     )
 
 
@@ -322,6 +571,32 @@ def _clusters_oracle() -> str:
     from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
 
     return _CLUSTERS_ORACLE.format(ctes=_MINHASH_CTES, select=_MINHASH_SELECT)
+
+
+_KEEP_ORACLE = """
+WITH RECURSIVE {ctes},
+pairs AS ({select}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+labeled AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT d.doc_id, l.cluster_id,
+       (l.cluster_id IS NULL OR d.doc_id = l.cluster_id) AS keep
+FROM documents d LEFT JOIN labeled l USING (doc_id)
+"""
+
+
+def _keep_oracle() -> str:
+    from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
+
+    return _KEEP_ORACLE.format(ctes=_MINHASH_CTES, select=_MINHASH_SELECT)
 
 
 # ---------------------------------------------------------------------------
@@ -388,8 +663,12 @@ SELECT user_id, ts, value, n_prior, z FROM z WHERE ABS(z) >= {_Z_THRESHOLD}
 
 
 for spec in [
+    QuerySpec("contamination_check", contamination_check, _contam_oracle(), "eval-set decontamination: broadcast shingle-overlap probe"),
+    QuerySpec("text_repetition_score", text_repetition_score, _REPETITION_ORACLE, "Gopher-style repetition scoring (distinct ratio, top-bigram fraction)"),
+    QuerySpec("cdc_apply", cdc_apply, _CDC_ORACLE, "CDC net-effect compaction + three-branch MERGE apply"),
     QuerySpec("anomaly_zscore", anomaly_zscore, _ANOMALY_ORACLE, "running z-score anomaly detection (batch twin of the stateful stream)"),
     QuerySpec("dedup_dup_clusters", dedup_dup_clusters, _clusters_oracle(), "connected-components dup clustering (iterative label propagation vs recursive CTE)"),
+    QuerySpec("dedup_keep_policy", dedup_keep_policy, _keep_oracle(), "end-to-end dedup verdict: keep representative per cluster, drop the rest"),
     QuerySpec("scd2_user_segments", scd2_user_segments, _SCD2_ORACLE, "SCD2 history build: gaps-and-islands + validity windows"),
     QuerySpec("vocab_top_tokens", vocab_top_tokens, _VOCAB_ORACLE, "corpus vocabulary: token + doc frequency, fused top-k"),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, _TFIDF_ORACLE, "TF-IDF salient terms per document (smooth idf)"),

@@ -270,3 +270,24 @@ def test_q11_scalar_threshold_broadcasts(spark):
     plan = physical_plan(specs["q11_important_stock"].spark(spark, SF_SMALL))
     assert "Broadcast" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pipeline_round3_plan_shapes(spark):
+    """Round-3 pipeline tier: the contamination probe broadcasts the eval
+    side (corpus is never shuffled for the join); cdc_apply compacts the feed
+    with a single window pass and merges without a cartesian product."""
+    from templatedb_spark.plans.explain import physical_plan
+
+    specs = all_specs()
+    contam = physical_plan(specs["contamination_check"].spark(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in contam
+    assert "CartesianProduct" not in contam
+
+    cdc = physical_plan(specs["cdc_apply"].spark(spark, SF_SMALL))
+    # the compacted net-effect feed is cached: every MERGE branch reads the
+    # in-memory relation instead of re-running the window
+    assert "InMemoryTableScan" in cdc
+    assert "CartesianProduct" not in cdc
+
+    rep = physical_plan(specs["text_repetition_score"].spark(spark, SF_SMALL))
+    assert not uses_python_udf(specs["text_repetition_score"].spark(spark, SF_SMALL))
