@@ -259,3 +259,57 @@ def test_session_window_streaming_plan(spark, tmp_path):
     plan = stream._jdf.queryExecution().analyzed().toString()
     assert "session_window" in plan
     assert "EventTimeWatermark" in plan
+
+
+def test_stream_cdc_apply_matches_batch_twin(spark, tmp_path):
+    """Incremental CDC: the feed split into 3 ts-ordered micro-batches and
+    applied batch-by-batch into the KV store must land on EXACTLY the state
+    the batch twin computes by compacting the whole feed at once — last
+    writer wins per key, keys whose final change is 'error' absent. Also
+    asserts the application was genuinely incremental (one MVCC version per
+    non-empty micro-batch)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from templatedb_spark.kv import KVTable
+    from templatedb_spark.streaming.cdc import (
+        changes_from_events,
+        compact_net_effect,
+        kv_value,
+        stream_cdc_to_kv,
+    )
+    from templatedb_spark.streaming.events import read_events_stream
+    from templatedb_spark.suite import table
+
+    stage = tmp_path / "cdc_in"
+    stage.mkdir()
+    t = pq.read_table(f"{SF_SMALL}/events.parquet").to_pandas()
+    t = t.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    thirds = [t.iloc[: len(t) // 3], t.iloc[len(t) // 3 : 2 * len(t) // 3], t.iloc[2 * len(t) // 3 :]]
+    for i, part in enumerate(thirds):
+        p = stage / f"part-{i}.parquet"
+        part.to_parquet(p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))  # force file order
+
+    kv = KVTable(spark, str(tmp_path / "kv_cdc"))
+    v0 = kv.latest_version()
+    stream = changes_from_events(read_events_stream(spark, str(stage)))
+    stream_cdc_to_kv(stream, kv, "t_cdc_stream")
+
+    batch = compact_net_effect(
+        changes_from_events(table(spark, SF_SMALL, "events"))
+    ).collect()
+    want = {
+        str(r.key): kv_value(r.event_type, r.value)
+        for r in batch
+        if r.event_type != "error"
+    }
+    got = {r.key: r.value for r in kv.snapshot().collect()}
+    assert got == want
+    assert len(want) > 0
+    # deleted keys: present in the feed, absent from the final state
+    deleted = {str(r.key) for r in batch if r.event_type == "error"}
+    assert deleted and not (deleted & set(got))
+    # incremental: three micro-batches → three KV versions
+    assert kv.latest_version() == v0 + 3
