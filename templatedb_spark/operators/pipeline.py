@@ -245,6 +245,76 @@ FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY island)
 
 
 # ---------------------------------------------------------------------------
+# Inverted index build: posting lists (sorted doc_ids, capped) + document
+# frequency per token — the retrieval-side artifact of a text corpus. One
+# shuffle on the token key; the capped sorted posting list is a bounded
+# per-group aggregate (collect_list is safe because df is bounded by the
+# corpus, and the output is capped at _POSTINGS_CAP before leaving the agg).
+# ---------------------------------------------------------------------------
+_POSTINGS_CAP = 20
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = tokenized(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct("t")).alias("tok")
+    )
+    return tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.concat_ws(
+            ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_CAP)
+        ).alias("postings"),
+    )
+
+
+_INVERTED_ORACLE = f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents)
+SELECT tok, COUNT(*) AS df,
+       array_to_string(list_sort(list(doc_id))[1:{_POSTINGS_CAP}], ',') AS postings
+FROM tok GROUP BY tok
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance: the per-customer order rollup is
+# kept as mergeable partial state; refreshing with a delta slice re-aggregates
+# (base partials ∪ delta partials) — never rescans the base fact table. The
+# oracle recomputes from the full table, proving state merge == recompute.
+# This is the Delta/MV incremental-refresh contract, and it works at 100 TB
+# precisely because COUNT/SUM partials merge associatively (the same property
+# the exact DECIMAL convention gives shuffle-order independence).
+# ---------------------------------------------------------------------------
+_MV_CUTOFF = "2000-01-01"
+
+
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("spent"),
+        )
+
+    base = state(o.filter(F.col("o_orderdate") < _MV_CUTOFF))
+    delta = state(o.filter(F.col("o_orderdate") >= _MV_CUTOFF))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("spent").cast("double").alias("total_spent"),
+        )
+    )
+
+
+_MV_ORACLE = """
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+FROM orders GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination: flag corpus documents sharing >= _CONTAM_MIN
 # distinct trigram shingles with any eval-set document (here: doc_id < 20 as
 # the eval proxy). The standard pre-training hygiene pass: the eval side is
@@ -663,6 +733,8 @@ SELECT user_id, ts, value, n_prior, z FROM z WHERE ABS(z) >= {_Z_THRESHOLD}
 
 
 for spec in [
+    QuerySpec("inverted_index", inverted_index, _INVERTED_ORACLE, "inverted index: capped sorted posting lists + doc frequency"),
+    QuerySpec("mv_incremental_refresh", mv_incremental_refresh, _MV_ORACLE, "incremental MV refresh: base ∪ delta partial-state merge == full recompute"),
     QuerySpec("contamination_check", contamination_check, _contam_oracle(), "eval-set decontamination: broadcast shingle-overlap probe"),
     QuerySpec("text_repetition_score", text_repetition_score, _REPETITION_ORACLE, "Gopher-style repetition scoring (distinct ratio, top-bigram fraction)"),
     QuerySpec("cdc_apply", cdc_apply, _CDC_ORACLE, "CDC net-effect compaction + three-branch MERGE apply"),

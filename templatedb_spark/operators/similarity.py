@@ -293,9 +293,122 @@ SELECT qid, vec_id, cosine, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN (multi-probe) — the third ANN tier after brute
+# force (verification) and IVF (partition-by-centroid): sign-random-projection
+# buckets for cosine similarity. `_LSH_BITS` fixed hyperplanes (deterministic
+# LCG weights, identical constants in both engines) map each vector to a
+# signature in [0, 2^bits); a query probes its own bucket plus every bucket at
+# hamming distance 1 (classic multi-probe — bits+1 probes), then ranks the
+# bounded candidate set by exact cosine. Corpus side: map-only signature
+# computation + one join on the signature key — never an all-pairs product.
+# Sign decisions are exact double comparisons with identical sequential fold
+# order in both engines, so the oracle reproduces the bucketing bit-for-bit.
+# ---------------------------------------------------------------------------
+_LSH_BITS = 6
+_LSH_DIM = 64
+
+
+def lsh_hyperplanes(bits: int = _LSH_BITS, dim: int = _LSH_DIM) -> list[list[int]]:
+    """Deterministic integer hyperplane weights in [-1000, 1000] from the same
+    LCG family as functions.hashing.minhash_params — one source of truth used
+    to build both the Spark expression and the oracle SQL."""
+    a, b = 1103515245, 12345
+    x = 2024
+    planes = []
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            x = (a * x + b) % (2**31)
+            row.append((x % 2001) - 1000)
+        planes.append(row)
+    return planes
+
+
+def _lsh_sig_col(vec: Column) -> Column:
+    sig = F.lit(0)
+    for i, row in enumerate(lsh_hyperplanes()):
+        w = F.array(*[F.lit(float(c)) for c in row])
+        bit = F.when(dot(vec, w) > 0.0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = sig + bit
+    return sig.cast("long")
+
+
+def _lsh_sig_sql(vec_expr: str) -> str:
+    terms = []
+    for i, row in enumerate(lsh_hyperplanes()):
+        arr = "[" + ", ".join(f"{c}.0" for c in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {arr}) > 0.0 THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double("embedding").alias("v")
+    )
+    e = with_norm(e).withColumn("sig", _lsh_sig_col(F.col("v")))
+    q = e.filter(F.col("vec_id") < _TOPK_NQUERY).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("sig").alias("qsig"),
+    )
+    # multi-probe: own bucket + each single-bit flip (bits+1 probes per query)
+    flips = F.array(*([F.lit(0)] + [F.lit(1 << i) for i in range(_LSH_BITS)]))
+    probes = (
+        q.withColumn("flip", F.explode(flips))
+        .select("qid", "qv", "qnorm", (F.col("qsig").bitwiseXOR(F.col("flip"))).alias("probe"))
+    )
+    cand = (
+        e.join(F.broadcast(probes), e.sig == probes.probe)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qv", "qnorm", "vec_id", "v", "norm")
+        .distinct()
+    )
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        F.round(dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.select(
+        "qid", "vec_id", "cosine", F.row_number().over(w).cast("long").alias("rank")
+    ).filter(F.col("rank") <= _TOPK_K)
+
+
+def _ann_lsh_oracle() -> str:
+    sig_v = _lsh_sig_sql("v")
+    flips = ", ".join(str(x) for x in [0] + [1 << i for i in range(_LSH_BITS)])
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm, {sig_v} AS sig FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm, sig AS qsig FROM n WHERE vec_id < {_TOPK_NQUERY}),
+probes AS (SELECT qid, qv, qnorm, xor(qsig, flip.f) AS probe
+           FROM q, (SELECT unnest([{flips}]) AS f) flip),
+cand AS (
+  SELECT DISTINCT p.qid, p.qv, p.qnorm, n.vec_id, n.v, n.norm
+  FROM n JOIN probes p ON n.sig = p.probe
+  WHERE n.vec_id <> p.qid
+),
+scored AS (
+  SELECT qid, vec_id,
+         ROUND(list_dot_product(qv, v) / (qnorm * norm), 6) AS cosine
+  FROM cand
+)
+SELECT qid, vec_id, cosine, rank FROM (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {_TOPK_K}
+"""
+
+
 for spec in [
     QuerySpec("ann_cosine_topk", ann_cosine_topk, _ANN_TOPK_ORACLE, "brute-force cosine top-k"),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, _COSINE_DUP_ORACLE, "embedding cosine near-dup pairs"),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, _ANN_IVF_ORACLE, "IVF-bucketed ANN top-k (scale path)"),
+    QuerySpec("ann_lsh_topk", ann_lsh_topk, _ann_lsh_oracle(), "multi-probe random-hyperplane LSH ANN top-k"),
 ]:
     register(spec)

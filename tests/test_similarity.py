@@ -48,3 +48,31 @@ def test_multimodal_features_batch_shape(spark):
     assert df.columns == ["doc_id", "n_bytes", "first_byte", "byte_sum_mod", "fake_pixel_mean"]
     rows = df.limit(5).collect()
     assert all(r.n_bytes > 0 for r in rows)
+
+
+def test_lsh_recall_and_boundedness(spark):
+    """Multi-probe LSH: assert (a) a recall floor against the exact top-5 so
+    hyperplane/probe regressions get caught, and (b) the candidate set is
+    genuinely bounded — no query scores anywhere near the whole corpus (the
+    property that makes LSH the scale path; 6 bits + bits+1 probes covers at
+    most ~(bits+1)/2^bits of the space in expectation)."""
+    from templatedb_spark.operators.similarity import ann_cosine_topk, ann_lsh_topk
+    from templatedb_spark.suite import table
+    from pyspark.sql import functions as F
+
+    exact = {(r.qid, r.vec_id) for r in ann_cosine_topk(spark, SF_SMALL).collect()}
+    approx = {(r.qid, r.vec_id) for r in ann_lsh_topk(spark, SF_SMALL).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.15, f"LSH recall collapsed: {recall:.2f}"
+
+    # boundedness: bucket population is spread out, so the largest bucket
+    # (an upper bound on any single probe's candidate contribution) is a
+    # small fraction of the corpus
+    from templatedb_spark.operators.similarity import _lsh_sig_col, _vec_double
+
+    e = table(spark, SF_SMALL, "embeddings").select(
+        _lsh_sig_col(_vec_double("embedding")).alias("sig")
+    )
+    total = e.count()
+    biggest = e.groupBy("sig").count().agg(F.max("count")).collect()[0][0]
+    assert biggest < total * 0.25, (biggest, total)
