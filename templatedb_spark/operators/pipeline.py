@@ -670,6 +670,80 @@ def _keep_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Fixed-iteration PageRank over the dup-pair graph (the similarity graph the
+# LSH family already produces): K synchronized power-method steps, damping
+# 0.85. Each step is one distributed join (edges ⋈ ranks) + one aggregate on
+# the destination key — the canonical iterative-analytics shape (same loop
+# skeleton as connected components, but with floating-point mass instead of
+# min-labels). Cross-engine exactness: per-node in-degree sums are tiny (dup
+# neighborhoods), and every iteration rounds to 9 decimals, so engine-side
+# summation-order ulps cannot accumulate; the oracle unrolls the SAME K
+# iterations as chained CTEs from the same constants.
+# ---------------------------------------------------------------------------
+_PR_ITERS = 4
+_PR_DAMP = 0.85
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionAll(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy(F.col("doc_a").alias("v")).agg(F.count(F.lit(1)).alias("outdeg"))
+    n_nodes = deg.count()
+    ranks = deg.select("v", F.round(F.lit(1.0) / n_nodes, 9).alias("r"))
+    base = (1.0 - _PR_DAMP) / n_nodes
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.doc_a == ranks.v)
+            .join(deg.withColumnRenamed("v", "dv"), F.col("doc_a") == F.col("dv"))
+            .select(F.col("doc_b").alias("v"), (F.col("r") / F.col("outdeg")).alias("c"))
+        )
+        ranks = contrib.groupBy("v").agg(
+            F.round(F.lit(base) + F.lit(_PR_DAMP) * F.sum("c"), 9).alias("r")
+        )
+    return ranks.select(F.col("v").alias("doc_id"), F.round("r", 6).alias("pagerank"))
+
+
+def _pagerank_oracle() -> str:
+    from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
+
+    steps = []
+    prev = "pr0"
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""pr{i} AS (
+  SELECT e.dst AS v, ROUND((1.0 - {_PR_DAMP}) / (SELECT n FROM nn)
+         + {_PR_DAMP} * SUM(p.r / d.outdeg), 9) AS r
+  FROM edges e JOIN {prev} p ON e.src = p.v JOIN deg d ON e.src = d.v
+  GROUP BY e.dst
+)"""
+        )
+        prev = f"pr{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS ({_MINHASH_SELECT}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT src AS v, COUNT(*) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+pr0 AS (SELECT v, ROUND(1.0 / (SELECT n FROM nn), 9) AS r FROM deg),
+{chain}
+SELECT v AS doc_id, ROUND(r, 6) AS pagerank FROM {prev}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Running z-score anomaly detection (batch form; the streaming twin is
 # streaming/anomaly.stream_anomaly_zscore and must agree bit-for-bit). Each
 # event is scored against the running distribution of the events BEFORE it:
@@ -741,6 +815,7 @@ for spec in [
     QuerySpec("anomaly_zscore", anomaly_zscore, _ANOMALY_ORACLE, "running z-score anomaly detection (batch twin of the stateful stream)"),
     QuerySpec("dedup_dup_clusters", dedup_dup_clusters, _clusters_oracle(), "connected-components dup clustering (iterative label propagation vs recursive CTE)"),
     QuerySpec("dedup_keep_policy", dedup_keep_policy, _keep_oracle(), "end-to-end dedup verdict: keep representative per cluster, drop the rest"),
+    QuerySpec("graph_pagerank", graph_pagerank, _pagerank_oracle(), "fixed-iteration PageRank over the dup-pair graph (power method, unrolled oracle)"),
     QuerySpec("scd2_user_segments", scd2_user_segments, _SCD2_ORACLE, "SCD2 history build: gaps-and-islands + validity windows"),
     QuerySpec("vocab_top_tokens", vocab_top_tokens, _VOCAB_ORACLE, "corpus vocabulary: token + doc frequency, fused top-k"),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, _TFIDF_ORACLE, "TF-IDF salient terms per document (smooth idf)"),

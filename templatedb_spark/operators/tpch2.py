@@ -68,18 +68,29 @@ _SUPPLY_PAIRS_SQL = """
 # as (min-per-part aggregate) ⋈ (pair, cost) equi-join on the exact min.
 # ---------------------------------------------------------------------------
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = _supply_pairs(spark, sf_dir)
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_size").between(10, 20)) & (F.col("p_type") == "STANDARD")
     )
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    eu_cost = (
-        ps.join(s, ps.ps_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    # Push the region restriction BELOW the pair aggregation: only European
+    # suppliers' lineitems feed the partsupp surrogate (an aggregate can't be
+    # pushed through a join by Catalyst, so the semi-join goes in by hand —
+    # at 100 TB this cuts the agg's shuffle input by the region selectivity).
+    eu_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
+    l = table(spark, sf_dir, "lineitem").join(
+        F.broadcast(eu_sup.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    ps = l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    eu_cost = ps.join(F.broadcast(eu_sup), ps.ps_suppkey == F.col("s_suppkey"))
     min_cost = eu_cost.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
     return (
         eu_cost.join(
