@@ -626,6 +626,7 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).cast("long").alias("drank"),
         F.round(F.percent_rank().over(w), 6).alias("prank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 
@@ -633,7 +634,8 @@ _RANK_FAMILY_ORACLE = """
 SELECT c_custkey, c_mktsegment,
        DENSE_RANK()   OVER w::BIGINT AS drank,
        ROUND(PERCENT_RANK() OVER w, 6) AS prank,
-       ROUND(CUME_DIST()    OVER w, 6) AS cdist
+       ROUND(CUME_DIST()    OVER w, 6) AS cdist,
+       NTILE(4) OVER w::BIGINT AS quartile
 FROM customer WHERE c_custkey < 500
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
 """

@@ -487,6 +487,11 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("c_name").cast("long").alias("name_len"),
         F.trim(F.col("c_name")).alias("trimmed"),
         F.regexp_replace("c_name", "[0-9]+", "#").alias("digits_masked"),
+        F.replace(F.col("c_mktsegment"), F.lit("MENT"), F.lit("_")).alias("seg_replaced"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.instr(F.col("c_name"), "0").cast("long").alias("zero_pos"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")).cast("long").alias("seg_dist"),
     )
 
 
@@ -498,7 +503,12 @@ SELECT c_custkey,
        CONCAT_WS('-', c_mktsegment, c_name) AS seg_name,
        LENGTH(c_name)::BIGINT AS name_len,
        TRIM(c_name) AS trimmed,
-       REGEXP_REPLACE(c_name, '[0-9]+', '#', 'g') AS digits_masked
+       REGEXP_REPLACE(c_name, '[0-9]+', '#', 'g') AS digits_masked,
+       REPLACE(c_mktsegment, 'MENT', '_') AS seg_replaced,
+       LPAD(c_custkey::VARCHAR, 8, '0') AS key_padded,
+       STRPOS(c_name, '0')::BIGINT AS zero_pos,
+       REVERSE(c_mktsegment) AS seg_rev,
+       LEVENSHTEIN(c_mktsegment, 'BUILDING')::BIGINT AS seg_dist
 FROM customer WHERE c_custkey <= 100
 """
 
