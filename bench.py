@@ -126,6 +126,9 @@ def main() -> None:
     items = sorted(specs.items(), key=lambda kv: order.get(kv[0], len(heavy)))
     pool_of = {n: ("critical" if n in critical else "heavy") for n in heavy}
 
+    errs: dict[str, str] = {}
+    retried: list[str] = []
+
     def run_one(item) -> None:
         name, spec = item
         t0 = time.time()
@@ -135,18 +138,31 @@ def main() -> None:
             )
             spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.time() - t0, 3)
+            errs.pop(name, None)
         except Exception as e:  # a failing query records -1, never kills the bench
-            print(f"BENCH ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
+            msg = f"{type(e).__name__}: {e}"
+            errs[name] = msg.splitlines()[0][:400]
+            print(f"BENCH ERROR {name}: {msg}", file=sys.stderr)
             times[name] = -1.0
 
     suite_t0 = time.time()
     if mode == "seq":
         for item in items:
             run_one(item)
-        total = round(sum(t for t in times.values() if t >= 0), 3)
     else:
         with ThreadPoolExecutor(max_workers=workers) as pool:
             list(pool.map(run_one, items))
+    # Failures under concurrency were historically contention-induced (a 1g
+    # default JVM heap OOMing — fixed in session.py) and silently shrank the
+    # suite. Any query that failed in the pool gets ONE serial retry after the
+    # pool drains; its retry wall time joins the makespan (the work is real).
+    failed = [it for it in items if times.get(it[0], -1.0) < 0]
+    for item in failed:
+        retried.append(item[0])
+        run_one(item)
+    if mode == "seq":
+        total = round(sum(t for t in times.values() if t >= 0), 3)
+    else:
         total = round(time.time() - suite_t0, 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -159,6 +175,9 @@ def main() -> None:
         "cpus": int(cpus),
         "mode": mode,
         "workers": workers if mode != "seq" else 1,
+        "failed": sorted(errs),
+        "retried": retried,
+        "err": errs,
     }
     # drop the dedup family's cached intermediates before teardown (no-op for
     # this process's lifetime, but keeps the teardown path honest for anyone
@@ -176,7 +195,28 @@ def main() -> None:
     out_dir.mkdir(exist_ok=True)
     (out_dir / "latest.json").write_text(json.dumps(result, indent=2) + "\n")
     sys.stderr.flush()
-    print(json.dumps(result, separators=(",", ":")), flush=True)
+    # The driver stores only a bounded (~2000-char) tail of stdout and parses
+    # the FINAL line as JSON — the full 111-query map made that line 2.8k chars
+    # and truncated the head (BENCH_r01/r02 recorded parsed=null). Emit a line
+    # guaranteed < 1800 chars: totals + failures always; per-query times only
+    # for the slowest queries that still fit. The complete map lives in
+    # bench_results/latest.json.
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1750:
+        compact = {k: v for k, v in result.items() if k not in ("queries", "err")}
+        compact["queries_file"] = "bench_results/latest.json"
+        by_cost = sorted(times.items(), key=lambda kv: -kv[1])
+        shown: dict[str, float] = {}
+        for name, t in by_cost:
+            shown[name] = t
+            compact["queries"] = shown
+            if len(json.dumps(compact, separators=(",", ":"))) > 1700:
+                shown.pop(name)
+                break
+        compact["queries"] = shown
+        compact["queries_shown"] = f"{len(shown)}/{len(times)} slowest"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

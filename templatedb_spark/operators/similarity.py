@@ -198,21 +198,106 @@ WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= {_COSINE_DUP_T
 # ---------------------------------------------------------------------------
 # IVF-bucketed ANN: the scale path.
 # Centroids: vec_id % IVF_CENTROID_STEP == 0 (deterministic, no training).
-# Assign corpus → nearest centroid (broadcast join), probe IVF_NPROBE buckets.
+# Assign corpus → nearest centroid (BLAS kernel over a broadcast centroid
+# matrix — no join, no shuffle of the corpus), probe IVF_NPROBE buckets.
 # ---------------------------------------------------------------------------
 _IVF_CENTROID_STEP = 50
 _IVF_NPROBE = 3
 
+# Per-(applicationId, sf_dir) broadcast of the centroid matrix. Centroids are
+# tiny (N / _IVF_CENTROID_STEP rows) and immutable for a given sf_dir, so one
+# collect per app amortizes to nothing; the broadcast handle keeps the matrix
+# off the closure-serialization path for every subsequent task.
+_IVF_CENT_CACHE: dict[tuple[str, str], object] = {}
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = with_norm(
-        table(spark, sf_dir, "embeddings").select("vec_id", _vec_double("embedding").alias("v"))
-    )
-    cent = e.filter(F.col("vec_id") % _IVF_CENTROID_STEP == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
-    )
-    # corpus → nearest centroid (cosine); broadcast the tiny centroid set
-    assigned_scored = e.crossJoin(F.broadcast(cent)).select(
+# Below this parquet size the corpus is so small that kernel/Arrow spin-up
+# costs more than the interpreted expression path it replaces. All driver sf
+# dirs are above it (sf0.001's embeddings ≈ 190 KB), so the kernel path is the
+# one the correctness gate audits; the expression fallback is equivalence-
+# tested against it in tests/test_similarity.py.
+_IVF_KERNEL_MIN_BYTES = 128 << 10
+
+
+def _seq_norms(mat):
+    """Row norms via a dimension-ordered sequential fold — bit-identical to
+    F.aggregate's left fold and DuckDB's list_dot_product accumulation, unlike
+    BLAS matmul whose pairwise summation can differ in the last ulp."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0])
+    for d in range(mat.shape[1]):
+        acc += mat[:, d] * mat[:, d]
+    return np.sqrt(acc)
+
+
+def _seq_matmul(a, b_t):
+    """a @ b_t.T with sequential accumulation over the shared dimension, so
+    every dot product reproduces the engines' left-fold order exactly."""
+    import numpy as np
+
+    acc = np.zeros((a.shape[0], b_t.shape[0]))
+    for d in range(a.shape[1]):
+        acc += a[:, d, None] * b_t[None, :, d]
+    return acc
+
+
+def _ivf_centroids_bc(spark: SparkSession, sf_dir: str):
+    import numpy as np
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    bc = _IVF_CENT_CACHE.get(key)
+    if bc is None:
+        rows = (
+            spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+            .filter(F.col("vec_id") % _IVF_CENTROID_STEP == 0)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        rows.sort(key=lambda r: r.vec_id)  # cid-ascending → argmax tiebreak = min cid
+        cids = np.array([r.vec_id for r in rows], dtype="int64")
+        cmat = np.array([list(r.embedding) for r in rows], dtype="float64")
+        bc = spark.sparkContext.broadcast((cids, cmat, _seq_norms(cmat)))
+        _IVF_CENT_CACHE[key] = bc
+    return bc
+
+
+def _ivf_assign_kernel(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+    """corpus → (vec_id, v, norm, nearest cid) in ONE map-only pass: each Arrow
+    batch is scored against the broadcast centroid matrix with vectorized numpy
+    (the round-2 expression path evaluated an interpreted dot per
+    vector×centroid — the suite's hottest loop). Ordering semantics match the
+    oracle: round(csim, 6) DESC, cid ASC, via argmax over a cid-sorted matrix."""
+    import numpy as np
+    import pandas as pd
+
+    bc = _ivf_centroids_bc(spark, sf_dir)
+
+    def assign(batches):
+        cids, cmat, cnorm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vmat = np.stack(pdf["v"].to_numpy()).astype("float64")
+            norm = _seq_norms(vmat)
+            csim = np.round(_seq_matmul(vmat, cmat) / (norm[:, None] * cnorm[None, :]), 6)
+            j = np.argmax(csim, axis=1)  # first max → smallest cid on ties
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "norm": norm,
+                    "cid": cids[j],
+                }
+            )
+
+    return e.mapInPandas(assign, schema="vec_id long, v array<double>, norm double, cid long")
+
+
+def _ivf_assign_expr(e_normed: DataFrame, cent: DataFrame) -> DataFrame:
+    """Small-corpus assignment: broadcast-join + interpreted dot expression.
+    Same semantics as the kernel; cheaper when the corpus is a few hundred rows
+    (no Arrow worker spin-up, no centroid collect job)."""
+    assigned_scored = e_normed.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "v",
         "norm",
@@ -220,12 +305,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6).alias("csim"),
     )
     wa = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
-    assigned = (
+    return (
         assigned_scored.withColumn("crank", F.row_number().over(wa))
         .filter(F.col("crank") == 1)
         .select("vec_id", "v", "norm", "cid")
     )
-    # queries probe their IVF_NPROBE closest centroids
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathlib import Path
+
+    raw = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double("embedding").alias("v")
+    )
+    e = with_norm(raw)
+    cent = e.filter(F.col("vec_id") % _IVF_CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    try:
+        corpus_bytes = Path(sf_dir.rstrip("/"), "embeddings.parquet").stat().st_size
+    except OSError:
+        corpus_bytes = _IVF_KERNEL_MIN_BYTES  # unknown layout → kernel path
+    if corpus_bytes >= _IVF_KERNEL_MIN_BYTES:
+        assigned = _ivf_assign_kernel(spark, sf_dir, raw)
+    else:
+        assigned = _ivf_assign_expr(e, cent)
+    # queries probe their IVF_NPROBE closest centroids (10 rows — expression
+    # path is fine; its norms are bit-identical to the kernel's by fold order)
     q = e.filter(F.col("vec_id") < _TOPK_NQUERY).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )

@@ -34,6 +34,18 @@ class EngineConfig:
     app_name: str = "templatedb-spark"
     shuffle_partitions: int = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ui_enabled: bool = False
+    # local[N] runs driver AND all executor threads in ONE JVM whose heap
+    # defaults to 1g — under 16-way concurrent query submission that
+    # intermittently OOMs (measured: java.lang.OutOfMemoryError cascades into a
+    # dead py4j gateway and ConnectionRefused for every in-flight query; the
+    # round-2 bench lost 1-4 queries per run this way). Counter-intuitively,
+    # BIG heaps are far worse than small ones here: the concurrent suite
+    # makespan at sf0.1/local[32] measured 9.1 s @ 4g, 9.9 s @ 2g, 10.5 s @ 8g,
+    # ~14 s @ 1g (with one OOM), 215 s @ 30g, 170 s @ 64g — a large G1 heap
+    # lets the 32-thread allocation churn spread over tens of GB of freshly
+    # page-faulted memory instead of recycling cache-hot pages. 4g is the
+    # measured sweet spot; on a real cluster this maps to executor.memory.
+    driver_memory: str = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
     extra: dict[str, str] = field(default_factory=dict)
 
     def builder(self) -> SparkSession.Builder:
@@ -57,6 +69,9 @@ class EngineConfig:
             # them so a misconfigured environment can't silently disable them.
             "spark.sql.parquet.filterPushdown": "true",
             "spark.sql.parquet.enableVectorizedReader": "true",
+            # Applied only at JVM launch (getOrCreate on an existing session
+            # keeps the old heap — the bench builds its session first).
+            "spark.driver.memory": self.driver_memory,
         }
         conf.update(self.extra)
         for k, v in conf.items():
