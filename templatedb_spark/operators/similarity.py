@@ -402,25 +402,39 @@ SELECT qid, vec_id, cosine, rank FROM (
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH ANN (multi-probe) — the third ANN tier after brute
 # force (verification) and IVF (partition-by-centroid): sign-random-projection
-# buckets for cosine similarity. `_LSH_BITS` fixed hyperplanes (deterministic
-# LCG weights, identical constants in both engines) map each vector to a
-# signature in [0, 2^bits); a query probes its own bucket plus every bucket at
-# hamming distance 1 (classic multi-probe — bits+1 probes), then ranks the
-# bounded candidate set by exact cosine. Corpus side: map-only signature
-# computation + one join on the signature key — never an all-pairs product.
+# buckets for cosine similarity. The signature width ADAPTS to corpus size:
+# bits = smallest b in [MIN, MAX] with TARGET_BUCKET·2^b ≥ N, derived from
+# COUNT(*) through an integer CASE ladder (identical in Spark and the oracle
+# SQL — no float log2 whose last-ulp could flip a ceil() between engines).
+# MAX_BITS hyperplanes (deterministic LCG weights, identical constants in both
+# engines) are generated up front; plane i participates only when i < bits.
+# A query probes its own bucket plus every bucket at hamming distance 1
+# (classic multi-probe — bits+1 probes), then ranks the bounded candidate set
+# by exact cosine. Corpus side: map-only signature computation + one join on
+# the signature key — never an all-pairs product. At 100 TB the ladder keeps
+# the expected bucket population constant (~TARGET_BUCKET rows), so candidate
+# sets stay bounded as the corpus grows; past MAX_BITS=16 you raise MAX_BITS
+# or move to the banded multi-table variant below.
 # Sign decisions are exact double comparisons with identical sequential fold
 # order in both engines, so the oracle reproduces the bucketing bit-for-bit.
 # ---------------------------------------------------------------------------
-_LSH_BITS = 6
+_LSH_MIN_BITS = 4
+_LSH_MAX_BITS = 16
+_LSH_TARGET_BUCKET = 48
 _LSH_DIM = 64
+_LSH_BAND_TABLES = 4  # banded variant: L independent tables, OR of matches
+_LSH_SEED = 2024
+_LSH_SEED_STRIDE = 7919  # table t uses seed SEED + t*STRIDE
 
 
-def lsh_hyperplanes(bits: int = _LSH_BITS, dim: int = _LSH_DIM) -> list[list[int]]:
+def lsh_hyperplanes(
+    bits: int = _LSH_MAX_BITS, dim: int = _LSH_DIM, seed: int = _LSH_SEED
+) -> list[list[int]]:
     """Deterministic integer hyperplane weights in [-1000, 1000] from the same
     LCG family as functions.hashing.minhash_params — one source of truth used
     to build both the Spark expression and the oracle SQL."""
     a, b = 1103515245, 12345
-    x = 2024
+    x = seed
     planes = []
     for _ in range(bits):
         row = []
@@ -431,40 +445,82 @@ def lsh_hyperplanes(bits: int = _LSH_BITS, dim: int = _LSH_DIM) -> list[list[int
     return planes
 
 
-def _lsh_sig_col(vec: Column) -> Column:
+def lsh_bits_for(n: int) -> int:
+    """Python mirror of the bits ladder (tests / parameter introspection)."""
+    for b in range(_LSH_MIN_BITS, _LSH_MAX_BITS):
+        if n <= (_LSH_TARGET_BUCKET << b):
+            return b
+    return _LSH_MAX_BITS
+
+
+def _lsh_bits_col(n: Column) -> Column:
+    expr = F.when(n <= (_LSH_TARGET_BUCKET << _LSH_MIN_BITS), _LSH_MIN_BITS)
+    for b in range(_LSH_MIN_BITS + 1, _LSH_MAX_BITS):
+        expr = expr.when(n <= (_LSH_TARGET_BUCKET << b), b)
+    return expr.otherwise(_LSH_MAX_BITS)
+
+
+def _lsh_bits_sql(n_expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {n_expr} <= {_LSH_TARGET_BUCKET << b} THEN {b}"
+        for b in range(_LSH_MIN_BITS, _LSH_MAX_BITS)
+    )
+    return f"(CASE {arms} ELSE {_LSH_MAX_BITS} END)"
+
+
+def _lsh_sig_col(vec: Column, bits: Column, seed: int = _LSH_SEED) -> Column:
     sig = F.lit(0)
-    for i, row in enumerate(lsh_hyperplanes()):
+    for i, row in enumerate(lsh_hyperplanes(seed=seed)):
         w = F.array(*[F.lit(float(c)) for c in row])
-        bit = F.when(dot(vec, w) > 0.0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(
+            (F.lit(i) < bits) & (dot(vec, w) > 0.0), F.lit(1 << i)
+        ).otherwise(F.lit(0))
         sig = sig + bit
     return sig.cast("long")
 
 
-def _lsh_sig_sql(vec_expr: str) -> str:
+def _lsh_sig_sql(vec_expr: str, bits_expr: str, seed: int = _LSH_SEED) -> str:
     terms = []
-    for i, row in enumerate(lsh_hyperplanes()):
+    for i, row in enumerate(lsh_hyperplanes(seed=seed)):
         arr = "[" + ", ".join(f"{c}.0" for c in row) + "]"
         terms.append(
-            f"(CASE WHEN list_dot_product({vec_expr}, {arr}) > 0.0 THEN {1 << i} ELSE 0 END)"
+            f"(CASE WHEN {i} < {bits_expr} AND list_dot_product({vec_expr}, {arr}) > 0.0"
+            f" THEN {1 << i} ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ")::BIGINT"
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with norm, adaptive bit width, and (for the primary table) sig."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _vec_double("embedding").alias("v")
     )
-    e = with_norm(e).withColumn("sig", _lsh_sig_col(F.col("v")))
+    n = e.agg(F.count("*").cast("long").alias("n"))
+    return (
+        with_norm(e)
+        .crossJoin(F.broadcast(n))
+        .withColumn("bits", _lsh_bits_col(F.col("n")))
+        .drop("n")
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _lsh_base(spark, sf_dir).withColumn(
+        "sig", _lsh_sig_col(F.col("v"), F.col("bits"))
+    )
     q = e.filter(F.col("vec_id") < _TOPK_NQUERY).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
         F.col("sig").alias("qsig"),
+        "bits",
     )
-    # multi-probe: own bucket + each single-bit flip (bits+1 probes per query)
-    flips = F.array(*([F.lit(0)] + [F.lit(1 << i) for i in range(_LSH_BITS)]))
+    # multi-probe: own bucket + each single-bit flip of an ACTIVE bit
+    # (bits+1 probes per query); pos 0 = no flip, pos k flips bit k-1
+    flips = F.array(*([F.lit(0)] + [F.lit(1 << i) for i in range(_LSH_MAX_BITS)]))
     probes = (
-        q.withColumn("flip", F.explode(flips))
+        q.select("qid", "qv", "qnorm", "qsig", "bits", F.posexplode(flips).alias("pos", "flip"))
+        .filter((F.col("pos") == 0) | (F.col("pos") <= F.col("bits")))
         .select("qid", "qv", "qnorm", (F.col("qsig").bitwiseXOR(F.col("flip"))).alias("probe"))
     )
     cand = (
@@ -485,18 +541,112 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_lsh_oracle() -> str:
-    sig_v = _lsh_sig_sql("v")
-    flips = ", ".join(str(x) for x in [0] + [1 << i for i in range(_LSH_BITS)])
+    sig_v = _lsh_sig_sql("v", "bits")
+    flip_rows = ", ".join(
+        f"({k}, {0 if k == 0 else 1 << (k - 1)})" for k in range(_LSH_MAX_BITS + 1)
+    )
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm, {sig_v} AS sig FROM e),
-q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm, sig AS qsig FROM n WHERE vec_id < {_TOPK_NQUERY}),
-probes AS (SELECT qid, qv, qnorm, xor(qsig, flip.f) AS probe
-           FROM q, (SELECT unnest([{flips}]) AS f) flip),
+WITH cnt AS (SELECT COUNT(*)::BIGINT AS n FROM embeddings),
+bb AS (SELECT n, {_lsh_bits_sql('n')} AS bits FROM cnt),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigd AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm, {sig_v} AS sig, bits
+         FROM e CROSS JOIN bb),
+q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm, sig AS qsig, bits
+      FROM sigd WHERE vec_id < {_TOPK_NQUERY}),
+flips AS (SELECT * FROM (VALUES {flip_rows}) AS t(pos, f)),
+probes AS (SELECT qid, qv, qnorm, xor(qsig, f) AS probe
+           FROM q JOIN flips ON pos = 0 OR pos <= bits),
 cand AS (
-  SELECT DISTINCT p.qid, p.qv, p.qnorm, n.vec_id, n.v, n.norm
-  FROM n JOIN probes p ON n.sig = p.probe
-  WHERE n.vec_id <> p.qid
+  SELECT DISTINCT p.qid, p.qv, p.qnorm, sigd.vec_id, sigd.v, sigd.norm
+  FROM sigd JOIN probes p ON sigd.sig = p.probe
+  WHERE sigd.vec_id <> p.qid
+),
+scored AS (
+  SELECT qid, vec_id,
+         ROUND(list_dot_product(qv, v) / (qnorm * norm), 6) AS cosine
+  FROM cand
+)
+SELECT qid, vec_id, cosine, rank FROM (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {_TOPK_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Banded multi-table LSH: L independent hash tables, each with its own seed
+# and a SHALLOWER signature (bits-2, floored at MIN_BITS); a corpus vector is
+# a candidate if it collides with the query in ANY table (no hamming probes —
+# table multiplicity replaces them). Classic (b, L) LSH amplification: recall
+# stays bounded as bits grow with corpus size, because each table's miss
+# probability multiplies across L. The corpus side is exploded L× (map-only);
+# the join key is (table, sig) so tables never cross-match.
+# ---------------------------------------------------------------------------
+
+
+def _lsh_band_bits(bits: Column) -> Column:
+    return F.greatest(F.lit(_LSH_MIN_BITS), bits - F.lit(2))
+
+
+_LSH_BAND_BITS_SQL = f"GREATEST({_LSH_MIN_BITS}, bits - 2)"
+
+
+def ann_lsh_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _lsh_base(spark, sf_dir).withColumn("bbits", _lsh_band_bits(F.col("bits")))
+    sigs = [
+        _lsh_sig_col(F.col("v"), F.col("bbits"), seed=_LSH_SEED + t * _LSH_SEED_STRIDE)
+        for t in range(_LSH_BAND_TABLES)
+    ]
+    tagged = F.explode(
+        F.array(*[F.struct(F.lit(t).alias("t"), sigs[t].alias("sig")) for t in range(_LSH_BAND_TABLES)])
+    )
+    e = base.select("vec_id", "v", "norm", tagged.alias("ts")).select(
+        "vec_id", "v", "norm", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
+    )
+    q = e.filter(F.col("vec_id") < _TOPK_NQUERY).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("t").alias("qt"),
+        F.col("sig").alias("qsig"),
+    )
+    cand = (
+        e.join(F.broadcast(q), (e.t == q.qt) & (e.sig == q.qsig))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qv", "qnorm", "vec_id", "v", "norm")
+        .distinct()
+    )
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        F.round(dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.select(
+        "qid", "vec_id", "cosine", F.row_number().over(w).cast("long").alias("rank")
+    ).filter(F.col("rank") <= _TOPK_K)
+
+
+def _ann_lsh_banded_oracle() -> str:
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, norm, {t} AS t, "
+        f"{_lsh_sig_sql('v', _LSH_BAND_BITS_SQL, seed=_LSH_SEED + t * _LSH_SEED_STRIDE)} AS sig "
+        f"FROM normd CROSS JOIN bb"
+        for t in range(_LSH_BAND_TABLES)
+    )
+    return f"""
+WITH cnt AS (SELECT COUNT(*)::BIGINT AS n FROM embeddings),
+bb AS (SELECT n, {_lsh_bits_sql('n')} AS bits FROM cnt),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+normd AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+sigd AS ({per_table}),
+q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm, t AS qt, sig AS qsig
+      FROM sigd WHERE vec_id < {_TOPK_NQUERY}),
+cand AS (
+  SELECT DISTINCT p.qid, p.qv, p.qnorm, sigd.vec_id, sigd.v, sigd.norm
+  FROM sigd JOIN q p ON sigd.t = p.qt AND sigd.sig = p.qsig
+  WHERE sigd.vec_id <> p.qid
 ),
 scored AS (
   SELECT qid, vec_id,
@@ -515,6 +665,7 @@ for spec in [
     QuerySpec("ann_cosine_topk", ann_cosine_topk, _ANN_TOPK_ORACLE, "brute-force cosine top-k"),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, _COSINE_DUP_ORACLE, "embedding cosine near-dup pairs"),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, _ANN_IVF_ORACLE, "IVF-bucketed ANN top-k (scale path)"),
-    QuerySpec("ann_lsh_topk", ann_lsh_topk, _ann_lsh_oracle(), "multi-probe random-hyperplane LSH ANN top-k"),
+    QuerySpec("ann_lsh_topk", ann_lsh_topk, _ann_lsh_oracle(), "multi-probe random-hyperplane LSH ANN top-k (adaptive bits)"),
+    QuerySpec("ann_lsh_banded_topk", ann_lsh_banded_topk, _ann_lsh_banded_oracle(), "banded multi-table LSH ANN top-k"),
 ]:
     register(spec)

@@ -50,29 +50,123 @@ def test_multimodal_features_batch_shape(spark):
     assert all(r.n_bytes > 0 for r in rows)
 
 
-def test_lsh_recall_and_boundedness(spark):
-    """Multi-probe LSH: assert (a) a recall floor against the exact top-5 so
-    hyperplane/probe regressions get caught, and (b) the candidate set is
-    genuinely bounded — no query scores anywhere near the whole corpus (the
-    property that makes LSH the scale path; 6 bits + bits+1 probes covers at
-    most ~(bits+1)/2^bits of the space in expectation)."""
-    from templatedb_spark.operators.similarity import ann_cosine_topk, ann_lsh_topk
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, "/root/testdata/sf0.1"])
+def test_lsh_recall_and_boundedness(spark, sf_dir):
+    """Multi-probe LSH at TWO corpus sizes (adaptive bits picks different
+    widths: 4 bits at N=500, 6 at N=2000): assert (a) a recall floor against
+    the exact top-5 so hyperplane/probe/ladder regressions get caught, and
+    (b) the candidate set is genuinely bounded — no query scores anywhere
+    near the whole corpus (the property that makes LSH the scale path)."""
+    from templatedb_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_lsh_topk,
+        lsh_bits_for,
+        _lsh_sig_col,
+        _vec_double,
+    )
     from templatedb_spark.suite import table
     from pyspark.sql import functions as F
 
-    exact = {(r.qid, r.vec_id) for r in ann_cosine_topk(spark, SF_SMALL).collect()}
-    approx = {(r.qid, r.vec_id) for r in ann_lsh_topk(spark, SF_SMALL).collect()}
+    exact = {(r.qid, r.vec_id) for r in ann_cosine_topk(spark, sf_dir).collect()}
+    approx = {(r.qid, r.vec_id) for r in ann_lsh_topk(spark, sf_dir).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.15, f"LSH recall collapsed: {recall:.2f}"
+    assert recall >= 0.15, f"LSH recall collapsed at {sf_dir}: {recall:.2f}"
 
     # boundedness: bucket population is spread out, so the largest bucket
     # (an upper bound on any single probe's candidate contribution) is a
     # small fraction of the corpus
-    from templatedb_spark.operators.similarity import _lsh_sig_col, _vec_double
-
-    e = table(spark, SF_SMALL, "embeddings").select(
-        _lsh_sig_col(_vec_double("embedding")).alias("sig")
+    total = table(spark, sf_dir, "embeddings").count()
+    bits = lsh_bits_for(total)
+    e = table(spark, sf_dir, "embeddings").select(
+        _lsh_sig_col(_vec_double("embedding"), F.lit(bits)).alias("sig")
     )
-    total = e.count()
     biggest = e.groupBy("sig").count().agg(F.max("count")).collect()[0][0]
     assert biggest < total * 0.25, (biggest, total)
+
+
+def test_lsh_bits_ladder():
+    """The adaptive width ladder: constant expected bucket population."""
+    from templatedb_spark.operators.similarity import lsh_bits_for
+
+    assert lsh_bits_for(100) == 4
+    assert lsh_bits_for(500) == 4  # sf0.001 / sf0.01
+    assert lsh_bits_for(2000) == 6  # sf0.1
+    assert lsh_bits_for(48 << 7) == 7  # exact boundary stays
+    assert lsh_bits_for((48 << 7) + 1) == 8
+    assert lsh_bits_for(10**12) == 16  # clamped at MAX_BITS
+
+
+def test_lsh_banded_recall(spark):
+    """Banded multi-table LSH: L=4 shallower tables OR-ed. Amplification
+    should give recall at least as good as a single deeper table typically
+    does — assert the floor."""
+    from templatedb_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_lsh_banded_topk,
+    )
+
+    exact = {(r.qid, r.vec_id) for r in ann_cosine_topk(spark, SF_SMALL).collect()}
+    approx = {(r.qid, r.vec_id) for r in ann_lsh_banded_topk(spark, SF_SMALL).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"banded LSH recall collapsed: {recall:.2f}"
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, "/root/testdata/sf0.01"])
+def test_lsh_no_knife_edge_projections(sf_dir):
+    """Guard for the oracle's sign-agreement assumption (ADVICE r2): LSH
+    bucketing relies on Spark's sequential fold and DuckDB's
+    list_dot_product agreeing on the SIGN of every (vector, plane)
+    projection. Assert no projection magnitude is within epsilon of zero for
+    any plane any table could use, so a future data regen that lands on the
+    knife edge surfaces as a clear data problem, not an oracle mismatch."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from templatedb_spark.operators.similarity import (
+        _LSH_BAND_TABLES,
+        _LSH_SEED,
+        _LSH_SEED_STRIDE,
+        lsh_hyperplanes,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    mat = np.array(tbl.column("embedding").to_pylist(), dtype="float64")
+    for t in range(_LSH_BAND_TABLES):
+        planes = np.array(
+            lsh_hyperplanes(seed=_LSH_SEED + t * _LSH_SEED_STRIDE), dtype="float64"
+        )
+        min_abs = np.abs(mat @ planes.T).min()
+        assert min_abs > 1e-6, f"knife-edge projection: table {t}, |dot|={min_abs}"
+
+
+def test_ivf_kernel_matches_expression_path(spark):
+    """The BLAS assignment kernel and the interpreted expression fallback
+    must be interchangeable: the kernel's sequential-fold accumulation is
+    designed to reproduce F.aggregate's left fold bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from templatedb_spark.operators.similarity import (
+        _ivf_assign_expr,
+        _ivf_assign_kernel,
+        _IVF_CENTROID_STEP,
+        _vec_double,
+        with_norm,
+    )
+    from templatedb_spark.suite import table
+
+    raw = table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", _vec_double("embedding").alias("v")
+    )
+    e = with_norm(raw)
+    cent = e.filter(F.col("vec_id") % _IVF_CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    via_expr = {
+        (r.vec_id, r.cid, round(r.norm, 9))
+        for r in _ivf_assign_expr(e, cent).collect()
+    }
+    via_kernel = {
+        (r.vec_id, r.cid, round(r.norm, 9))
+        for r in _ivf_assign_kernel(spark, SF_SMALL, raw).collect()
+    }
+    assert via_expr == via_kernel
