@@ -19,22 +19,37 @@ ordered map + atomic batch + MVCC snapshot reads — not an LSM re-implementatio
 - **compact()** = rewrite the merged state as a single base version and drop
   history — the reference's `compact_range` (db_impl/template_impl.rs:180-194).
 
-Scale: deltas are partitioned parquet; the merge is one window over key
-(hash-shuffled by key, no global sort except for ordered scans). At real scale
-you'd bucket by key so point lookups prune files; compaction bounds the number
-of deltas merged per read, same role it plays in the LSM.
+Scale: deltas are partitioned parquet, and every version is sub-partitioned
+into `_KV_BUCKETS` key-hash buckets (crc32(key) % B — the same function
+evaluated JVM-side at write time and in Python at read time). A point `get`
+therefore opens ONLY its key's bucket directory under each version — 1/B of
+the files — mirroring how the LSM's bloom-filtered SSTables prune reads
+(reference: sstable/filter_block.rs); the merge is one window over key
+(hash-shuffled by key, no global sort except for ordered scans). Compaction
+bounds the number of deltas merged per read, same role it plays in the LSM.
 """
 
 from __future__ import annotations
 
 import os
+import zlib
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 _SCHEMA = "key string, value string, op string, version long"
+_KV_BUCKETS = 16
+
+
+def bucket_of(key: str) -> int:
+    """Python twin of the write path's F.crc32 bucket expression."""
+    return zlib.crc32(key.encode("utf-8")) % _KV_BUCKETS
+
+
+def _bucket_col() -> Column:
+    return F.pmod(F.crc32(F.col("key").cast("binary")), F.lit(_KV_BUCKETS)).cast("int")
 
 
 class KVTable:
@@ -65,8 +80,10 @@ class KVTable:
         rows += [(k, None, "del", v) for k in (deletes or [])]
         if not rows:
             return self.latest_version()
-        df = self.spark.createDataFrame(rows, _SCHEMA)
-        df.write.mode("errorifexists").parquet(f"{self.path}/version={v}")
+        df = self.spark.createDataFrame(rows, _SCHEMA).withColumn("bucket", _bucket_col())
+        df.write.mode("errorifexists").partitionBy("bucket").parquet(
+            f"{self.path}/version={v}"
+        )
         return v
 
     def put(self, key: str, value: str) -> int:
@@ -76,20 +93,32 @@ class KVTable:
         return self.write_batch(deletes=[key])
 
     # -- reads --------------------------------------------------------------
-    def _deltas(self, as_of: int | None = None) -> DataFrame | None:
+    def _delta_paths(self, as_of: int | None = None, bucket: int | None = None) -> list[str]:
         vs = self._versions()
         if as_of is not None:
             vs = [v for v in vs if v <= as_of]
-        if not vs:
+        out: list[str] = []
+        for v in vs:
+            root = Path(f"{self.path}/version={v}")
+            if bucket is None:
+                out.extend(sorted(str(p) for p in root.glob("bucket=*") if p.is_dir()))
+            elif (d := root / f"bucket={bucket}").is_dir():
+                out.append(str(d))
+        return out
+
+    def _read_deltas(self, paths: list[str]) -> DataFrame | None:
+        if not paths:
             return None
-        paths = [f"{self.path}/version={v}" for v in vs]
         df = self.spark.read.schema(_SCHEMA).parquet(*paths)
-        # parquet path discovery loses the version column (it's in the dir
-        # name); re-read it from the file path
+        # reading bucket leaf dirs directly skips partition discovery, and the
+        # version lives in the dir name — re-derive it from the file path
         return df.withColumn(
             "version",
             F.regexp_extract(F.input_file_name(), r"version=(\d+)", 1).cast("long"),
         )
+
+    def _deltas(self, as_of: int | None = None) -> DataFrame | None:
+        return self._read_deltas(self._delta_paths(as_of))
 
     def snapshot(self, as_of: int | None = None) -> DataFrame:
         """Merged (key, value) state at a version — MVCC read (snapshot.rs:9-32)."""
@@ -103,8 +132,26 @@ class KVTable:
             .select("key", "value")
         )
 
+    def _point_read_df(self, key: str, as_of: int | None = None) -> DataFrame | None:
+        """Pruned merge-on-read for one key: scans ONLY the key's bucket dir
+        under each version (1/B of the table's files — the LSM point-read
+        shape, db_trait.rs:17-34), with the key predicate pushed to parquet."""
+        deltas = self._read_deltas(self._delta_paths(as_of, bucket=bucket_of(key)))
+        if deltas is None:
+            return None
+        w = Window.partitionBy("key").orderBy(F.col("version").desc())
+        return (
+            deltas.filter(F.col("key") == key)
+            .withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") == "put"))
+            .select("key", "value")
+        )
+
     def get(self, key: str, as_of: int | None = None) -> str | None:
-        rows = self.snapshot(as_of).filter(F.col("key") == key).collect()
+        df = self._point_read_df(key, as_of)
+        if df is None:
+            return None
+        rows = df.collect()
         return rows[0].value if rows else None
 
     def scan(self, start: str | None = None, end: str | None = None, as_of: int | None = None) -> DataFrame:
@@ -127,8 +174,10 @@ class KVTable:
         v = self.latest_version() + 1
         out = state.withColumn("version", F.lit(v).cast("long")).select(
             "key", "value", "op", "version"
+        ).withColumn("bucket", _bucket_col())
+        out.write.mode("errorifexists").partitionBy("bucket").parquet(
+            f"{self.path}/version={v}"
         )
-        out.write.mode("errorifexists").parquet(f"{self.path}/version={v}")
         import shutil
 
         for old in self._versions():

@@ -615,6 +615,6 @@ for spec in [
     QuerySpec("dedup_ngram_capped", dedup_ngram_capped, _NGRAM_CAPPED_ORACLE, "df-capped shingle Jaccard (the at-scale variant)"),
     QuerySpec("dedup_ngram_prefix", dedup_ngram_prefix, _ngram_jaccard_oracle(_PREFIX_THRESHOLD), "prefix-filtered exact Jaccard at t=0.8 (the technique's design point)"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _MINHASH_ORACLE, "MinHash(16) + LSH banding near-dup"),
-    QuerySpec("dedup_simhash", dedup_simhash, _SIMHASH_ORACLE, "32-bit SimHash + 4-band blocking near-dup"),
+    QuerySpec("dedup_simhash", dedup_simhash, _SIMHASH_ORACLE, "60-bit SimHash + 4x15-bit-band blocking near-dup"),
 ]:
     register(spec)

@@ -499,8 +499,8 @@ ups  AS (SELECT * FROM latest WHERE event_type <> 'error'),
 surviving AS (
   SELECT c_custkey, c_name, c_mktsegment, c_acctbal, 'kept' AS src
   FROM customer
-  WHERE c_custkey NOT IN (SELECT key FROM dels)
-    AND c_custkey NOT IN (SELECT key FROM ups)
+  WHERE NOT EXISTS (SELECT 1 FROM dels WHERE dels.key = c_custkey)
+    AND NOT EXISTS (SELECT 1 FROM ups WHERE ups.key = c_custkey)
 ),
 updated AS (
   SELECT c_custkey, c_name, event_type AS c_mktsegment, value AS c_acctbal,
@@ -510,7 +510,7 @@ updated AS (
 inserted AS (
   SELECT key AS c_custkey, 'cdc:' || key AS c_name, event_type AS c_mktsegment,
          value AS c_acctbal, 'inserted' AS src
-  FROM ups WHERE key NOT IN (SELECT c_custkey FROM customer)
+  FROM ups WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = ups.key)
 )
 SELECT * FROM (
   SELECT * FROM surviving UNION ALL SELECT * FROM updated UNION ALL SELECT * FROM inserted

@@ -77,3 +77,43 @@ def test_approximate_size(kv):
     kv.write_batch(puts={f"k{i}": str(i) for i in range(10)})
     assert kv.approximate_size() == 10
     assert kv.approximate_size(start="k0", end="k5") == 5
+
+
+def test_bucket_fn_jvm_python_parity(spark):
+    """The write path buckets with F.crc32 (JVM); the point-read path picks
+    its directory with zlib.crc32 (Python). They MUST agree or point reads
+    silently miss keys."""
+    from pyspark.sql import functions as F
+
+    from templatedb_spark.kv import _KV_BUCKETS, _bucket_col, bucket_of
+
+    keys = [f"user:{i}" for i in range(50)] + ["", "ünïcode-ключ", "a" * 500]
+    df = spark.createDataFrame([(k,) for k in keys], "key string").withColumn(
+        "b", _bucket_col()
+    )
+    jvm = {r.key: r.b for r in df.collect()}
+    for k in keys:
+        assert jvm[k] == bucket_of(k), k
+        assert 0 <= jvm[k] < _KV_BUCKETS
+
+
+def test_point_read_scans_single_bucket(kv):
+    """VERDICT r2 item 5: get() must not merge the full snapshot — the plan
+    may only touch the key's own bucket directory (1/16 of the files)."""
+    from templatedb_spark.kv import bucket_of
+
+    kv.write_batch(puts={f"k{i}": str(i) for i in range(64)})
+    kv.write_batch(puts={f"k{i}": str(i * 10) for i in range(0, 64, 2)})
+    key = "k3"
+    df = kv._point_read_df(key)
+    files = df.inputFiles()
+    assert files, "point read found no files"
+    want = f"bucket={bucket_of(key)}/"
+    assert all(want in f for f in files), (want, files)
+    # and multiple buckets exist on disk, so the pruning is real
+    import glob
+
+    buckets = {f.split("bucket=")[1].split("/")[0] for f in glob.glob(f"{kv.path}/version=*/bucket=*")}
+    assert len(buckets) > 4
+    assert kv.get("k4") == "40"  # overwritten by the even-keys batch
+    assert kv.get("k3") == "3"  # odd key untouched by batch 2
