@@ -170,3 +170,33 @@ def test_ivf_kernel_matches_expression_path(spark):
         for r in _ivf_assign_kernel(spark, SF_SMALL, raw).collect()
     }
     assert via_expr == via_kernel
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png cycles filters 0-4 across scanlines; decode must
+    reconstruct the exact source pixels through every filter type."""
+    from templatedb_spark.operators.multimodal import decode_png, encode_png
+
+    w = h = 8
+    pixels = bytes((r * 31 + c * 7) % 256 for r in range(h) for c in range(w))
+    png = encode_png(pixels, w, h)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    px = decode_png(png)
+    assert bytes(v for row in px for v in row) == pixels
+
+
+def test_png_crc_corruption_detected():
+    from templatedb_spark.operators.multimodal import decode_png, encode_png
+    import pytest as _pytest
+
+    png = bytearray(encode_png(bytes(range(16)), 4, 4))
+    png[40] ^= 0xFF  # flip a byte inside IDAT
+    with _pytest.raises(ValueError):
+        decode_png(bytes(png))
+
+
+def test_decode_image_dispatches_png():
+    from templatedb_spark.operators.multimodal import decode_image, encode_png
+
+    png = encode_png(bytes(range(16)), 4, 4)
+    assert decode_image(png) == [list(range(i * 4, i * 4 + 4)) for i in range(4)]
