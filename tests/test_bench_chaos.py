@@ -1,0 +1,62 @@
+"""Concurrent-submission chaos gate (VERDICT r2 item 8): the round-2 bench
+silently lost 1-4 queries per run to a JVM-heap OOM that only fired under
+16-thread concurrent submission. This test turns that failure mode into a
+regression gate: submit the suite's heaviest specs from 16 driver threads at
+sf0.01 (the correctness-gate scale) against the shared session and assert
+EVERY query completes. A single exception here means the bench's headline
+makespan would again be quietly excluding failed work.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+from tests.conftest import SF_ORACLE
+
+# The queries bench.py fronts as its longest-processing-time-first prefix —
+# the same population whose failures the round-2 artifacts recorded.
+_HEAVIEST = [
+    "dedup_ngram_jaccard",
+    "dedup_ngram_capped",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "multimodal_features",
+    "ann_ivf_topk",
+    "multi_join_revenue",
+    "q1_pricing_summary",
+    "sessionize",
+    "string_functions",
+    "dedup_levenshtein",
+    "approx_distinct_users",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q18_large_orders",
+    "percentiles_price",
+    "vocab_top_tokens",
+    "tfidf_top_terms",
+]
+
+
+def test_concurrent_submission_zero_failures(spark):
+    from templatedb_spark.suite import all_specs
+
+    specs = all_specs()
+    missing = [n for n in _HEAVIEST if n not in specs]
+    assert not missing, f"chaos list out of date: {missing}"
+
+    errors: dict[str, str] = {}
+
+    def run_one(name: str) -> None:
+        try:
+            specs[name].spark(spark, SF_ORACLE).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:  # noqa: BLE001 — the assertion below reports all
+            errors[name] = f"{type(e).__name__}: {e}"
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        list(pool.map(run_one, _HEAVIEST))
+
+    assert not errors, f"concurrent submission lost queries: {errors}"
