@@ -98,12 +98,15 @@ def main() -> None:
     # `critical` = the suite's makespan critical path (multi-stage dedup
     # self-joins); they get the top-weight scheduler pool.
     critical = [
+        "ann_lsh_banded_topk",
         "dedup_ngram_jaccard",
         "dedup_ngram_capped",
         "dedup_simhash",
         "dedup_minhash_lsh",
     ]
     heavy = critical + [
+        "ann_lsh_topk",
+        "multimodal_decode_png",
         "dedup_embedding_cosine",
         "multimodal_features",
         "ann_ivf_topk",

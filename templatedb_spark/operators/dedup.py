@@ -60,8 +60,17 @@ def clear_dedup_caches(spark: SparkSession) -> None:
     concurrent dedup queries share one tokenization pass; nothing unpersists
     them mid-session (MEMORY_AND_DISK spills rather than OOMs). Long-lived
     sessions (REPL, bench loops) should call this after the dedup family
-    completes to drop the retained relations.
+    completes to drop the retained relations. Also evicts the similarity
+    tier's per-(app, sf) centroid/count caches and pipeline.py's label memo,
+    which pins localCheckpoint'd DataFrames — without this, regenerating data
+    at the same sf_dir within one session would silently serve stale labels
+    (ADVICE r2).
     """
+    from templatedb_spark.operators import pipeline, similarity
+
+    pipeline._LABELS_MEMO.clear()
+    similarity._IVF_CENT_CACHE.clear()
+    similarity._LSH_N_CACHE.clear()
     spark.catalog.clearCache()
 
 

@@ -490,8 +490,71 @@ def _lsh_sig_sql(vec_expr: str, bits_expr: str, seed: int = _LSH_SEED) -> str:
     return "(" + " + ".join(terms) + ")::BIGINT"
 
 
+_LSH_N_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    """Embeddings row count, cached per (app, sf) — a parquet-metadata-only
+    job, so at 100 TB it reads footers, not data."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LSH_N_CACHE:
+        _LSH_N_CACHE[key] = spark.read.parquet(
+            f"{sf_dir.rstrip('/')}/embeddings.parquet"
+        ).count()
+    return _LSH_N_CACHE[key]
+
+
+def _lsh_sig_kernel(
+    spark: SparkSession, sf_dir: str, tables: list[tuple[int, int, int]]
+) -> DataFrame:
+    """(vec_id, v, norm, t, sig) for every (t, bits, seed) hash table in ONE
+    map-only mapInPandas pass: per Arrow batch, all tables' signatures come
+    from sequential-fold numpy projections (bit-identical sign decisions to
+    the engines' left folds — see _seq_matmul). Replaces the interpreted
+    per-plane zip_with/aggregate expressions that made the banded variant the
+    suite's critical path (4 tables × 16 gated plane dots per row)."""
+    import numpy as np
+    import pandas as pd
+
+    plane_sets = [
+        (t, np.array(lsh_hyperplanes(seed=seed), dtype="float64")[:bits], bits)
+        for t, bits, seed in tables
+    ]
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vmat = np.stack(pdf["v"].to_numpy()).astype("float64")
+            norm = _seq_norms(vmat)
+            frames = []
+            for t, planes, bits in plane_sets:
+                proj = _seq_matmul(vmat, planes)  # (n, bits)
+                weights = (1 << np.arange(bits, dtype="int64"))[None, :]
+                sig = ((proj > 0.0).astype("int64") * weights).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "v": pdf["v"],
+                            "norm": norm,
+                            "t": t,
+                            "sig": sig,
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    raw = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double("embedding").alias("v")
+    )
+    return raw.mapInPandas(
+        kern, schema="vec_id long, v array<double>, norm double, t int, sig long"
+    )
+
+
 def _lsh_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus with norm, adaptive bit width, and (for the primary table) sig."""
+    """Corpus with norm and adaptive bit width (expression fallback path)."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _vec_double("embedding").alias("v")
     )
@@ -504,7 +567,33 @@ def _lsh_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _use_ann_kernel(sf_dir: str) -> bool:
+    from pathlib import Path
+
+    try:
+        size = Path(sf_dir.rstrip("/"), "embeddings.parquet").stat().st_size
+    except OSError:
+        return True  # unknown layout → kernel path
+    return size >= _IVF_KERNEL_MIN_BYTES
+
+
+def _ann_rank(cand: DataFrame) -> DataFrame:
+    """Exact-cosine rerank of a bounded candidate set — shared tail of every
+    ANN tier: (qid, qv, qnorm, vec_id, v, norm) → top-k by rounded cosine."""
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        F.round(dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.select(
+        "qid", "vec_id", "cosine", F.row_number().over(w).cast("long").alias("rank")
+    ).filter(F.col("rank") <= _TOPK_K)
+
+
+def _ann_lsh_topk_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-corpus fallback: signatures as gated interpreted expressions,
+    bits as a column from a count aggregate (equivalence-tested vs kernel)."""
     e = _lsh_base(spark, sf_dir).withColumn(
         "sig", _lsh_sig_col(F.col("v"), F.col("bits"))
     )
@@ -529,15 +618,31 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "qv", "qnorm", "vec_id", "v", "norm")
         .distinct()
     )
-    scored = cand.select(
-        "qid",
-        "vec_id",
-        F.round(dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6).alias("cosine"),
+    return _ann_rank(cand)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if not _use_ann_kernel(sf_dir):
+        return _ann_lsh_topk_expr(spark, sf_dir)
+    bits = lsh_bits_for(_corpus_count(spark, sf_dir))
+    e = _lsh_sig_kernel(spark, sf_dir, [(0, bits, _LSH_SEED)]).drop("t")
+    q = e.filter(F.col("vec_id") < _TOPK_NQUERY).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("sig").alias("qsig"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return scored.select(
-        "qid", "vec_id", "cosine", F.row_number().over(w).cast("long").alias("rank")
-    ).filter(F.col("rank") <= _TOPK_K)
+    flips = F.array(*([F.lit(0)] + [F.lit(1 << i) for i in range(bits)]))
+    probes = q.withColumn("flip", F.explode(flips)).select(
+        "qid", "qv", "qnorm", (F.col("qsig").bitwiseXOR(F.col("flip"))).alias("probe")
+    )
+    cand = (
+        e.join(F.broadcast(probes), e.sig == probes.probe)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qv", "qnorm", "vec_id", "v", "norm")
+        .distinct()
+    )
+    return _ann_rank(cand)
 
 
 def _ann_lsh_oracle() -> str:
@@ -592,18 +697,9 @@ def _lsh_band_bits(bits: Column) -> Column:
 _LSH_BAND_BITS_SQL = f"GREATEST({_LSH_MIN_BITS}, bits - 2)"
 
 
-def ann_lsh_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _lsh_base(spark, sf_dir).withColumn("bbits", _lsh_band_bits(F.col("bits")))
-    sigs = [
-        _lsh_sig_col(F.col("v"), F.col("bbits"), seed=_LSH_SEED + t * _LSH_SEED_STRIDE)
-        for t in range(_LSH_BAND_TABLES)
-    ]
-    tagged = F.explode(
-        F.array(*[F.struct(F.lit(t).alias("t"), sigs[t].alias("sig")) for t in range(_LSH_BAND_TABLES)])
-    )
-    e = base.select("vec_id", "v", "norm", tagged.alias("ts")).select(
-        "vec_id", "v", "norm", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
-    )
+def _band_join_rank(e: DataFrame) -> DataFrame:
+    """Shared tail of both banded paths: (vec_id, v, norm, t, sig) → OR-of-
+    tables candidate join → exact rerank."""
     q = e.filter(F.col("vec_id") < _TOPK_NQUERY).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
@@ -617,15 +713,35 @@ def ann_lsh_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "qv", "qnorm", "vec_id", "v", "norm")
         .distinct()
     )
-    scored = cand.select(
-        "qid",
-        "vec_id",
-        F.round(dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6).alias("cosine"),
+    return _ann_rank(cand)
+
+
+def _ann_lsh_banded_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _lsh_base(spark, sf_dir).withColumn("bbits", _lsh_band_bits(F.col("bits")))
+    sigs = [
+        _lsh_sig_col(F.col("v"), F.col("bbits"), seed=_LSH_SEED + t * _LSH_SEED_STRIDE)
+        for t in range(_LSH_BAND_TABLES)
+    ]
+    tagged = F.explode(
+        F.array(*[F.struct(F.lit(t).alias("t"), sigs[t].alias("sig")) for t in range(_LSH_BAND_TABLES)])
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return scored.select(
-        "qid", "vec_id", "cosine", F.row_number().over(w).cast("long").alias("rank")
-    ).filter(F.col("rank") <= _TOPK_K)
+    e = base.select("vec_id", "v", "norm", tagged.alias("ts")).select(
+        "vec_id", "v", "norm", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
+    )
+    return _band_join_rank(e)
+
+
+def ann_lsh_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if not _use_ann_kernel(sf_dir):
+        return _ann_lsh_banded_expr(spark, sf_dir)
+    bits = lsh_bits_for(_corpus_count(spark, sf_dir))
+    bbits = max(_LSH_MIN_BITS, bits - 2)
+    e = _lsh_sig_kernel(
+        spark,
+        sf_dir,
+        [(t, bbits, _LSH_SEED + t * _LSH_SEED_STRIDE) for t in range(_LSH_BAND_TABLES)],
+    )
+    return _band_join_rank(e)
 
 
 def _ann_lsh_banded_oracle() -> str:

@@ -200,3 +200,22 @@ def test_decode_image_dispatches_png():
 
     png = encode_png(bytes(range(16)), 4, 4)
     assert decode_image(png) == [list(range(i * 4, i * 4 + 4)) for i in range(4)]
+
+
+def test_lsh_kernel_matches_expression_path(spark):
+    """The numpy signature kernel and the gated-expression fallback must
+    produce identical top-k (sign decisions share the engines' fold order)."""
+    from templatedb_spark.operators.similarity import (
+        _ann_lsh_banded_expr,
+        _ann_lsh_topk_expr,
+        ann_lsh_banded_topk,
+        ann_lsh_topk,
+    )
+
+    for kernel_fn, expr_fn in [
+        (ann_lsh_topk, _ann_lsh_topk_expr),
+        (ann_lsh_banded_topk, _ann_lsh_banded_expr),
+    ]:
+        via_kernel = {tuple(r) for r in kernel_fn(spark, SF_SMALL).collect()}
+        via_expr = {tuple(r) for r in expr_fn(spark, SF_SMALL).collect()}
+        assert via_kernel == via_expr, kernel_fn.__name__
