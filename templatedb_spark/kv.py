@@ -184,3 +184,81 @@ class KVTable:
             if old != v:
                 shutil.rmtree(f"{self.path}/version={old}")
         return v
+
+
+class MergeKVTable(KVTable):
+    """Copy-on-write twin of KVTable behind the same API: every write batch
+    MERGEs into the previous state and persists a COMPLETE new state version
+    (the 3-branch MERGE shape of streaming/cdc.py's net-effect apply —
+    matched+delete drops the row, matched+put replaces it, unmatched put
+    inserts). Where the base class is merge-on-read (LSM-style: cheap writes,
+    reads fold deltas), this backend is merge-on-write (Delta/Iceberg MERGE
+    style: writes rewrite state, reads touch exactly ONE version). snapshot()
+    needs no window; a point get reads one bucket dir of one version. At real
+    scale the full-state rewrite becomes a partition-level rewrite of only the
+    buckets a batch touches — the bucket layout here is exactly that unit.
+    """
+
+    def _state_version(self, as_of: int | None = None) -> int | None:
+        vs = self._versions()
+        if as_of is not None:
+            vs = [v for v in vs if v <= as_of]
+        return vs[-1] if vs else None
+
+    def write_batch(self, puts: dict[str, str] | None = None, deletes: list[str] | None = None) -> int:
+        puts = puts or {}
+        deletes = deletes or []
+        if not puts and not deletes:
+            return self.latest_version()
+        v = self.latest_version() + 1
+        prev = self.snapshot()
+        changed = self.spark.createDataFrame(
+            [(k,) for k in set(puts) | set(deletes)], "key string"
+        )
+        state = prev.join(changed, "key", "left_anti")
+        if puts:
+            state = state.unionByName(
+                self.spark.createDataFrame(list(puts.items()), "key string, value string")
+            )
+        out = state.select(
+            "key",
+            "value",
+            F.lit("put").alias("op"),
+            F.lit(v).cast("long").alias("version"),
+        ).withColumn("bucket", _bucket_col())
+        out.write.mode("errorifexists").partitionBy("bucket").parquet(
+            f"{self.path}/version={v}"
+        )
+        return v
+
+    def snapshot(self, as_of: int | None = None) -> DataFrame:
+        v = self._state_version(as_of)
+        if v is None:
+            return self.spark.createDataFrame([], "key string, value string")
+        paths = sorted(
+            str(p) for p in Path(f"{self.path}/version={v}").glob("bucket=*") if p.is_dir()
+        )
+        df = self._read_deltas(paths)
+        if df is None:
+            return self.spark.createDataFrame([], "key string, value string")
+        return df.select("key", "value")
+
+    def _point_read_df(self, key: str, as_of: int | None = None) -> DataFrame | None:
+        v = self._state_version(as_of)
+        if v is None:
+            return None
+        d = Path(f"{self.path}/version={v}/bucket={bucket_of(key)}")
+        if not d.is_dir():
+            return None
+        df = self._read_deltas([str(d)])
+        return df.filter(F.col("key") == key).select("key", "value")
+
+    def compact(self) -> int:
+        """State is already merged per version — compaction just drops history."""
+        import shutil
+
+        v = self.latest_version()
+        for old in self._versions():
+            if old != v:
+                shutil.rmtree(f"{self.path}/version={old}")
+        return v

@@ -7,13 +7,14 @@ import tempfile
 
 import pytest
 
-from templatedb_spark.kv import KVTable
+from templatedb_spark.kv import KVTable, MergeKVTable
 
 
-@pytest.fixture()
-def kv(spark):
+@pytest.fixture(params=["lsm", "merge"])
+def kv(spark, request):
+    cls = KVTable if request.param == "lsm" else MergeKVTable
     with tempfile.TemporaryDirectory() as d:
-        yield KVTable(spark, d)
+        yield cls(spark, d)
 
 
 def test_put_get(kv):
