@@ -367,23 +367,34 @@ _REP_MAX_TOP_BIGRAM = 0.1
 
 
 def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition stats with ZERO shuffles: the bigram histogram of a
+    document is row-local, so instead of explode → two hash aggregations
+    (which shuffled ~n_tokens rows per doc — the suite's contended critical
+    path in round 3), sort the bigram array in place and take the longest
+    run of equal neighbors with one fold. The whole spec is a map-side
+    projection over the shared tokenized corpus."""
     tok = tokenized(spark, sf_dir).filter(F.size("t") >= 2)
-    bi = tok.select(
+    max_run = F.expr(
+        """
+        aggregate(
+          array_sort(transform(sequence(1, size(t) - 1),
+                     i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))),
+          named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+          (acc, x) -> named_struct(
+            'prev', x,
+            'run',  CASE WHEN acc.prev IS NOT NULL AND x = acc.prev
+                         THEN acc.run + 1 ELSE 1L END,
+            'best', greatest(acc.best,
+                    CASE WHEN acc.prev IS NOT NULL AND x = acc.prev
+                         THEN acc.run + 1 ELSE 1L END)),
+          acc -> acc.best)
+        """
+    )
+    stats = tok.select(
         "doc_id",
         F.size("t").cast("long").alias("n_tokens"),
         (F.size(F.array_distinct("t")) / F.size("t")).alias("distinct_ratio"),
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 1), "
-                "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
-            )
-        ).alias("bg"),
-    )
-    cnt = bi.groupBy("doc_id", "n_tokens", "distinct_ratio", "bg").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    stats = cnt.groupBy("doc_id", "n_tokens", "distinct_ratio").agg(
-        (F.max("c") / F.sum("c")).alias("top_bigram_frac")
+        (max_run / (F.size("t") - 1)).alias("top_bigram_frac"),
     )
     return stats.select(
         "doc_id",

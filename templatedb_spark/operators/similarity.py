@@ -777,11 +777,92 @@ SELECT qid, vec_id, cosine, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDedup-style): cluster the embedding space (reusing the
+# deterministic IVF assignment), elect one representative per cluster (min
+# vec_id), and drop members whose cosine to their representative exceeds a
+# threshold. The scale shape: assignment is the map-only kernel above;
+# representatives are one tiny broadcast (|clusters| rows); the verdict join
+# never compares across clusters — candidate volume is |corpus|, not |pairs|.
+# ---------------------------------------------------------------------------
+_SEMDEDUP_THRESHOLD = 0.30
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = with_norm(
+        table(spark, sf_dir, "embeddings").select("vec_id", _vec_double("embedding").alias("v"))
+    )
+    cent = e.filter(F.col("vec_id") % _IVF_CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    raw = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double("embedding").alias("v")
+    )
+    if _use_ann_kernel(sf_dir):
+        assigned = _ivf_assign_kernel(spark, sf_dir, raw)
+    else:
+        assigned = _ivf_assign_expr(e, cent)
+    rep_ids = assigned.groupBy("cid").agg(F.min("vec_id").alias("rep_id")).select(
+        F.col("cid").alias("mcid"), "rep_id"
+    )
+    renamed = assigned.select(
+        F.col("cid").alias("rcid"),
+        F.col("vec_id").alias("rvid"),
+        F.col("v").alias("rv"),
+        F.col("norm").alias("rnorm"),
+    )
+    reps = renamed.join(
+        F.broadcast(rep_ids),
+        (F.col("rvid") == F.col("rep_id")) & (F.col("rcid") == F.col("mcid")),
+    ).select("rcid", "rep_id", "rv", "rnorm")
+    joined = assigned.join(F.broadcast(reps), F.col("cid") == F.col("rcid"))
+    cos = F.round(dot(F.col("v"), F.col("rv")) / (F.col("norm") * F.col("rnorm")), 6)
+    return joined.select(
+        "vec_id",
+        "cid",
+        "rep_id",
+        cos.alias("cosine_rep"),
+        (
+            (F.col("vec_id") == F.col("rep_id"))
+            | (cos < _SEMDEDUP_THRESHOLD)
+        ).alias("keep"),
+    )
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+           FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM n WHERE vec_id % {_IVF_CENTROID_STEP} = 0),
+assigned AS (
+  SELECT vec_id, v, norm, cid FROM (
+    SELECT n.vec_id, n.v, n.norm, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             ORDER BY ROUND(list_dot_product(n.v, cent.cv) / (n.norm * cent.cnorm), 6) DESC,
+                      cent.cid ASC) AS crank
+    FROM n CROSS JOIN cent
+  ) WHERE crank = 1
+),
+reps AS (
+  SELECT a.cid AS rcid, a.vec_id AS rep_id, a.v AS rv, a.norm AS rnorm
+  FROM assigned a
+  JOIN (SELECT cid, MIN(vec_id) AS rep_id FROM assigned GROUP BY cid) m
+    ON a.cid = m.cid AND a.vec_id = m.rep_id
+)
+SELECT a.vec_id, a.cid, r.rep_id,
+       ROUND(list_dot_product(a.v, r.rv) / (a.norm * r.rnorm), 6) AS cosine_rep,
+       (a.vec_id = r.rep_id OR
+        ROUND(list_dot_product(a.v, r.rv) / (a.norm * r.rnorm), 6) < {_SEMDEDUP_THRESHOLD}) AS keep
+FROM assigned a JOIN reps r ON a.cid = r.rcid
+"""
+
+
 for spec in [
     QuerySpec("ann_cosine_topk", ann_cosine_topk, _ANN_TOPK_ORACLE, "brute-force cosine top-k"),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, _COSINE_DUP_ORACLE, "embedding cosine near-dup pairs"),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, _ANN_IVF_ORACLE, "IVF-bucketed ANN top-k (scale path)"),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, _ann_lsh_oracle(), "multi-probe random-hyperplane LSH ANN top-k (adaptive bits)"),
     QuerySpec("ann_lsh_banded_topk", ann_lsh_banded_topk, _ann_lsh_banded_oracle(), "banded multi-table LSH ANN top-k"),
+    QuerySpec("semantic_dedup", semantic_dedup, _SEMDEDUP_ORACLE, "SemDedup-style cluster-representative dedup"),
 ]:
     register(spec)

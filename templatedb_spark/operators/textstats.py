@@ -221,8 +221,62 @@ WHERE {bucket} % 100 < (CASE {quota} ELSE 0 END)
 """
 
 
+# ---------------------------------------------------------------------------
+# Epoch-weighted source mixture: the data-recipe step of corpus assembly.
+# Each source gets a mixture weight (here derived deterministically from the
+# source index; a real run passes a weights table): weight 1.6 means every doc
+# appears once and 60% of docs (chosen by doc-hash) appear a second time —
+# i.e. fractional EPOCHS, the standard up/down-sampling recipe for pretraining
+# mixes. All arithmetic is integer (weight in percent) so both engines agree
+# exactly; the row multiplication is a map-side explode of sequence(1, n) —
+# no shuffle, and at 100 TB the output is written straight to shards.
+# ---------------------------------------------------------------------------
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    idx = F.substring("source", 4, 8).cast("int")
+    w_pct = (F.lit(25) + (idx % 8) * F.lit(45)).cast("long")  # 25%..340%
+    whole = F.floor(w_pct / 100).cast("long")
+    frac = w_pct % 100
+    h = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))) % 100
+    n_copies = (whole + F.when(h < frac, 1).otherwise(0)).cast("int")
+    return (
+        d.select("doc_id", "source", "lang", n_copies.alias("n_copies"))
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.when(F.col("n_copies") >= 1, F.sequence(F.lit(1), F.col("n_copies")))
+                .otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .select("doc_id", "source", "lang", "n_copies", F.col("epoch").cast("int").alias("epoch"))
+    )
+
+
+def _mixture_oracle() -> str:
+    h = md5_long_sql("CAST(doc_id AS VARCHAR) || ':mix'")
+    return f"""
+WITH w AS (
+  SELECT doc_id, source, lang,
+         (25 + (CAST(substr(source, 4) AS INT) % 8) * 45)::BIGINT AS w_pct,
+         {h} % 100 AS h
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source, lang,
+         (w_pct // 100 + CASE WHEN h < w_pct % 100 THEN 1 ELSE 0 END)::INT AS n_copies
+  FROM w
+)
+SELECT doc_id, source, lang, n_copies,
+       unnest(generate_series(1, n_copies))::INT AS epoch
+FROM n WHERE n_copies >= 1
+"""
+
+
 for spec in [
     QuerySpec("text_hash_sample", text_hash_sample, _hash_sample_oracle(), "deterministic stratified hash sampling"),
+    QuerySpec("mixture_sample", mixture_sample, _mixture_oracle(), "epoch-weighted source mixture (fractional up/down-sampling)"),
     QuerySpec("text_language_id", text_language_id, _lang_oracle(), "stopword-heuristic language ID"),
     QuerySpec("text_quality_score", text_quality_score, _QUALITY_ORACLE, "doc quality scoring"),
     QuerySpec("text_token_count", text_token_count, _TOKEN_COUNT_ORACLE, "whitespace + BPE-ish token counts"),

@@ -291,3 +291,16 @@ def test_pipeline_round3_plan_shapes(spark):
 
     rep = physical_plan(specs["text_repetition_score"].spark(spark, SF_SMALL))
     assert not uses_python_udf(specs["text_repetition_score"].spark(spark, SF_SMALL))
+
+
+def test_repetition_score_no_shuffle(spark):
+    """text_repetition_score was the round-3 contended critical path as an
+    explode + double hash-agg (two Exchanges over ~n_tokens rows per doc);
+    the bigram histogram is row-local, so the plan must now be a pure
+    map-side projection: zero Exchange below the (cached) tokenized scan."""
+    from templatedb_spark.operators.pipeline import text_repetition_score
+    from templatedb_spark.plans.explain import physical_plan
+    from tests.conftest import SF_SMALL
+
+    plan = physical_plan(text_repetition_score(spark, SF_SMALL))
+    assert "Exchange" not in plan, plan

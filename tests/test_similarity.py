@@ -219,3 +219,44 @@ def test_lsh_kernel_matches_expression_path(spark):
         via_kernel = {tuple(r) for r in kernel_fn(spark, SF_SMALL).collect()}
         via_expr = {tuple(r) for r in expr_fn(spark, SF_SMALL).collect()}
         assert via_kernel == via_expr, kernel_fn.__name__
+
+
+def test_semantic_dedup_properties(spark):
+    """Representatives are always kept; every dropped member is actually
+    within threshold of its cluster representative; clusters never cross."""
+    from templatedb_spark.operators.similarity import (
+        _SEMDEDUP_THRESHOLD,
+        semantic_dedup,
+    )
+
+    rows = semantic_dedup(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        if r.vec_id == r.rep_id:
+            assert r.keep, r
+            assert abs(r.cosine_rep - 1.0) < 1e-6, r  # self-cosine
+        if not r.keep:
+            assert r.cosine_rep >= _SEMDEDUP_THRESHOLD, r
+    assert any(not r.keep for r in rows), "no semantic dups found at all"
+
+
+def test_mixture_sample_epochs(spark):
+    """w_pct >= 100 sources keep every doc at least once; epoch numbering is
+    dense 1..n_copies; fractional upsampling actually multiplies rows."""
+    from collections import Counter
+
+    from templatedb_spark.operators.textstats import mixture_sample
+    from templatedb_spark.suite import table
+
+    rows = mixture_sample(spark, SF_SMALL).collect()
+    per_doc = Counter(r.doc_id for r in rows)
+    for r in rows:
+        assert 1 <= r.epoch <= r.n_copies
+        assert per_doc[r.doc_id] == r.n_copies
+    n_docs = table(spark, SF_SMALL, "documents").count()
+    assert len(rows) != n_docs  # mixture genuinely re-weights
+    # sources with whole weight >= 1 (idx % 8 >= 2 → w_pct >= 115) never drop docs
+    for r in rows:
+        idx = int(r.source[3:])
+        if 25 + (idx % 8) * 45 >= 100:
+            assert per_doc[r.doc_id] >= 1
