@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from templatedb_spark.functions.hashing import (
     MERSENNE_31,
@@ -439,6 +440,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental dedup: the production daily-ingest shape. A new BATCH of
+# documents (here the deterministic 10% slice doc_id % 10 == 9; a real
+# pipeline passes yesterday's corpus and today's delta as two tables) is
+# checked against the EXISTING corpus only — batch×corpus band join, never
+# corpus×corpus — and every batch doc gets one verdict row. At 100 TB the
+# corpus side's signatures are a materialized table maintained across runs
+# (the shared minhash cache is the local stand-in), so each ingest costs
+# one signature pass over the delta plus a band join keyed by minhash value.
+# ---------------------------------------------------------------------------
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.suite import table as _table
+
+    sig = minhash_signatures(spark, sf_dir)
+    is_batch = F.col("doc_id") % 10 == 9
+    bsig = sig.filter(is_batch).select(
+        F.col("doc_id").alias("bdoc"), "i", "mh"
+    )
+    csig = sig.filter(~is_batch).select(
+        F.col("doc_id").alias("cdoc"), F.col("i").alias("ci"), F.col("mh").alias("cmh")
+    )
+    cand = (
+        bsig.join(csig, (F.col("i") == F.col("ci")) & (F.col("mh") == F.col("cmh")))
+        .select("bdoc", "cdoc")
+        .distinct()
+    )
+    wide = minhash_signatures_wide(spark, sf_dir)
+    wb = wide.select(F.col("doc_id").alias("wb"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(_MINHASH_K)])
+    wc = wide.select(F.col("doc_id").alias("wc"), *[F.col(f"mh_{i}").alias(f"c_{i}") for i in range(_MINHASH_K)])
+    matches = sum(
+        F.when(F.col(f"b_{i}") == F.col(f"c_{i}"), 1).otherwise(0)
+        for i in range(_MINHASH_K)
+    )
+    est = (
+        cand.join(wb, F.col("bdoc") == F.col("wb"))
+        .join(wc, F.col("cdoc") == F.col("wc"))
+        .select("bdoc", "cdoc", matches.alias("matches"))
+        .filter(F.col("matches") >= _MINHASH_MATCH_MIN)
+    )
+    w = Window.partitionBy("bdoc").orderBy(F.col("matches").desc(), F.col("cdoc").asc())
+    best = est.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    batch_docs = _table(spark, sf_dir, "documents").filter(is_batch).select("doc_id")
+    return (
+        batch_docs.join(best, batch_docs.doc_id == best.bdoc, "left")
+        .select(
+            "doc_id",
+            F.col("cdoc").isNotNull().alias("is_dup"),
+            F.col("cdoc").alias("matched_doc"),
+            (F.col("matches").cast("double") / F.lit(float(_MINHASH_K))).alias("est_jaccard"),
+        )
+    )
+
+
 def _perms_values_sql() -> str:
     return ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_PERMS))
 
@@ -467,6 +523,34 @@ FROM est WHERE matches >= {_MINHASH_MATCH_MIN}"""
 _MINHASH_ORACLE = f"""
 WITH {_MINHASH_CTES}
 {_MINHASH_SELECT}
+"""
+
+_INCREMENTAL_ORACLE = f"""
+WITH {_SHINGLES_SQL},
+hs AS (SELECT doc_id, {h32_sql('sh')} AS h FROM sh),
+perms(i, a, b) AS (VALUES {_perms_values_sql()}),
+sig AS (SELECT doc_id, i, MIN((a * h + b) % {MERSENNE_31}) AS mh
+        FROM hs CROSS JOIN perms GROUP BY doc_id, i),
+bsig AS (SELECT doc_id AS bdoc, i, mh FROM sig WHERE doc_id % 10 = 9),
+csig AS (SELECT doc_id AS cdoc, i, mh FROM sig WHERE doc_id % 10 <> 9),
+cand AS (SELECT DISTINCT b.bdoc, c.cdoc
+         FROM bsig b JOIN csig c ON b.i = c.i AND b.mh = c.mh),
+est AS (SELECT cand.bdoc, cand.cdoc,
+               SUM(CASE WHEN sb.mh = sc.mh THEN 1 ELSE 0 END) AS matches
+        FROM cand
+        JOIN sig sb ON sb.doc_id = cand.bdoc
+        JOIN sig sc ON sc.doc_id = cand.cdoc AND sb.i = sc.i
+        GROUP BY 1, 2
+        HAVING SUM(CASE WHEN sb.mh = sc.mh THEN 1 ELSE 0 END) >= {_MINHASH_MATCH_MIN}),
+best AS (SELECT bdoc, cdoc, matches,
+                ROW_NUMBER() OVER (PARTITION BY bdoc ORDER BY matches DESC, cdoc ASC) AS rn
+         FROM est)
+SELECT d.doc_id,
+       (b.cdoc IS NOT NULL) AS is_dup,
+       b.cdoc AS matched_doc,
+       CAST(b.matches AS DOUBLE) / {_MINHASH_K} AS est_jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.bdoc
 """
 
 
@@ -625,5 +709,6 @@ for spec in [
     QuerySpec("dedup_ngram_prefix", dedup_ngram_prefix, _ngram_jaccard_oracle(_PREFIX_THRESHOLD), "prefix-filtered exact Jaccard at t=0.8 (the technique's design point)"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _MINHASH_ORACLE, "MinHash(16) + LSH banding near-dup"),
     QuerySpec("dedup_simhash", dedup_simhash, _SIMHASH_ORACLE, "60-bit SimHash + 4x15-bit-band blocking near-dup"),
+    QuerySpec("dedup_incremental", dedup_incremental, _INCREMENTAL_ORACLE, "incremental batch-vs-corpus minhash dedup (daily-ingest shape)"),
 ]:
     register(spec)
