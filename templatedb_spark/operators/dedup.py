@@ -72,6 +72,7 @@ def clear_dedup_caches(spark: SparkSession) -> None:
     pipeline._LABELS_MEMO.clear()
     similarity._IVF_CENT_CACHE.clear()
     similarity._LSH_N_CACHE.clear()
+    similarity._ANN_MEMO.clear()
     spark.catalog.clearCache()
 
 

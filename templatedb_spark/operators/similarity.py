@@ -290,7 +290,13 @@ def _ivf_assign_kernel(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFr
                 }
             )
 
-    return e.mapInPandas(assign, schema="vec_id long, v array<double>, norm double, cid long")
+    key = (spark.sparkContext.applicationId, sf_dir, "ivf-assign")
+    return _ann_memo(
+        key,
+        lambda: e.mapInPandas(
+            assign, schema="vec_id long, v array<double>, norm double, cid long"
+        ),
+    )
 
 
 def _ivf_assign_expr(e_normed: DataFrame, cent: DataFrame) -> DataFrame:
@@ -492,6 +498,22 @@ def _lsh_sig_sql(vec_expr: str, bits_expr: str, seed: int = _LSH_SEED) -> str:
 
 _LSH_N_CACHE: dict[tuple[str, str], int] = {}
 
+# Kernel outputs are deterministic per (app, sf[, table spec]) and referenced
+# several times within one query plan (corpus side + query side + rep side) —
+# and across queries (ann_ivf_topk and semantic_dedup share one assignment).
+# Without this memo the mapInPandas kernel re-executes per reference (the
+# banded plan showed 4 MapInPandas nodes). Mirrors dedup.py's shingle-cache
+# contract; cleared by clear_dedup_caches().
+_ANN_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _ann_memo(key: tuple, build) -> DataFrame:
+    df = _ANN_MEMO.get(key)
+    if df is None:
+        df = build().cache()
+        _ANN_MEMO[key] = df
+    return df
+
 
 def _corpus_count(spark: SparkSession, sf_dir: str) -> int:
     """Embeddings row count, cached per (app, sf) — a parquet-metadata-only
@@ -548,8 +570,12 @@ def _lsh_sig_kernel(
     raw = table(spark, sf_dir, "embeddings").select(
         "vec_id", _vec_double("embedding").alias("v")
     )
-    return raw.mapInPandas(
-        kern, schema="vec_id long, v array<double>, norm double, t int, sig long"
+    key = (spark.sparkContext.applicationId, sf_dir, "lsh", tuple(tables))
+    return _ann_memo(
+        key,
+        lambda: raw.mapInPandas(
+            kern, schema="vec_id long, v array<double>, norm double, t int, sig long"
+        ),
     )
 
 
