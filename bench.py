@@ -207,6 +207,13 @@ def main() -> None:
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1750:
         compact = {k: v for k, v in result.items() if k not in ("queries", "err")}
+        # failed/retried are unbounded in a mass-failure run (a dead gateway
+        # fails all 116 queries → >5 KB of names); the compact line keeps
+        # counts + a bounded sample, full lists stay in latest.json
+        for key in ("failed", "retried"):
+            names = compact.get(key) or []
+            compact[f"n_{key}"] = len(names)
+            compact[key] = names[:10]
         compact["queries_file"] = "bench_results/latest.json"
         by_cost = sorted(times.items(), key=lambda kv: -kv[1])
         shown: dict[str, float] = {}

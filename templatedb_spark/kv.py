@@ -74,10 +74,19 @@ class KVTable:
 
     # -- writes (each call is one atomic batch == one new version) ----------
     def write_batch(self, puts: dict[str, str] | None = None, deletes: list[str] | None = None) -> int:
-        """Atomic batch of puts+deletes (reference WriteBatch, batch.rs:42)."""
+        """Atomic batch of puts+deletes (reference WriteBatch, batch.rs:42).
+
+        A key in BOTH puts and deletes resolves as delete-wins: the batch API
+        applies puts then deletes, mirroring the reference WriteBatch's
+        sequential record apply (last op for a key wins). The put row is
+        dropped at write time, so a version never contains two rows for one
+        key and the merge-on-read window has no tie to break; MergeKVTable
+        applies the same rule, so both backends agree deterministically.
+        """
         v = self.latest_version() + 1
-        rows = [(k, val, "put", v) for k, val in (puts or {}).items()]
-        rows += [(k, None, "del", v) for k in (deletes or [])]
+        dels = set(deletes or [])
+        rows = [(k, val, "put", v) for k, val in (puts or {}).items() if k not in dels]
+        rows += [(k, None, "del", v) for k in dels]
         if not rows:
             return self.latest_version()
         df = self.spark.createDataFrame(rows, _SCHEMA).withColumn("bucket", _bucket_col())
@@ -216,9 +225,11 @@ class MergeKVTable(KVTable):
             [(k,) for k in set(puts) | set(deletes)], "key string"
         )
         state = prev.join(changed, "key", "left_anti")
-        if puts:
+        # delete-wins on a key in both maps — same contract as KVTable
+        live = {k: val for k, val in puts.items() if k not in set(deletes)}
+        if live:
             state = state.unionByName(
-                self.spark.createDataFrame(list(puts.items()), "key string, value string")
+                self.spark.createDataFrame(list(live.items()), "key string, value string")
             )
         out = state.select(
             "key",

@@ -70,9 +70,7 @@ def clear_dedup_caches(spark: SparkSession) -> None:
     from templatedb_spark.operators import pipeline, similarity
 
     pipeline._LABELS_MEMO.clear()
-    similarity._IVF_CENT_CACHE.clear()
-    similarity._LSH_N_CACHE.clear()
-    similarity._ANN_MEMO.clear()
+    similarity.clear_ann_caches()
     spark.catalog.clearCache()
 
 
@@ -456,7 +454,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from templatedb_spark.suite import table as _table
 
-    sig = minhash_signatures(spark, sf_dir)
+    # one cached k=16 aggregation pass feeds the band join (both sides) AND
+    # the wide verification joins — without the cache the plan re-runs the
+    # shingle-hash group-by three times (Spark does not CSE across joins)
+    wide = minhash_signatures_wide(spark, sf_dir).cache()
+    stack_expr = ", ".join(f"{i}, mh_{i}" for i in range(_MINHASH_K))
+    sig = wide.selectExpr("doc_id", f"stack({_MINHASH_K}, {stack_expr}) AS (i, mh)")
     is_batch = F.col("doc_id") % 10 == 9
     bsig = sig.filter(is_batch).select(
         F.col("doc_id").alias("bdoc"), "i", "mh"
@@ -469,7 +472,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bdoc", "cdoc")
         .distinct()
     )
-    wide = minhash_signatures_wide(spark, sf_dir)
     wb = wide.select(F.col("doc_id").alias("wb"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(_MINHASH_K)])
     wc = wide.select(F.col("doc_id").alias("wc"), *[F.col(f"mh_{i}").alias(f"c_{i}") for i in range(_MINHASH_K)])
     matches = sum(

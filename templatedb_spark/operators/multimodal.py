@@ -171,6 +171,8 @@ def decode_png(payload: bytes) -> list[list[int]]:
     pos, ihdr, idat = 8, None, b""
     while pos + 12 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
         typ = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])

@@ -208,7 +208,29 @@ _IVF_NPROBE = 3
 # tiny (N / _IVF_CENTROID_STEP rows) and immutable for a given sf_dir, so one
 # collect per app amortizes to nothing; the broadcast handle keeps the matrix
 # off the closure-serialization path for every subsequent task.
+# _CACHE_LOCK serializes the build paths: the bench submits ann_ivf_topk and
+# semantic_dedup (same memo key) from 16 threads concurrently — an unlocked
+# check-then-set would build and cache the full-corpus kernel twice.
+import threading
+
+_CACHE_LOCK = threading.Lock()
 _IVF_CENT_CACHE: dict[tuple[str, str], object] = {}
+
+
+def clear_ann_caches() -> None:
+    """Evict the similarity tier's caches (called by dedup.clear_dedup_caches).
+    Broadcasts are explicitly unpersisted — catalog.clearCache() only drops
+    DataFrame cache entries, so dict-clearing alone would leak the centroid
+    broadcasts for the app lifetime in a regen-looping session."""
+    with _CACHE_LOCK:
+        for bc in _IVF_CENT_CACHE.values():
+            try:
+                bc.unpersist()
+            except Exception:
+                pass  # a dead SparkContext at teardown is fine
+        _IVF_CENT_CACHE.clear()
+        _LSH_N_CACHE.clear()
+        _ANN_MEMO.clear()
 
 # Below this parquet size the corpus is so small that kernel/Arrow spin-up
 # costs more than the interpreted expression path it replaces. All driver sf
@@ -245,19 +267,20 @@ def _ivf_centroids_bc(spark: SparkSession, sf_dir: str):
     import numpy as np
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    bc = _IVF_CENT_CACHE.get(key)
-    if bc is None:
-        rows = (
-            spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
-            .filter(F.col("vec_id") % _IVF_CENTROID_STEP == 0)
-            .select("vec_id", "embedding")
-            .collect()
-        )
-        rows.sort(key=lambda r: r.vec_id)  # cid-ascending → argmax tiebreak = min cid
-        cids = np.array([r.vec_id for r in rows], dtype="int64")
-        cmat = np.array([list(r.embedding) for r in rows], dtype="float64")
-        bc = spark.sparkContext.broadcast((cids, cmat, _seq_norms(cmat)))
-        _IVF_CENT_CACHE[key] = bc
+    with _CACHE_LOCK:
+        bc = _IVF_CENT_CACHE.get(key)
+        if bc is None:
+            rows = (
+                spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+                .filter(F.col("vec_id") % _IVF_CENTROID_STEP == 0)
+                .select("vec_id", "embedding")
+                .collect()
+            )
+            rows.sort(key=lambda r: r.vec_id)  # cid-ascending → argmax tiebreak = min cid
+            cids = np.array([r.vec_id for r in rows], dtype="int64")
+            cmat = np.array([list(r.embedding) for r in rows], dtype="float64")
+            bc = spark.sparkContext.broadcast((cids, cmat, _seq_norms(cmat)))
+            _IVF_CENT_CACHE[key] = bc
     return bc
 
 
@@ -319,8 +342,6 @@ def _ivf_assign_expr(e_normed: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pathlib import Path
-
     raw = table(spark, sf_dir, "embeddings").select(
         "vec_id", _vec_double("embedding").alias("v")
     )
@@ -328,11 +349,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") % _IVF_CENTROID_STEP == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
     )
-    try:
-        corpus_bytes = Path(sf_dir.rstrip("/"), "embeddings.parquet").stat().st_size
-    except OSError:
-        corpus_bytes = _IVF_KERNEL_MIN_BYTES  # unknown layout → kernel path
-    if corpus_bytes >= _IVF_KERNEL_MIN_BYTES:
+    if _use_ann_kernel(sf_dir):
         assigned = _ivf_assign_kernel(spark, sf_dir, raw)
     else:
         assigned = _ivf_assign_expr(e, cent)
@@ -508,22 +525,24 @@ _ANN_MEMO: dict[tuple, DataFrame] = {}
 
 
 def _ann_memo(key: tuple, build) -> DataFrame:
-    df = _ANN_MEMO.get(key)
-    if df is None:
-        df = build().cache()
-        _ANN_MEMO[key] = df
-    return df
+    with _CACHE_LOCK:
+        df = _ANN_MEMO.get(key)
+        if df is None:
+            df = build().cache()
+            _ANN_MEMO[key] = df
+        return df
 
 
 def _corpus_count(spark: SparkSession, sf_dir: str) -> int:
     """Embeddings row count, cached per (app, sf) — a parquet-metadata-only
     job, so at 100 TB it reads footers, not data."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _LSH_N_CACHE:
-        _LSH_N_CACHE[key] = spark.read.parquet(
-            f"{sf_dir.rstrip('/')}/embeddings.parquet"
-        ).count()
-    return _LSH_N_CACHE[key]
+    with _CACHE_LOCK:
+        if key not in _LSH_N_CACHE:
+            _LSH_N_CACHE[key] = spark.read.parquet(
+                f"{sf_dir.rstrip('/')}/embeddings.parquet"
+            ).count()
+        return _LSH_N_CACHE[key]
 
 
 def _lsh_sig_kernel(

@@ -118,3 +118,12 @@ def test_point_read_scans_single_bucket(kv):
     assert len(buckets) > 4
     assert kv.get("k4") == "40"  # overwritten by the even-keys batch
     assert kv.get("k3") == "3"  # odd key untouched by batch 2
+
+
+def test_same_key_put_and_delete_in_one_batch(kv):
+    """Delete-wins contract (WriteBatch sequential apply: puts then deletes):
+    deterministic and identical across both backends."""
+    kv.put("k", "old")
+    kv.write_batch(puts={"k": "new", "other": "x"}, deletes=["k"])
+    assert kv.get("k") is None
+    assert kv.get("other") == "x"

@@ -260,3 +260,38 @@ def test_mixture_sample_epochs(spark):
         idx = int(r.source[3:])
         if 25 + (idx % 8) * 45 >= 100:
             assert per_doc[r.doc_id] >= 1
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, "/root/testdata/sf0.01"])
+def test_ivf_rounding_no_knife_edge(sf_dir):
+    """Guard for the assignment kernel's rounding assumption: np.round is
+    half-to-even, Spark F.round / DuckDB ROUND are half-away — they diverge
+    only when csim*1e6 lands within float error of an exact .5 boundary.
+    Assert no (vector, centroid) similarity is within 1e-7 of a boundary so
+    a data regen that lands on the edge surfaces as a data problem, not a
+    cross-engine oracle mismatch."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from templatedb_spark.operators.similarity import _IVF_CENTROID_STEP
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(tbl.column("vec_id").to_pylist())
+    mat = np.array(tbl.column("embedding").to_pylist(), dtype="float64")
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = mat[ids % _IVF_CENTROID_STEP == 0]
+    frac = np.abs((mat @ cent.T) * 1e6 % 1.0 - 0.5)
+    assert frac.min() > 1e-7, f"csim rounding knife-edge: {frac.min()}"
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, "/root/testdata/sf0.01"])
+def test_documents_are_ascii(sf_dir):
+    """The multimodal oracles equate UTF-8 BYTES (Spark encode path) with
+    CHARACTERS (DuckDB substr/ascii) — valid only while documents.text is
+    pure ASCII. Pin that data property so a regen with multi-byte text fails
+    here with a clear message instead of as a codec-looking oracle mismatch."""
+    import pyarrow.parquet as pq
+
+    col = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"]).column("text")
+    bad = [i for i, t in enumerate(col.to_pylist()) if t is not None and not t.isascii()]
+    assert not bad, f"non-ASCII documents break the byte==char oracle assumption: rows {bad[:5]}"
