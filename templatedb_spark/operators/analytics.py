@@ -765,6 +765,42 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-user EWMA of event values (time-series feature tier): a sequential
+# recurrence (acc = 0.25*x + 0.75*acc, seeded with the first value) that no
+# window frame expresses — computed as a FOLD over the time-ordered value
+# list. Cross-engine determinism: both engines fold left in event order
+# ((ts, event_id) is a total order), and 0.25/0.75 are exactly representable
+# doubles, so the accumulation is bit-identical. At scale this is one shuffle
+# on user_id and per-user state of one double — the same shape as
+# applyInPandasWithState's running aggregates, but fully declarative.
+# ---------------------------------------------------------------------------
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    grp = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq"),
+    )
+    ewma = F.expr(
+        "round(aggregate(seq, cast(null as double), "
+        "(acc, s) -> CASE WHEN acc IS NULL THEN s.value "
+        "ELSE 0.25 * s.value + 0.75 * acc END), 6)"
+    )
+    return grp.select("user_id", "n_events", ewma.alias("ewma"))
+
+
+_EWMA_ORACLE = """
+SELECT user_id, COUNT(*)::BIGINT AS n_events,
+       ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma
+FROM events WHERE value IS NOT NULL GROUP BY user_id
+"""
+
+
 for spec in [
     QuerySpec("funnel_signup_purchase", funnel_signup_purchase, _FUNNEL_ORACLE, "signup→purchase funnel conversion within 7 days"),
     QuerySpec("cohort_retention", cohort_retention, _COHORT_ORACLE, "weekly cohort retention matrix"),
@@ -789,5 +825,6 @@ for spec in [
     QuerySpec("groupmap_regression", groupmap_regression, _GROUPMAP_ORACLE, "applyInPandas per-group OLS fit"),
     QuerySpec("q3_shipping_priority", q3_shipping_priority, _Q3_ORACLE, "TPC-H Q3 shape"),
     QuerySpec("q6_forecast_revenue", q6_forecast_revenue, _Q6_ORACLE, "TPC-H Q6 shape"),
+    QuerySpec("events_ewma", events_ewma, _EWMA_ORACLE, "per-user EWMA via time-ordered fold (sequential recurrence)"),
 ]:
     register(spec)

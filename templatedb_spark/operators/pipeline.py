@@ -817,6 +817,70 @@ SELECT user_id, ts, value, n_prior, z FROM z WHERE ABS(z) >= {_Z_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# Triangle census over the dup-pair graph (graph tier, alongside clustering
+# and PageRank): triangles + open triads + global clustering coefficient.
+# Triangles via the ordered-pair join (a<b<c — each triangle counted once,
+# the standard distributed triangle count); triads from per-node degrees.
+# The pair relation is the LSH candidate graph, so edge volume is already
+# bounded by the banding — at 100 TB this is |pairs| join |pairs| on one key,
+# not anything quadratic in documents.
+# ---------------------------------------------------------------------------
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
+    p1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    p2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    p3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        p1.join(p2, F.col("b") == F.col("b2"))
+        .join(p3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    sym = p1.unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    triads = deg.agg(F.expr("CAST(sum((d * (d - 1)) DIV 2) AS BIGINT)").alias("n_triads"))
+    edges = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        tri.crossJoin(triads)
+        .crossJoin(edges)
+        .select(
+            "n_triangles",
+            "n_triads",
+            "n_edges",
+            F.when(
+                F.col("n_triads") > 0,
+                F.round(3.0 * F.col("n_triangles") / F.col("n_triads"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
+def _triangles_oracle() -> str:
+    from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
+
+    return f"""
+WITH {_MINHASH_CTES},
+pairs AS ({_MINHASH_SELECT}),
+tri AS (SELECT COUNT(*)::BIGINT AS n_triangles
+        FROM pairs p1
+        JOIN pairs p2 ON p1.doc_b = p2.doc_a
+        JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+sym AS (SELECT doc_a AS u FROM pairs UNION ALL SELECT doc_b FROM pairs),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+triads AS (SELECT COALESCE(SUM((d * (d - 1)) // 2), 0)::BIGINT AS n_triads FROM deg),
+ecnt AS (SELECT COUNT(*)::BIGINT AS n_edges FROM pairs)
+SELECT n_triangles, n_triads, n_edges,
+       CASE WHEN n_triads > 0 THEN ROUND(3.0 * n_triangles / n_triads, 6) ELSE 0.0 END AS clustering_coeff
+FROM tri CROSS JOIN triads CROSS JOIN ecnt
+"""
+
+
 for spec in [
     QuerySpec("inverted_index", inverted_index, _INVERTED_ORACLE, "inverted index: capped sorted posting lists + doc frequency"),
     QuerySpec("mv_incremental_refresh", mv_incremental_refresh, _MV_ORACLE, "incremental MV refresh: base ∪ delta partial-state merge == full recompute"),
@@ -831,5 +895,6 @@ for spec in [
     QuerySpec("vocab_top_tokens", vocab_top_tokens, _VOCAB_ORACLE, "corpus vocabulary: token + doc frequency, fused top-k"),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, _TFIDF_ORACLE, "TF-IDF salient terms per document (smooth idf)"),
     QuerySpec("pack_token_shards", pack_token_shards, _PACK_ORACLE, "token-budget shard packing, per-bucket sequential fill"),
+    QuerySpec("graph_triangles", graph_triangles, _triangles_oracle(), "triangle census + clustering coefficient over the dup-pair graph"),
 ]:
     register(spec)
