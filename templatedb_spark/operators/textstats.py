@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from templatedb_spark.functions.hashing import md5_long, md5_long_sql
+from templatedb_spark.functions.hashing import h32, h32_sql, md5_long, md5_long_sql
+from templatedb_spark.operators.dedup import _TOKENS_SQL
 from templatedb_spark.suite import QuerySpec, register, table
 
 # Stopword regexes per language — the n-gram-heuristic language classifier.
@@ -274,9 +275,84 @@ FROM n WHERE n_copies >= 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (sketch tier, alongside HLL distinct and
+# sketch percentiles): d=4 salted hash rows x W=512 buckets. Deterministic
+# md5-derived bucket hashes make the SKETCH ITSELF bit-identical across
+# engines, so unlike most sketch implementations this one has an EXACT
+# oracle. The sketch is built from the aggregated (token, count) relation -
+# the token stream is shuffled once (the same shared tokenize pass as
+# vocab/tfidf), and the 4xW=2048-cell sketch is a broadcast-sized relation
+# at ANY corpus size; estimates are min over the 4 rows. Output: the true
+# top-K tokens with their CMS estimates and overestimation error (>= 0 by
+# construction - the classic CMS guarantee).
+# ---------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 8  # tiny W: the synthetic vocab is 31 tokens - W=8 forces real collisions so the min-over-rows estimate is actually exercised; production W scales with vocab (the sketch stays d*W cells regardless of corpus size)
+_CMS_K = 20
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.operators.dedup import tokenized
+
+    tok = tokenized(spark, sf_dir).select(F.explode("t").alias("tok"))
+    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (h32(F.concat(F.lit(f"cms{j}:"), F.col("tok"))) % _CMS_W).alias("b"),
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+    buckets = tf.select("tok", "n", F.explode(bucket_structs).alias("jb")).select(
+        "tok", "n", F.col("jb.j").alias("j"), F.col("jb.b").alias("b")
+    )
+    sketch = buckets.groupBy("j", "b").agg(F.sum("n").alias("cnt"))
+    cand = tf.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(_CMS_K)
+    cand_b = cand.select(
+        F.col("tok").alias("ctok"), F.col("n").alias("true_n"), F.explode(bucket_structs).alias("jb")
+    ).select("ctok", "true_n", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    est = (
+        cand_b.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("ctok", "true_n")
+        .agg(F.min("cnt").cast("long").alias("cms_n"))
+    )
+    return est.select(
+        F.col("ctok").alias("tok"),
+        "true_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("true_n")).cast("long").alias("overestimate"),
+    )
+
+
+def _cms_oracle() -> str:
+    per_row = "\nUNION ALL\n".join(
+        f"SELECT tok, n, {j} AS j, {h32_sql(repr('cms' + str(j) + ':') + ' || tok')} % {_CMS_W} AS b FROM tf"
+        for j in range(_CMS_D)
+    )
+    return f"""
+WITH tok AS (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents),
+tf AS (SELECT tok, COUNT(*)::BIGINT AS n FROM tok GROUP BY tok),
+buckets AS ({per_row}),
+sketch AS (SELECT j, b, SUM(n) AS cnt FROM buckets GROUP BY j, b),
+cand AS (SELECT tok, n FROM tf ORDER BY n DESC, tok ASC LIMIT {_CMS_K}),
+est AS (
+  SELECT c.tok, c.n AS true_n, MIN(s.cnt)::BIGINT AS cms_n
+  FROM cand c
+  JOIN buckets bu ON bu.tok = c.tok
+  JOIN sketch s ON s.j = bu.j AND s.b = bu.b
+  GROUP BY 1, 2
+)
+SELECT tok, true_n, cms_n, (cms_n - true_n)::BIGINT AS overestimate FROM est
+"""
+
+
 for spec in [
     QuerySpec("text_hash_sample", text_hash_sample, _hash_sample_oracle(), "deterministic stratified hash sampling"),
     QuerySpec("mixture_sample", mixture_sample, _mixture_oracle(), "epoch-weighted source mixture (fractional up/down-sampling)"),
+    QuerySpec("heavy_hitters_cms", heavy_hitters_cms, _cms_oracle(), "count-min sketch heavy hitters (deterministic, exact-oracle sketch)"),
     QuerySpec("text_language_id", text_language_id, _lang_oracle(), "stopword-heuristic language ID"),
     QuerySpec("text_quality_score", text_quality_score, _QUALITY_ORACLE, "doc quality scoring"),
     QuerySpec("text_token_count", text_token_count, _TOKEN_COUNT_ORACLE, "whitespace + BPE-ish token counts"),

@@ -295,3 +295,16 @@ def test_documents_are_ascii(sf_dir):
     col = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"]).column("text")
     bad = [i for i, t in enumerate(col.to_pylist()) if t is not None and not t.isascii()]
     assert not bad, f"non-ASCII documents break the byte==char oracle assumption: rows {bad[:5]}"
+
+
+def test_cms_overestimate_property(spark):
+    """The CMS guarantee: estimates never undercount; with W=8 over a
+    31-token vocab, collisions are forced so the min-over-rows logic is
+    genuinely exercised (some overestimate must be positive)."""
+    from templatedb_spark.operators.textstats import heavy_hitters_cms
+
+    rows = heavy_hitters_cms(spark, SF_SMALL).collect()
+    assert rows
+    assert all(r.cms_n >= r.true_n for r in rows)
+    assert all(r.overestimate == r.cms_n - r.true_n for r in rows)
+    assert any(r.overestimate > 0 for r in rows), "no collisions — sketch untested"
