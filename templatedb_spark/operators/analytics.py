@@ -801,6 +801,71 @@ FROM events WHERE value IS NOT NULL GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Last-touch attribution (events-pipeline tier): every purchase is attributed
+# to the user's most recent click/view within a 7-day lookback, else
+# 'direct'; rollup of purchase counts + attributed value per touch type.
+# One pass over each user's ordered stream: last(IGNORE NULLS) over the
+# running frame finds the preceding touch without a self-join — at scale
+# this is one shuffle on user_id, state bounded per user, vs the naive
+# purchases x touches range join. Value totals go through DECIMAL (exact,
+# partition-order-independent) per the suite convention.
+# ---------------------------------------------------------------------------
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w).alias("touch_type"),
+    )
+    purchases = marked.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("touch"),
+        "value",
+    )
+    return purchases.groupBy("touch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("attributed_value"),
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type IN ('click', 'view') THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch_ts,
+         last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch_type
+  FROM events
+),
+purchases AS (
+  SELECT CASE WHEN touch_ts >= ts - INTERVAL 7 DAY THEN touch_type ELSE 'direct' END AS touch,
+         value
+  FROM marked WHERE event_type = 'purchase'
+)
+SELECT touch, COUNT(*)::BIGINT AS n_purchases,
+       (SUM(value::DECIMAL(18,6)))::DOUBLE AS attributed_value
+FROM purchases GROUP BY touch
+"""
+
+
 for spec in [
     QuerySpec("funnel_signup_purchase", funnel_signup_purchase, _FUNNEL_ORACLE, "signup→purchase funnel conversion within 7 days"),
     QuerySpec("cohort_retention", cohort_retention, _COHORT_ORACLE, "weekly cohort retention matrix"),
@@ -826,5 +891,6 @@ for spec in [
     QuerySpec("q3_shipping_priority", q3_shipping_priority, _Q3_ORACLE, "TPC-H Q3 shape"),
     QuerySpec("q6_forecast_revenue", q6_forecast_revenue, _Q6_ORACLE, "TPC-H Q6 shape"),
     QuerySpec("events_ewma", events_ewma, _EWMA_ORACLE, "per-user EWMA via time-ordered fold (sequential recurrence)"),
+    QuerySpec("attribution_last_touch", attribution_last_touch, _ATTRIBUTION_ORACLE, "last-touch purchase attribution with 7-day lookback"),
 ]:
     register(spec)

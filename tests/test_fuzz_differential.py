@@ -70,7 +70,51 @@ def _gen_query(rng: random.Random) -> str:
     )
 
 
-_CASES = [_gen_query(random.Random(_SEED + i)) for i in range(_NUM_CASES)]
+def _gen_query2(rng: random.Random) -> str:
+    """Round-3 grammar extension: joins, set operations, CASE projections —
+    the surfaces the original generator didn't reach. Same dialect-neutral
+    discipline (DECIMAL sums, total ORDER BY before LIMIT)."""
+    shape = rng.choice(["join", "setop", "case"])
+    if shape == "join":
+        op = rng.choice([">", ">=", "<", "<="])
+        val = round(rng.uniform(0, 5000), 2)
+        how = rng.choice(["JOIN", "LEFT JOIN"])
+        return (
+            "SELECT c_mktsegment, COUNT(*) AS n, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS s "
+            f"FROM customer {how} orders ON c_custkey = o_custkey "
+            f"WHERE c_acctbal {op} {val} "
+            "GROUP BY c_mktsegment"
+        )
+    if shape == "setop":
+        setop = rng.choice(
+            ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
+        )
+        lo_a = rng.randint(0, 800)
+        lo_b = rng.randint(0, 800)
+        n = rng.randint(5, 40)
+        return (
+            f"SELECT * FROM ("
+            f"SELECT c_nationkey, c_mktsegment FROM customer WHERE c_custkey > {lo_a} "
+            f"{setop} "
+            f"SELECT c_nationkey, c_mktsegment FROM customer WHERE c_custkey > {lo_b}"
+            f") t ORDER BY c_nationkey, c_mktsegment LIMIT {n}"
+        )
+    pivot = round(rng.uniform(0, 5000), 2)
+    return (
+        "SELECT c_nationkey, "
+        f"COUNT(CASE WHEN c_acctbal > {pivot} THEN 1 END) AS n_hi, "
+        f"COUNT(CASE WHEN c_acctbal <= {pivot} THEN 1 END) AS n_lo, "
+        "CAST(SUM(CAST(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0 END "
+        "AS DECIMAL(12,2))) AS DOUBLE) AS pos_bal "
+        "FROM customer GROUP BY c_nationkey"
+    )
+
+
+_NUM_CASES2 = 20
+_CASES = [_gen_query(random.Random(_SEED + i)) for i in range(_NUM_CASES)] + [
+    _gen_query2(random.Random(_SEED + 1000 + i)) for i in range(_NUM_CASES2)
+]
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -78,8 +122,10 @@ def _views(spark):
     from templatedb_spark.suite import table
 
     table(spark, SF_SMALL, "customer").createOrReplaceTempView("customer")
+    table(spark, SF_SMALL, "orders").createOrReplaceTempView("orders")
     yield
     spark.catalog.dropTempView("customer")
+    spark.catalog.dropTempView("orders")
 
 
 @pytest.mark.parametrize("sql", _CASES)
