@@ -813,7 +813,10 @@ FROM events WHERE value IS NOT NULL GROUP BY user_id
 # ---------------------------------------------------------------------------
 
 
-def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def attributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase attribution rows (user_id, event_id, touch, value) — the
+    pre-rollup relation, exposed so the streaming twin's per-purchase output
+    can be equality-compared row-for-row (tests/test_stateful_streaming.py)."""
     e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
     w = (
         Window.partitionBy("user_id")
@@ -824,12 +827,15 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = e.select(
         "user_id",
         "ts",
+        "event_id",
         "event_type",
         "value",
         F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias("touch_ts"),
         F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w).alias("touch_type"),
     )
-    purchases = marked.filter(F.col("event_type") == "purchase").select(
+    return marked.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
         F.when(
             F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
             F.col("touch_type"),
@@ -838,6 +844,10 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("touch"),
         "value",
     )
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = attributed_purchases(spark, sf_dir)
     return purchases.groupBy("touch").agg(
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("attributed_value"),

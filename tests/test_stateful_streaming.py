@@ -69,3 +69,30 @@ def test_stream_anomaly_matches_batch(spark, tmp_path):
     }
     assert got_set == want_set
     assert len(want_set) > 0  # not vacuous
+
+
+def test_stream_attribution_matches_batch(spark, tmp_path):
+    """Stateful last-touch attribution: the stream's per-purchase rows must
+    equal the batch pre-rollup relation exactly — same (ts, event_id) order,
+    same 7-day lookback rule, same 'direct' fallback."""
+    from templatedb_spark.operators.analytics import attributed_purchases
+    from templatedb_spark.streaming.attribution import stream_attribution_last_touch
+    from templatedb_spark.streaming.events import read_events_stream, run_available_now
+
+    stage = tmp_path / "events_in"
+    stage.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", stage / "part-0.parquet")
+
+    got = run_available_now(
+        stream_attribution_last_touch(read_events_stream(spark, str(stage))),
+        "t_stream_attr",
+        output_mode="append",
+    )
+    got_set = {(r.user_id, r.event_id, r.touch, r.value) for r in got}
+    want_set = {
+        (r.user_id, r.event_id, r.touch, r.value)
+        for r in attributed_purchases(spark, SF_SMALL).collect()
+    }
+    assert got_set == want_set
+    assert len(want_set) > 0
+    assert len({t for (_, _, t, _) in want_set}) > 1  # multiple touch classes
