@@ -881,6 +881,63 @@ FROM tri CROSS JOIN triads CROSS JOIN ecnt
 """
 
 
+# ---------------------------------------------------------------------------
+# Document chunking: overlapping token windows (size C, stride S) — the
+# standard preprocessing step for pretraining sequence packing and RAG
+# indexing. Pure map-side: sequence() generates the window starts inside the
+# row, slice() takes each window, and the chunk fingerprint keeps the output
+# compact. Zero shuffle; at 100 TB the chunks stream straight to shards.
+# ---------------------------------------------------------------------------
+_CHUNK_C = 32  # tokens per chunk
+_CHUNK_S = 24  # stride (overlap = C - S)
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = tokenized(spark, sf_dir).filter(F.size("t") >= 1)
+    starts = tok.select(
+        "doc_id",
+        "t",
+        F.size("t").alias("n"),
+        # upper bound 1 + ceil((n-C)/S)*S: the last window may be short but
+        # always reaches the document tail (a bare n-C+1 bound drops the tail
+        # whenever S does not divide n-C — caught by the tiling test)
+        F.explode(
+            F.expr(
+                f"sequence(1, 1 + ((greatest(0, size(t) - {_CHUNK_C}) + {_CHUNK_S} - 1)"
+                f" DIV {_CHUNK_S}) * {_CHUNK_S}, {_CHUNK_S})"
+            )
+        ).alias("start"),
+    )
+    chunk = F.expr(f"slice(t, start, {_CHUNK_C})")
+    return starts.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) DIV {_CHUNK_S} + 1 AS BIGINT)").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
+
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
+starts AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(
+             1,
+             1 + ((greatest(0, n - {_CHUNK_C}) + {_CHUNK_S} - 1) // {_CHUNK_S}) * {_CHUNK_S},
+             {_CHUNK_S})) AS start
+  FROM base
+)
+SELECT doc_id,
+       ((start - 1) // {_CHUNK_S} + 1)::BIGINT AS chunk_idx,
+       start::BIGINT AS start_tok,
+       len(t[start : least(start + {_CHUNK_C} - 1, n)])::BIGINT AS n_tok,
+       md5(array_to_string(t[start : least(start + {_CHUNK_C} - 1, n)], ' ')) AS chunk_fp
+FROM starts
+"""
+
+
 for spec in [
     QuerySpec("inverted_index", inverted_index, _INVERTED_ORACLE, "inverted index: capped sorted posting lists + doc frequency"),
     QuerySpec("mv_incremental_refresh", mv_incremental_refresh, _MV_ORACLE, "incremental MV refresh: base ∪ delta partial-state merge == full recompute"),
@@ -896,5 +953,6 @@ for spec in [
     QuerySpec("tfidf_top_terms", tfidf_top_terms, _TFIDF_ORACLE, "TF-IDF salient terms per document (smooth idf)"),
     QuerySpec("pack_token_shards", pack_token_shards, _PACK_ORACLE, "token-budget shard packing, per-bucket sequential fill"),
     QuerySpec("graph_triangles", graph_triangles, _triangles_oracle(), "triangle census + clustering coefficient over the dup-pair graph"),
+    QuerySpec("chunk_documents", chunk_documents, _CHUNK_ORACLE, "overlapping token-window chunking (pretraining/RAG preprocessing)"),
 ]:
     register(spec)

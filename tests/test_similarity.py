@@ -308,3 +308,37 @@ def test_cms_overestimate_property(spark):
     assert all(r.cms_n >= r.true_n for r in rows)
     assert all(r.overestimate == r.cms_n - r.true_n for r in rows)
     assert any(r.overestimate > 0 for r in rows), "no collisions — sketch untested"
+
+
+def test_chunking_covers_every_token(spark):
+    """Chunk windows must tile each document completely: the union of
+    [start, start+n_tok) spans [1, n] with stride-sized steps, and adjacent
+    chunks overlap by C-S tokens."""
+    from collections import defaultdict
+
+    from templatedb_spark.operators.pipeline import _CHUNK_C, _CHUNK_S, chunk_documents
+    from templatedb_spark.operators.dedup import tokenized
+    from pyspark.sql import functions as F
+
+    n_by_doc = {
+        r.doc_id: r.n
+        for r in tokenized(spark, SF_SMALL).select("doc_id", F.size("t").alias("n")).collect()
+    }
+    chunks = defaultdict(list)
+    for r in chunk_documents(spark, SF_SMALL).collect():
+        chunks[r.doc_id].append((r.chunk_idx, r.start_tok, r.n_tok))
+    assert chunks
+    multi = 0
+    for doc_id, cs in chunks.items():
+        cs.sort()
+        n = n_by_doc[doc_id]
+        assert cs[0][1] == 1
+        covered = 0
+        for idx, (ci, start, n_tok) in enumerate(cs):
+            assert ci == idx + 1
+            assert start == 1 + idx * _CHUNK_S
+            assert n_tok == min(_CHUNK_C, n - start + 1)
+            covered = max(covered, start + n_tok - 1)
+        assert covered == n, (doc_id, covered, n)
+        multi += len(cs) > 1
+    assert multi > 0  # stride logic genuinely exercised
