@@ -902,6 +902,74 @@ FROM assigned a JOIN reps r ON a.cid = r.rcid
 """
 
 
+# ---------------------------------------------------------------------------
+# Quantized ANN: brute-force top-k over int8-range quantized vectors
+# (floor(x*127), the same convention as the embedding_quantize spec). The
+# memory tier of vector search at 100 TB: int8 vectors are 4x smaller, the
+# candidate scoring is INTEGER arithmetic (exactly reproducible in both
+# engines - no float-fold knife edges at all in the scoring), and the
+# float division/sqrt at the end operates on identical integers, so the
+# estimated cosine is bit-identical cross-engine. Production recipe: rank
+# by quantized estimate, fp-rerank the short list (the rerank is exactly
+# ann_cosine_topk on candidates).
+# ---------------------------------------------------------------------------
+
+
+def _dot_long(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = F.expr("transform(embedding, x -> cast(floor(cast(x as double) * 127) as long))")
+    e = table(spark, sf_dir, "embeddings").select("vec_id", qv.alias("q"))
+    e = e.withColumn("qnorm", F.sqrt(_dot_long(F.col("q"), F.col("q")).cast("double")))
+    qs = e.filter(F.col("vec_id") < _TOPK_NQUERY).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq"), F.col("qnorm").alias("qqnorm")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                _dot_long(F.col("qq"), F.col("q")).cast("double")
+                / (F.col("qqnorm") * F.col("qnorm")),
+                6,
+            ).alias("est_cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("est_cosine").desc(), F.col("vec_id").asc())
+    return scored.select(
+        "qid", "vec_id", "est_cosine", F.row_number().over(w).cast("long").alias("rank")
+    ).filter(F.col("rank") <= _TOPK_K)
+
+
+_ANN_QUANTIZED_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (SELECT vec_id, qv, sqrt(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS qnorm FROM q),
+qry AS (SELECT vec_id AS qid, qv AS qq, qnorm AS qqnorm FROM n WHERE vec_id < {_TOPK_NQUERY}),
+scored AS (
+  SELECT qry.qid, n.vec_id,
+         ROUND(CAST(list_dot_product(qry.qq, n.qv) AS DOUBLE) / (qry.qqnorm * n.qnorm), 6) AS est_cosine
+  FROM n CROSS JOIN qry WHERE n.vec_id <> qry.qid
+)
+SELECT qid, vec_id, est_cosine, rank FROM (
+  SELECT qid, vec_id, est_cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY est_cosine DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {_TOPK_K}
+"""
+
+
 for spec in [
     QuerySpec("ann_cosine_topk", ann_cosine_topk, _ANN_TOPK_ORACLE, "brute-force cosine top-k"),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, _COSINE_DUP_ORACLE, "embedding cosine near-dup pairs"),
@@ -909,5 +977,6 @@ for spec in [
     QuerySpec("ann_lsh_topk", ann_lsh_topk, _ann_lsh_oracle(), "multi-probe random-hyperplane LSH ANN top-k (adaptive bits)"),
     QuerySpec("ann_lsh_banded_topk", ann_lsh_banded_topk, _ann_lsh_banded_oracle(), "banded multi-table LSH ANN top-k"),
     QuerySpec("semantic_dedup", semantic_dedup, _SEMDEDUP_ORACLE, "SemDedup-style cluster-representative dedup"),
+    QuerySpec("ann_quantized_topk", ann_quantized_topk, _ANN_QUANTIZED_ORACLE, "int8-range quantized brute-force ANN (integer scoring, exact oracle)"),
 ]:
     register(spec)

@@ -342,3 +342,14 @@ def test_chunking_covers_every_token(spark):
         assert covered == n, (doc_id, covered, n)
         multi += len(cs) > 1
     assert multi > 0  # stride logic genuinely exercised
+
+
+def test_quantized_ann_recall(spark):
+    """int8 quantization should barely perturb top-k on 64-dim vectors:
+    assert high overlap with the exact ranking."""
+    from templatedb_spark.operators.similarity import ann_cosine_topk, ann_quantized_topk
+
+    exact = {(r.qid, r.vec_id) for r in ann_cosine_topk(spark, SF_SMALL).collect()}
+    quant = {(r.qid, r.vec_id) for r in ann_quantized_topk(spark, SF_SMALL).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"quantized recall collapsed: {recall:.2f}"
