@@ -938,6 +938,105 @@ FROM starts
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 ranking (IR tier, completing inverted_index + tfidf): score documents
+# against a fixed query token set with Okapi BM25 (k1=1.2, b=0.75,
+# +1-smoothed idf). Float determinism: the per-document score is assembled
+# from per-token COLUMNS added in fixed left-to-right order (not a SUM over
+# a group, whose accumulation order differs between engines), and avgdl is
+# an exact integer-sum divided by an exact count. One shuffle for tf, one
+# broadcast of corpus stats; at 100 TB this is the standard batch-scoring
+# shape over a posting-list join.
+# ---------------------------------------------------------------------------
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ["table", "query", "spark"]
+_BM25_K = 20
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok_base = tokenized(spark, sf_dir)
+    dl = tok_base.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tok = tok_base.select("doc_id", F.explode("t").alias("tok")).filter(
+        F.col("tok").isin(*_BM25_QUERY)
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("c") * (_BM25_K1 + 1))
+                / (
+                    F.col("c")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    per_tok = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(F.max(F.when(F.col("tok") == q, F.col("s"))), F.lit(0.0)).alias(
+                f"s{i}"
+            )
+            for i, q in enumerate(_BM25_QUERY)
+        ]
+    )
+    total = F.col("s0")
+    for i in range(1, len(_BM25_QUERY)):
+        total = total + F.col(f"s{i}")
+    ranked = per_tok.select("doc_id", F.round(total, 6).alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return ranked.select(
+        "doc_id", "score", F.row_number().over(w).cast("long").alias("rank")
+    ).filter(F.col("rank") <= _BM25_K)
+
+
+def _bm25_oracle() -> str:
+    qlist = ", ".join(repr(q) for q in _BM25_QUERY)
+    per_tok_cols = ", ".join(
+        f"COALESCE(MAX(CASE WHEN tok = {q!r} THEN s END), 0.0) AS s{i}"
+        for i, q in enumerate(_BM25_QUERY)
+    )
+    total = " + ".join(f"s{i}" for i in range(len(_BM25_QUERY)))
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks),
+stats AS (SELECT COUNT(*)::BIGINT AS n_docs,
+                 (SUM(dl)::DOUBLE / COUNT(*)) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, COUNT(*)::DOUBLE AS c FROM tok
+       WHERE tok IN ({qlist}) GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, COUNT(*)::BIGINT AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * (tf.c * ({_BM25_K1} + 1))
+         / (tf.c + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)) AS s
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+per_tok AS (SELECT doc_id, {per_tok_cols} FROM scored GROUP BY doc_id),
+ranked AS (SELECT doc_id, ROUND({total}, 6) AS score FROM per_tok)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM ranked
+) WHERE rank <= {_BM25_K}
+"""
+
+
 for spec in [
     QuerySpec("inverted_index", inverted_index, _INVERTED_ORACLE, "inverted index: capped sorted posting lists + doc frequency"),
     QuerySpec("mv_incremental_refresh", mv_incremental_refresh, _MV_ORACLE, "incremental MV refresh: base ∪ delta partial-state merge == full recompute"),
@@ -954,5 +1053,6 @@ for spec in [
     QuerySpec("pack_token_shards", pack_token_shards, _PACK_ORACLE, "token-budget shard packing, per-bucket sequential fill"),
     QuerySpec("graph_triangles", graph_triangles, _triangles_oracle(), "triangle census + clustering coefficient over the dup-pair graph"),
     QuerySpec("chunk_documents", chunk_documents, _CHUNK_ORACLE, "overlapping token-window chunking (pretraining/RAG preprocessing)"),
+    QuerySpec("bm25_topk", bm25_topk, _bm25_oracle(), "Okapi BM25 ranking against a fixed query (IR tier)"),
 ]:
     register(spec)
