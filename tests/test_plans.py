@@ -304,3 +304,17 @@ def test_repetition_score_no_shuffle(spark):
 
     plan = physical_plan(text_repetition_score(spark, SF_SMALL))
     assert "Exchange" not in plan, plan
+
+
+def test_mapside_pipeline_specs_no_shuffle(spark):
+    """chunk_documents and mixture_sample are pure map-side by design —
+    their entire value at 100 TB is streaming straight to shards with zero
+    Exchange below the (cached) base relation."""
+    from templatedb_spark.operators.pipeline import chunk_documents
+    from templatedb_spark.operators.textstats import mixture_sample
+    from templatedb_spark.plans.explain import physical_plan
+    from tests.conftest import SF_SMALL
+
+    for fn in (chunk_documents, mixture_sample):
+        plan = physical_plan(fn(spark, SF_SMALL))
+        assert "Exchange" not in plan, (fn.__name__, plan)
