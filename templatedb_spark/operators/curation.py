@@ -1,0 +1,393 @@
+"""Corpus-curation operators: the quality/sampling tier of a training-data
+pipeline (extension tier — the reference has no text operators; this completes
+the repo's dedup → filter → sample → pack chain).
+
+Five operators, each a pure DataFrame plan with an exact DuckDB oracle:
+
+- `dedup_substring`    — exact common-substring detection (the
+  deduplicate-text-datasets shape): every W=10-token sliding window is
+  fingerprinted; a doc's dup_frac is the fraction of its windows that appear
+  in some OTHER document. Unlike the shingle-Jaccard family this is LINEAR —
+  windows are aggregated by fingerprint, never pair-joined, so arbitrarily
+  hot windows cost one combiner row, not df² candidate pairs.
+- `stratified_sample`  — per-source deterministic hash sampling at
+  heterogeneous rates (the data-mixing primitive): rate chosen per source
+  bucket, membership decided by md5(doc) % 100. Map-side only + one
+  per-source rollup.
+- `token_entropy`      — per-document Shannon entropy of the token
+  distribution + type-token ratio (the "word soup vs natural text" quality
+  signal). Float determinism: per-doc token counts are folded in (count,
+  token) sorted order via a left fold that both engines evaluate
+  identically (Spark `aggregate` / DuckDB `list_reduce`).
+- `bigram_logprob`     — corpus bigram language model scoring each document
+  by mean log P(b|a) (the perplexity-style quality filter). The model is
+  built from the corpus itself in one pass; per-doc log-probs are folded in
+  token-position order so the mean is bit-identical across engines.
+- `pmi_cooccurrence`   — top-k token pairs by pointwise mutual information
+  over document co-occurrence. Pair generation is an in-row array
+  combination (no self-join): per doc, the sorted distinct-token array is
+  expanded to its C(v,2) pairs map-side, then one groupBy counts pairs.
+
+Scale notes (100 TB):
+- `dedup_substring`: explode is W× amplification map-side; the only shuffle
+  keys on the 16-byte window fingerprint with map-side partial aggregation,
+  so duplicate-heavy corpora shrink in the combiner. This is the standard
+  exact-substring dedup shape at scale (suffix arrays are the single-node
+  alternative; fingerprinted windows are what distributes).
+- `stratified_sample`: no shuffle at all before the per-source rollup;
+  sampling decisions are pure row-local hashes, reproducible under retry.
+- `token_entropy` / `bigram_logprob`: one shuffle on (doc, token)-grain,
+  model tables broadcast (vocabulary-sized). The sorted-fold determinism
+  trick costs an in-row sort of per-doc distinct counts — bounded by
+  per-doc vocabulary, not corpus size.
+- `pmi_cooccurrence`: per-doc pair fan-out is C(distinct tokens, 2); at real
+  scale the array is first intersected with a broadcast top-V vocabulary so
+  the fan-out is C(V,2)-bounded (here the whole vocab is 31 tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from templatedb_spark.functions.hashing import md5_long, md5_long_sql
+from templatedb_spark.operators.dedup import _TOKENS_SQL, tokenized
+from templatedb_spark.suite import QuerySpec, register, table
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup: shared W-token windows.
+# ---------------------------------------------------------------------------
+_SUB_W = 10
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = tokenized(spark, sf_dir).filter(F.size("t") >= _SUB_W)
+    wins = tok.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(1, size(t) - {_SUB_W} + 1)")).alias("s"),
+        "t",
+    ).select(
+        "doc_id",
+        F.md5(F.expr(f"array_join(slice(t, s, {_SUB_W}), ' ')")).alias("fp"),
+    )
+    per_doc_fp = wins.groupBy("doc_id", "fp").agg(F.count(F.lit(1)).alias("c"))
+    fp_docs = per_doc_fp.groupBy("fp").agg(F.count(F.lit(1)).alias("ndocs"))
+    agg = (
+        per_doc_fp.join(fp_docs, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("ndocs") > 1, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_windows",
+        "n_shared",
+        F.round(F.col("n_shared").cast("double") / F.col("n_windows"), 6).alias(
+            "dup_frac"
+        ),
+    )
+
+
+_SUBSTRING_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+base AS (SELECT doc_id, t FROM toks WHERE len(t) >= {_SUB_W}),
+wins AS (
+  SELECT doc_id, md5(array_to_string(t[s : s + {_SUB_W} - 1], ' ')) AS fp
+  FROM base, unnest(generate_series(1, len(t) - {_SUB_W} + 1)) AS u(s)
+),
+pdf AS (SELECT doc_id, fp, count(*) AS c FROM wins GROUP BY 1, 2),
+fpd AS (SELECT fp, count(*) AS ndocs FROM pdf GROUP BY 1)
+SELECT doc_id,
+       sum(c)::BIGINT AS n_windows,
+       sum(CASE WHEN ndocs > 1 THEN c ELSE 0 END)::BIGINT AS n_shared,
+       round(sum(CASE WHEN ndocs > 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 6)
+         AS dup_frac
+FROM pdf JOIN fpd USING (fp)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling: per-source rates, hash membership.
+# ---------------------------------------------------------------------------
+_STRATA_RATES = [100, 50, 25, 10]  # rate_pct by (source index % 4)
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    idx = F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("int")
+    rate = (
+        F.when(idx % 4 == 0, F.lit(_STRATA_RATES[0]))
+        .when(idx % 4 == 1, F.lit(_STRATA_RATES[1]))
+        .when(idx % 4 == 2, F.lit(_STRATA_RATES[2]))
+        .otherwise(F.lit(_STRATA_RATES[3]))
+    )
+    keep = md5_long(F.concat(F.lit("smp|"), F.col("doc_id").cast("string"))) % 100 < rate
+    return (
+        d.select("source", rate.alias("rate_pct"), keep.cast("int").alias("k"))
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("k").cast("long").alias("n_sampled"),
+        )
+        .select(
+            "source",
+            F.col("rate_pct").cast("long").alias("rate_pct"),
+            "n_docs",
+            "n_sampled",
+            F.round(F.col("n_sampled") * 100.0 / F.col("n_docs"), 6).alias(
+                "achieved_pct"
+            ),
+        )
+    )
+
+
+_STRAT_HASH = md5_long_sql("'smp|' || doc_id::VARCHAR")
+_STRATIFIED_ORACLE = f"""
+WITH tagged AS (
+  SELECT source,
+         CASE (regexp_extract(source, '[0-9]+')::INT % 4)
+           WHEN 0 THEN {_STRATA_RATES[0]} WHEN 1 THEN {_STRATA_RATES[1]}
+           WHEN 2 THEN {_STRATA_RATES[2]} ELSE {_STRATA_RATES[3]} END AS rate_pct,
+         CASE WHEN {_STRAT_HASH} % 100 <
+           CASE (regexp_extract(source, '[0-9]+')::INT % 4)
+             WHEN 0 THEN {_STRATA_RATES[0]} WHEN 1 THEN {_STRATA_RATES[1]}
+             WHEN 2 THEN {_STRATA_RATES[2]} ELSE {_STRATA_RATES[3]} END
+           THEN 1 ELSE 0 END AS k
+  FROM documents
+)
+SELECT source, rate_pct::BIGINT AS rate_pct,
+       count(*)::BIGINT AS n_docs, sum(k)::BIGINT AS n_sampled,
+       round(sum(k) * 100.0 / count(*), 6) AS achieved_pct
+FROM tagged GROUP BY source, rate_pct
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token entropy: per-doc Shannon entropy in bits + type-token ratio.
+# Determinism: counts folded in (c, tok) sorted order; H assembled from the
+# identical expression tree ((ln(n) - acc/n) / ln(2)) in both engines.
+# ---------------------------------------------------------------------------
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = tokenized(spark, sf_dir).filter(F.size("t") >= 1)
+    cnt = (
+        tok.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sort_array(F.collect_list(F.struct("c", "tok"))).alias("lst"),
+    )
+    acc = F.expr(
+        "aggregate(lst, CAST(0.0 AS DOUBLE),"
+        " (a, x) -> a + CAST(x.c AS DOUBLE) * ln(CAST(x.c AS DOUBLE)))"
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round((F.log(F.col("n_tokens").cast("double")) - acc / F.col("n_tokens"))
+                / F.log(F.lit(2.0)), 6).alias("entropy_bits"),
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+    )
+
+
+_ENTROPY_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+cnt AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks WHERE len(t) >= 1)
+  GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+         list(c ORDER BY c, tok) AS lst
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round((ln(n_tokens::DOUBLE)
+              - list_reduce(list_transform(lst, x -> x::DOUBLE * ln(x::DOUBLE)),
+                            (a, b) -> a + b) / n_tokens) / ln(2.0), 6)
+         AS entropy_bits,
+       round(n_distinct::DOUBLE / n_tokens, 6) AS ttr
+FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM log-probability: corpus-trained model, per-doc mean ln P(b|a).
+# The model tables are vocabulary-sized → broadcast joins; per-doc log-probs
+# folded in token-position order for a bit-identical mean.
+# ---------------------------------------------------------------------------
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = tokenized(spark, sf_dir).filter(F.size("t") >= 2)
+    big = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS a, t[i] AS b))"
+            )
+        ).alias("pos", "bg"),
+    ).select("doc_id", "pos", F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    ca = cab.groupBy("a").agg(F.sum("cab").alias("ca"))
+    scored = (
+        big.join(F.broadcast(cab), ["a", "b"])
+        .join(F.broadcast(ca), "a")
+        .select(
+            "doc_id",
+            "pos",
+            F.log(F.col("cab").cast("double") / F.col("ca").cast("double")).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.expr("aggregate(array_sort(collect_list(struct(pos, lp))),"
+               " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.lp)").alias("acc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("acc") / F.col("n_bigrams"), 6).alias("avg_logprob"),
+    )
+
+
+_BIGRAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+base AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+big AS (
+  SELECT doc_id, s AS pos, t[s] AS a, t[s + 1] AS b
+  FROM base, unnest(generate_series(1, len(t) - 1)) AS u(s)
+),
+cab AS (SELECT a, b, count(*) AS cab FROM big GROUP BY 1, 2),
+ca AS (SELECT a, sum(cab) AS ca FROM cab GROUP BY 1),
+scored AS (
+  SELECT doc_id, pos, ln(cab::DOUBLE / ca::DOUBLE) AS lp
+  FROM big JOIN cab USING (a, b) JOIN ca USING (a)
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         list_reduce(list(lp ORDER BY pos), (x, y) -> x + y) AS acc
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, round(acc / n_bigrams, 6) AS avg_logprob
+FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence: top-k token pairs by pointwise mutual information.
+# Pairs are generated in-row from the sorted distinct-token array (no
+# self-join); counts are exact integers so pmi is one ln over an exact ratio.
+# ---------------------------------------------------------------------------
+_PMI_K = 20
+
+
+def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = tokenized(spark, sf_dir).filter(F.size("t") >= 1)
+    arr = tok.select("doc_id", F.array_sort(F.array_distinct("t")).alias("v"))
+    n_docs = arr.agg(F.count(F.lit(1)).alias("n_docs"))
+    cx = (
+        arr.select(F.explode("v").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cx"))
+    )
+    pairs = arr.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(v, (x, i) ->"
+                " transform(slice(v, i + 2, size(v)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    cab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    scored = (
+        cab.join(F.broadcast(cx.withColumnRenamed("tok", "a").withColumnRenamed("cx", "ca")), "a")
+        .join(F.broadcast(cx.withColumnRenamed("tok", "b").withColumnRenamed("cx", "cb")), "b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "a",
+            "b",
+            F.col("cab").cast("long").alias("n_cooc"),
+            F.round(
+                F.log(
+                    (F.col("cab") * F.col("n_docs")).cast("double")
+                    / (F.col("ca") * F.col("cb")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "a", "b").limit(_PMI_K)
+
+
+_PMI_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+arr AS (
+  SELECT doc_id, list_sort(list_distinct(t)) AS v
+  FROM toks WHERE len(t) >= 1
+),
+n AS (SELECT count(*) AS n_docs FROM arr),
+cx AS (
+  SELECT tok, count(*) AS cx
+  FROM (SELECT doc_id, unnest(v) AS tok FROM arr) GROUP BY tok
+),
+pairs AS (
+  SELECT v[i] AS a, v[j] AS b
+  FROM arr,
+       unnest(generate_series(1, len(v))) AS ui(i),
+       unnest(generate_series(1, len(v))) AS uj(j)
+  WHERE i < j
+),
+cab AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY 1, 2)
+SELECT a, b, cab::BIGINT AS n_cooc,
+       round(ln((cab * n_docs)::DOUBLE / (ca.cx * cb.cx)::DOUBLE), 6) AS pmi
+FROM cab
+JOIN cx ca ON ca.tok = cab.a
+JOIN cx cb ON cb.tok = cab.b
+CROSS JOIN n
+ORDER BY pmi DESC, a, b
+LIMIT {_PMI_K}
+"""
+
+
+for spec in [
+    QuerySpec(
+        "dedup_substring",
+        dedup_substring,
+        _SUBSTRING_ORACLE,
+        "exact shared W-token window detection (linear substring dedup, no pair join)",
+    ),
+    QuerySpec(
+        "stratified_sample",
+        stratified_sample,
+        _STRATIFIED_ORACLE,
+        "per-source deterministic hash sampling at heterogeneous rates",
+    ),
+    QuerySpec(
+        "token_entropy",
+        token_entropy,
+        _ENTROPY_ORACLE,
+        "per-doc Shannon entropy + type-token ratio via sorted bit-identical fold",
+    ),
+    QuerySpec(
+        "bigram_logprob",
+        bigram_logprob,
+        _BIGRAM_ORACLE,
+        "corpus bigram LM scoring: per-doc mean log P(b|a), position-ordered fold",
+    ),
+    QuerySpec(
+        "pmi_cooccurrence",
+        pmi_cooccurrence,
+        _PMI_ORACLE,
+        "top-k PMI token pairs via in-row pair expansion (no self-join)",
+    ),
+]:
+    register(spec)

@@ -80,6 +80,7 @@ def all_specs() -> dict[str, QuerySpec]:
         tpch,
         tpch2,
         pipeline,
+        curation,
     )
 
     covered = _driver_covered_names()
