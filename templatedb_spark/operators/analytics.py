@@ -876,7 +876,62 @@ FROM purchases GROUP BY touch
 """
 
 
+# ---------------------------------------------------------------------------
+# Gap-filled daily series with LOCF (last-observation-carried-forward): the
+# time-series densification primitive (monitoring rollups, feature windows).
+# Spine is per-user min..max day (no global spine skew); forward fill is one
+# last(ignorenulls) window — a single user_id shuffle at any scale. Daily max
+# is rounded BEFORE the fill so carried values are bit-identical copies.
+# ---------------------------------------------------------------------------
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("value"), 6).alias("mx"),
+    )
+    bounds = daily.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d"),
+    )
+    j = spine.join(daily, ["user_id", "d"], "left")
+    w = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
+        F.last("mx", ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
+_GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, ts::DATE AS d, count(*) AS n, round(max(value), 6) AS mx
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+  FROM bounds
+)
+SELECT s.user_id,
+       strftime(s.d, '%Y-%m-%d') AS day,
+       coalesce(n, 0)::BIGINT AS n_events,
+       (CASE WHEN n IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_gap,
+       last_value(mx IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM spine s LEFT JOIN daily USING (user_id, d)
+"""
+
+
 for spec in [
+    QuerySpec("events_gapfill", events_gapfill, _GAPFILL_ORACLE, "per-user daily spine densification + LOCF forward fill"),
     QuerySpec("funnel_signup_purchase", funnel_signup_purchase, _FUNNEL_ORACLE, "signup→purchase funnel conversion within 7 days"),
     QuerySpec("cohort_retention", cohort_retention, _COHORT_ORACLE, "weekly cohort retention matrix"),
     QuerySpec("sessionize", sessionize, _SESSIONIZE_ORACLE, "gap-based sessionization (30 min)"),

@@ -138,8 +138,113 @@ def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median/MAD z-score per event_type. Median and MAD
+# come from interpolated percentiles ROUNDED to 6 before any comparison, so
+# the outlier predicate compares bit-identical operands in both engines
+# (|v - med6| is the same double; the threshold is the same rounded double).
+# Two aggregation passes over one event_type partitioning — no all-pairs, no
+# sort beyond the per-group percentile buffer.
+# ---------------------------------------------------------------------------
+_MAD_SCALE = 1.4826  # consistency constant for normal data
+_MAD_K = 3.0
+
+
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad")
+    )
+    thr = F.round(F.lit(_MAD_K * _MAD_SCALE) * F.col("mad"), 6)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("ad") > thr, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        )
+        .select("event_type", "n", "med", "mad", "n_outliers")
+    )
+
+
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, med, abs(value - med) AS ad
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad FROM dev GROUP BY 1)
+SELECT event_type, count(*)::BIGINT AS n, med, mad,
+       sum(CASE WHEN ad > round({_MAD_K} * {_MAD_SCALE} * mad, 6) THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY event_type, med, mad
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics: clamp at rounded p05/p95, then an EXACT decimal mean
+# of the clamped values (order-independent — float sum order across partitions
+# is nondeterministic at scale; DECIMAL accumulation is not).
+# ---------------------------------------------------------------------------
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, array(0.05, 0.95))")[0], 6).alias("lo"),
+        F.round(F.expr("percentile(value, array(0.05, 0.95))")[1], 6).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_high"),
+            F.round(
+                F.sum(F.round(clamped, 6).cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_winsorized"),
+        )
+        .select("event_type", "n", "lo", "hi", "n_clamped_low", "n_clamped_high", "mean_winsorized")
+    )
+
+
+_WINSORIZE_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.05), 6) AS lo,
+         round(quantile_cont(value, 0.95), 6) AS hi
+  FROM events GROUP BY 1
+)
+SELECT event_type, count(*)::BIGINT AS n, lo, hi,
+       sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_clamped_low,
+       sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_clamped_high,
+       round(sum(round(least(greatest(value, lo), hi), 6)::DECIMAL(38,6))::DOUBLE
+             / count(*), 6) AS mean_winsorized
+FROM events JOIN q USING (event_type)
+GROUP BY event_type, lo, hi
+"""
+
+
 for spec in [
     QuerySpec("percentiles_price", percentiles_price, _PERCENTILES_ORACLE, "exact interpolated percentiles per group"),
+    QuerySpec("anomaly_mad", anomaly_mad, _MAD_ORACLE, "median/MAD robust outlier counts with pre-rounded operands"),
+    QuerySpec("winsorize_stats", winsorize_stats, _WINSORIZE_ORACLE, "p05/p95 winsorized mean via exact decimal accumulation"),
     QuerySpec("approx_percentiles_price", approx_percentiles_price, None, "sketch-based percentiles (rows-only + tolerance test)"),
     QuerySpec("histogram_event_values", histogram_event_values, _HISTOGRAM_ORACLE, "floor-binned value histogram"),
     QuerySpec("embedding_quantize", embedding_quantize, _QUANTIZE_ORACLE, "int8 embedding quantization stats"),
