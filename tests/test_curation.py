@@ -1,0 +1,145 @@
+"""Curation-tier tests: plan-shape invariants (100 TB viability) and semantic
+properties for the substring-dedup / sampling / entropy / LM-quality /
+PMI / gapfill / robust-stats operators. Exact cross-engine equality is covered
+by test_suite_oracles; these pin the properties an oracle diff can't see.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from templatedb_spark.operators.curation import (
+    _SUB_W,
+    bigram_logprob,
+    dedup_substring,
+    pmi_cooccurrence,
+    stratified_sample,
+    token_entropy,
+)
+from templatedb_spark.operators.dedup import tokenized
+from templatedb_spark.operators.profiling import anomaly_mad, winsorize_stats
+from templatedb_spark.operators.analytics import events_gapfill
+from templatedb_spark.plans.explain import physical_plan, uses_python_udf
+
+
+# ---------------------------------------------------------------------------
+# Plan shapes
+# ---------------------------------------------------------------------------
+def test_substring_dedup_is_linear(spark):
+    """The whole point vs the Jaccard family: windows aggregate by fingerprint
+    (partial agg on the md5 key), docs are never pair-joined — no cartesian,
+    no self-join explosion, no Python in the plan."""
+    df = dedup_substring(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert not uses_python_udf(df)
+
+
+def test_stratified_sample_no_join(spark):
+    """Sampling decisions are row-local hashes: the plan is scan → project →
+    one rollup aggregation. No join anywhere."""
+    plan = physical_plan(stratified_sample(spark, SF_SMALL))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_model_joins_broadcast(spark):
+    """The bigram model and PMI marginals are vocabulary-sized — they must
+    reach the corpus via broadcast, never by shuffling the corpus onto the
+    model key."""
+    for fn in (bigram_logprob, pmi_cooccurrence):
+        plan = physical_plan(fn(spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan, (fn.__name__, plan)
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_gapfill_single_user_partitioning(spark):
+    df = events_gapfill(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert not uses_python_udf(df)
+
+
+# ---------------------------------------------------------------------------
+# Semantic properties
+# ---------------------------------------------------------------------------
+def test_substring_window_counts(spark):
+    tok = {
+        r["doc_id"]: r["n"]
+        for r in tokenized(spark, SF_SMALL)
+        .select("doc_id", F.size("t").alias("n"))
+        .collect()
+    }
+    rows = dedup_substring(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["n_windows"] == tok[r["doc_id"]] - _SUB_W + 1
+        assert 0 <= r["n_shared"] <= r["n_windows"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
+
+
+def test_stratified_sample_rates(spark):
+    rows = stratified_sample(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_sampled"] <= r["n_docs"]
+        if r["rate_pct"] == 100:
+            assert r["n_sampled"] == r["n_docs"]
+
+
+def test_entropy_bounds(spark):
+    rows = token_entropy(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        # 0 ≤ H ≤ log2(distinct); TTR in (0, 1]
+        # +1e-6 slack: entropy_bits is rounded to 6dp, which can land just
+        # above the true log2(n_distinct) bound
+        assert -1e-6 <= r["entropy_bits"] <= math.log2(max(r["n_distinct"], 2)) + 1e-6
+        assert 0.0 < r["ttr"] <= 1.0
+
+
+def test_bigram_logprob_nonpositive(spark):
+    rows = bigram_logprob(spark, SF_SMALL).collect()
+    assert rows
+    assert all(r["avg_logprob"] <= 1e-12 for r in rows)
+
+
+def test_pmi_topk_shape(spark):
+    rows = pmi_cooccurrence(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_gapfill_contiguous_and_filled(spark):
+    rows = events_gapfill(spark, SF_SMALL).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, rs in by_user.items():
+        days = sorted(r["day"] for r in rs)
+        # contiguous daily spine: row count equals the day span
+        import datetime
+
+        d0 = datetime.date.fromisoformat(days[0])
+        d1 = datetime.date.fromisoformat(days[-1])
+        assert len(rs) == (d1 - d0).days + 1
+        assert len(set(days)) == len(days)
+        for r in rs:
+            if r["is_gap"] == 1:
+                assert r["n_events"] == 0
+            assert r["value_filled"] is not None  # LOCF always has a seed row
+
+
+def test_mad_and_winsorize_sanity(spark):
+    for r in anomaly_mad(spark, SF_SMALL).collect():
+        assert r["mad"] >= 0.0
+        assert 0 <= r["n_outliers"] < r["n"]
+    for r in winsorize_stats(spark, SF_SMALL).collect():
+        assert r["lo"] <= r["hi"]
+        assert r["n_clamped_low"] + r["n_clamped_high"] < r["n"]
+        assert r["lo"] - 1e-6 <= r["mean_winsorized"] <= r["hi"] + 1e-6
