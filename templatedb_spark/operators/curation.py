@@ -358,6 +358,181 @@ LIMIT {_PMI_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence-length bucketing: batch-packing diagnostic. Each doc lands in the
+# smallest power-of-two token bucket; padding waste is what a fixed-shape
+# trainer pays. Pure integer arithmetic — map-side + one bucket rollup.
+# ---------------------------------------------------------------------------
+_LEN_BUCKETS = [16, 32, 64, 128, 256, 512, 1024]
+
+
+def _bucket_case_spark(n):
+    expr = F.lit(_LEN_BUCKETS[-1])
+    for b in reversed(_LEN_BUCKETS):
+        expr = F.when(n <= b, F.lit(b)).otherwise(expr)
+    return expr
+
+
+def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = tokenized(spark, sf_dir).filter(F.size("t") >= 1)
+    n = F.size("t").cast("long")
+    d = tok.select(n.alias("n"), _bucket_case_spark(n).cast("long").alias("bucket"))
+    return (
+        d.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("sum_tokens"),
+            F.sum(F.col("bucket") - F.col("n")).cast("long").alias("sum_padding"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            "sum_padding",
+            F.round(
+                F.col("sum_padding").cast("double")
+                / (F.col("sum_padding") + F.col("sum_tokens")),
+                6,
+            ).alias("waste_pct"),
+        )
+    )
+
+
+def _bucket_case_sql(n: str) -> str:
+    expr = str(_LEN_BUCKETS[-1])
+    for b in reversed(_LEN_BUCKETS):
+        expr = f"CASE WHEN {n} <= {b} THEN {b} ELSE {expr} END"
+    return expr
+
+
+_LENBUCKET_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+d AS (
+  SELECT len(t)::BIGINT AS n, ({_bucket_case_sql('len(t)')})::BIGINT AS bucket
+  FROM toks WHERE len(t) >= 1
+)
+SELECT bucket, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS sum_tokens,
+       sum(bucket - n)::BIGINT AS sum_padding,
+       round(sum(bucket - n)::DOUBLE / (sum(bucket - n) + sum(n)), 6) AS waste_pct
+FROM d GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate overlap matrix: for every source pair, how many
+# duplicate fingerprints they share. The fingerprint is the first 12 tokens
+# (a prefix fingerprint — the cheap first-pass near-dup key real pipelines
+# use; exact-text md5 finds nothing across synthetic sources). NO self-join —
+# each fingerprint's sorted distinct-source set expands to its pairs in-row
+# (same shape as PMI), so a fingerprint duplicated across s sources costs
+# C(s,2) rows, bounded by the source count, never by corpus size.
+# ---------------------------------------------------------------------------
+_PREFIX_FP_K = 12
+
+
+def _prefix_fp_spark() -> F.Column:
+    return F.md5(
+        F.expr(
+            f"array_join(slice(regexp_extract_all(lower(text), '[a-z0-9]+', 0),"
+            f" 1, {_PREFIX_FP_K}), ' ')"
+        )
+    )
+
+
+_PREFIX_FP_SQL = (
+    f"md5(array_to_string((regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    f"[1 : {_PREFIX_FP_K}], ' '))"
+)
+
+
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    fps = d.select(_prefix_fp_spark().alias("fp"), "source").distinct()
+    sets = fps.groupBy("fp").agg(F.array_sort(F.collect_set("source")).alias("v"))
+    pairs = sets.filter(F.size("v") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(v, (x, i) ->"
+                " transform(slice(v, i + 2, size(v)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+    )
+
+
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH fps AS (SELECT DISTINCT {_PREFIX_FP_SQL} AS fp, source FROM documents),
+sets AS (SELECT fp, list_sort(list(DISTINCT source)) AS v FROM fps GROUP BY fp),
+pairs AS (
+  SELECT v[i] AS source_a, v[j] AS source_b
+  FROM sets,
+       unnest(generate_series(1, len(v))) AS ui(i),
+       unnest(generate_series(1, len(v))) AS uj(j)
+  WHERE i < j AND len(v) >= 2
+)
+SELECT source_a, source_b, count(*)::BIGINT AS n_shared_fps
+FROM pairs GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val split + leakage audit: hash-split at 90/10, then
+# count, per split, the docs whose prefix fingerprint also appears in the
+# OTHER split (what a decontamination pass must remove before training; the
+# prefix fingerprint is the same near-dup key source_overlap uses).
+# One shuffle on the fingerprint; split membership is row-local.
+# ---------------------------------------------------------------------------
+_SPLIT_TRAIN_PCT = 90
+
+
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    split = F.when(
+        md5_long(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
+        < _SPLIT_TRAIN_PCT,
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    tagged = d.select(
+        "doc_id", "n_chars", _prefix_fp_spark().alias("fp"), split.alias("split")
+    )
+    fp_sides = tagged.groupBy("fp").agg(
+        F.countDistinct("split").alias("n_sides")
+    )
+    return (
+        tagged.join(fp_sides, "fp")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("fp").cast("long").alias("n_unique_fps"),
+            F.sum(F.when(F.col("n_sides") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaked_docs"),
+        )
+    )
+
+
+_SPLIT_HASH = md5_long_sql("'split|' || doc_id::VARCHAR")
+_SPLIT_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id, n_chars, {_PREFIX_FP_SQL} AS fp,
+         CASE WHEN {_SPLIT_HASH} % 100 < {_SPLIT_TRAIN_PCT}
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents
+),
+fp_sides AS (SELECT fp, count(DISTINCT split) AS n_sides FROM tagged GROUP BY fp)
+SELECT split, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       count(DISTINCT fp)::BIGINT AS n_unique_fps,
+       sum(CASE WHEN n_sides > 1 THEN 1 ELSE 0 END)::BIGINT AS n_leaked_docs
+FROM tagged JOIN fp_sides USING (fp)
+GROUP BY split
+"""
+
+
 for spec in [
     QuerySpec(
         "dedup_substring",
@@ -388,6 +563,24 @@ for spec in [
         pmi_cooccurrence,
         _PMI_ORACLE,
         "top-k PMI token pairs via in-row pair expansion (no self-join)",
+    ),
+    QuerySpec(
+        "length_bucket_stats",
+        length_bucket_stats,
+        _LENBUCKET_ORACLE,
+        "power-of-two sequence-length buckets with padding-waste accounting",
+    ),
+    QuerySpec(
+        "source_overlap",
+        source_overlap,
+        _SOURCE_OVERLAP_ORACLE,
+        "cross-source duplicate-fingerprint matrix via in-row pair expansion",
+    ),
+    QuerySpec(
+        "train_val_split",
+        train_val_split,
+        _SPLIT_ORACLE,
+        "deterministic 90/10 hash split + cross-split exact-dup leakage audit",
     ),
 ]:
     register(spec)

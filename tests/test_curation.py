@@ -135,6 +135,49 @@ def test_gapfill_contiguous_and_filled(spark):
             assert r["value_filled"] is not None  # LOCF always has a seed row
 
 
+def test_length_buckets_cover_and_account(spark):
+    from templatedb_spark.operators.curation import _LEN_BUCKETS, length_bucket_stats
+
+    rows = length_bucket_stats(spark, SF_SMALL).collect()
+    assert rows
+    n_total = (
+        tokenized(spark, SF_SMALL).filter(F.size("t") >= 1).count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_total
+    for r in rows:
+        assert r["bucket"] in _LEN_BUCKETS
+        assert r["sum_padding"] >= 0
+        assert 0.0 <= r["waste_pct"] < 1.0
+
+
+def test_source_overlap_nontrivial_and_symmetric_free(spark):
+    from templatedb_spark.operators.curation import source_overlap
+
+    rows = source_overlap(spark, SF_SMALL).collect()
+    assert rows, "prefix fingerprints must overlap across sources in testdata"
+    seen = set()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]  # canonical pair order, no mirrors
+        assert (r["source_a"], r["source_b"]) not in seen
+        seen.add((r["source_a"], r["source_b"]))
+        assert r["n_shared_fps"] >= 1
+
+
+def test_train_val_split_partitions_corpus(spark):
+    from templatedb_spark.operators.curation import train_val_split
+    from templatedb_spark.suite import table
+
+    rows = {r["split"]: r for r in train_val_split(spark, SF_SMALL).collect()}
+    assert set(rows) == {"train", "val"}
+    n_docs = table(spark, SF_SMALL, "documents").count()
+    assert rows["train"]["n_docs"] + rows["val"]["n_docs"] == n_docs
+    # 90/10 hash split: train side within a loose tolerance of its target
+    frac = rows["train"]["n_docs"] / n_docs
+    assert 0.8 < frac < 0.97
+    for r in rows.values():
+        assert r["n_leaked_docs"] <= r["n_docs"]
+
+
 def test_mad_and_winsorize_sanity(spark):
     for r in anomaly_mad(spark, SF_SMALL).collect():
         assert r["mad"] >= 0.0
