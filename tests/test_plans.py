@@ -64,6 +64,28 @@ def test_no_python_udf_in_relational_suite(spark):
         assert not uses_python_udf(specs[name].spark(spark, SF_SMALL)), name
 
 
+def test_suite_wide_plan_hygiene(spark):
+    """Global gate over EVERY registered spec: no CartesianProduct (except the
+    spec whose purpose is a cross join) and no row-at-a-time PythonUDF
+    anywhere (Arrow-batched pandas UDFs are the sanctioned Python path).
+    The targeted plan pins elsewhere check stronger per-operator properties;
+    this sweep guarantees no future spec regresses the two anti-patterns that
+    are always wrong at 100 TB."""
+    from templatedb_spark.plans.explain import physical_plan
+
+    allowed_cartesian = {"cross_join"}
+    specs = all_specs()
+    offenders = []
+    for name, spec in specs.items():
+        df = spec.spark(spark, SF_SMALL)
+        plan = physical_plan(df)
+        if "CartesianProduct" in plan and name not in allowed_cartesian:
+            offenders.append((name, "CartesianProduct"))
+        if uses_python_udf(df):
+            offenders.append((name, "PythonUDF"))
+    assert not offenders, offenders
+
+
 def test_topk_fuses_to_take_ordered(spark):
     """ORDER BY + LIMIT must fuse (TakeOrderedAndProject), not global-sort."""
     from templatedb_spark.plans.explain import formatted_plan
