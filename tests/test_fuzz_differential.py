@@ -111,10 +111,55 @@ def _gen_query2(rng: random.Random) -> str:
     )
 
 
+def _gen_query3(rng: random.Random) -> str:
+    """Late-round-3 grammar extension: window functions. Determinism comes
+    from total window orders (c_custkey is unique, so every ORDER BY inside a
+    window ends with it) and DECIMAL running sums (each prefix is exact, so
+    the frame result is identical regardless of partitioning)."""
+    shape = rng.choice(["rank", "frame", "nav"])
+    pdir = rng.choice(["ASC", "DESC"])
+    if shape == "rank":
+        f = rng.choice(["RANK()", "DENSE_RANK()", "ROW_NUMBER()", f"NTILE({rng.randint(2, 5)})"])
+        n = rng.randint(1, 5)
+        return (
+            f"SELECT * FROM ("
+            f"SELECT c_custkey, c_nationkey, {f} OVER "
+            f"(PARTITION BY c_nationkey ORDER BY c_acctbal {pdir}, c_custkey) AS r "
+            f"FROM customer) t WHERE r <= {n} "
+            f"ORDER BY c_nationkey, r, c_custkey"
+        )
+    if shape == "frame":
+        k = rng.randint(1, 6)
+        frame = rng.choice(
+            [f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW",
+             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
+        )
+        n = rng.randint(10, 60)
+        return (
+            "SELECT c_custkey, "
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) OVER "
+            f"(PARTITION BY c_nationkey ORDER BY c_custkey {frame}) AS DOUBLE) AS s, "
+            "COUNT(*) OVER "
+            f"(PARTITION BY c_nationkey ORDER BY c_custkey {frame}) AS n "
+            f"FROM customer ORDER BY c_custkey LIMIT {n}"
+        )
+    off = rng.randint(1, 3)
+    fn = rng.choice(["LAG", "LEAD"])
+    n = rng.randint(10, 60)
+    return (
+        f"SELECT c_custkey, {fn}(c_custkey, {off}, -1) OVER "
+        f"(PARTITION BY c_nationkey ORDER BY c_acctbal {pdir}, c_custkey) AS nb "
+        f"FROM customer ORDER BY c_custkey LIMIT {n}"
+    )
+
+
 _NUM_CASES2 = 20
-_CASES = [_gen_query(random.Random(_SEED + i)) for i in range(_NUM_CASES)] + [
-    _gen_query2(random.Random(_SEED + 1000 + i)) for i in range(_NUM_CASES2)
-]
+_NUM_CASES3 = 20
+_CASES = (
+    [_gen_query(random.Random(_SEED + i)) for i in range(_NUM_CASES)]
+    + [_gen_query2(random.Random(_SEED + 1000 + i)) for i in range(_NUM_CASES2)]
+    + [_gen_query3(random.Random(_SEED + 2000 + i)) for i in range(_NUM_CASES3)]
+)
 
 
 @pytest.fixture(scope="module", autouse=True)
