@@ -71,6 +71,61 @@ def test_stream_anomaly_matches_batch(spark, tmp_path):
     assert len(want_set) > 0  # not vacuous
 
 
+def test_stream_neardup_matches_batch_lsh(spark, tmp_path):
+    """The band-keyed stateful near-dup stream must reproduce the batch
+    minhash-LSH spec exactly: distinct emitted pairs == dedup_minhash_lsh
+    output (same pair via several bands carries the same match count).
+    Documents are split across two files so pairing spans micro-batches
+    (state carries earlier docs forward)."""
+    from templatedb_spark.operators.dedup import _MINHASH_K, dedup_minhash_lsh
+    from templatedb_spark.streaming.events import run_available_now
+    from templatedb_spark.streaming.neardup import (
+        read_documents_stream,
+        signature_projection,
+        stream_neardup_pairs,
+    )
+    from templatedb_spark.suite import table
+
+    # signature projection must equal the batch aggregation path first
+    from templatedb_spark.operators.dedup import minhash_signatures_wide
+
+    proj = {
+        r["doc_id"]: list(r["sig"])
+        for r in signature_projection(table(spark, SF_SMALL, "documents")).collect()
+    }
+    wide = {
+        r["doc_id"]: [r[f"mh_{i}"] for i in range(_MINHASH_K)]
+        for r in minhash_signatures_wide(spark, SF_SMALL).collect()
+    }
+    assert proj == wide
+
+    stage = tmp_path / "docs_in"
+    stage.mkdir()
+    docs = table(spark, SF_SMALL, "documents")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(str(stage / "even"))
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(str(stage / "odd"))
+    import glob
+
+    for i, f in enumerate(sorted(glob.glob(str(stage / "*" / "part-*.parquet")))):
+        shutil.copy(f, stage / f"chunk-{i}.parquet")
+    shutil.rmtree(stage / "even")
+    shutil.rmtree(stage / "odd")
+
+    got_rows = run_available_now(
+        stream_neardup_pairs(read_documents_stream(spark, str(stage))),
+        "t_stream_neardup",
+        output_mode="append",
+    )
+    got = {(r.doc_a, r.doc_b, r.matches) for r in got_rows}
+
+    want = {
+        (r.doc_a, r.doc_b, int(round(r.est_jaccard * _MINHASH_K)))
+        for r in dedup_minhash_lsh(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_stream_attribution_matches_batch(spark, tmp_path):
     """Stateful last-touch attribution: the stream's per-purchase rows must
     equal the batch pre-rollup relation exactly — same (ts, event_id) order,
