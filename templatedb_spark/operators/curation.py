@@ -30,7 +30,7 @@ Five operators, each a pure DataFrame plan with an exact DuckDB oracle:
 
 Scale notes (100 TB):
 - `dedup_substring`: explode is W× amplification map-side; the only shuffle
-  keys on the 16-byte window fingerprint with map-side partial aggregation,
+  keys on the 60-bit window fingerprint with map-side partial aggregation,
   so duplicate-heavy corpora shrink in the combiner. This is the standard
   exact-substring dedup shape at scale (suffix arrays are the single-node
   alternative; fingerprinted windows are what distributes).
@@ -68,7 +68,11 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
     ).select(
         "doc_id",
-        F.md5(F.expr(f"array_join(slice(t, s, {_SUB_W}), ' ')")).alias("fp"),
+        # md5_long (60-bit BIGINT), not the 32-char md5 string: the window
+        # fingerprint is this plan's shuffle key and 8 bytes beat 32+ on the
+        # wire; cross-engine equality holds because the oracle derives the
+        # same integer from the same md5
+        md5_long(F.expr(f"array_join(slice(t, s, {_SUB_W}), ' ')")).alias("fp"),
     )
     per_doc_fp = wins.groupBy("doc_id", "fp").agg(F.count(F.lit(1)).alias("c"))
     fp_docs = per_doc_fp.groupBy("fp").agg(F.count(F.lit(1)).alias("ndocs"))
@@ -96,7 +100,7 @@ _SUBSTRING_ORACLE = f"""
 WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
 base AS (SELECT doc_id, t FROM toks WHERE len(t) >= {_SUB_W}),
 wins AS (
-  SELECT doc_id, md5(array_to_string(t[s : s + {_SUB_W} - 1], ' ')) AS fp
+  SELECT doc_id, (('0x' || substr(md5(array_to_string(t[s : s + {_SUB_W} - 1], ' ')), 1, 15))::BIGINT) AS fp
   FROM base, unnest(generate_series(1, len(t) - {_SUB_W} + 1)) AS u(s)
 ),
 pdf AS (SELECT doc_id, fp, count(*) AS c FROM wins GROUP BY 1, 2),
