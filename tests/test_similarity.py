@@ -23,6 +23,24 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
 
 
+def test_matryoshka_recall_vs_bruteforce(spark):
+    """The 32-dim prefix funnel at CAND=100 should recover nearly all of the
+    exact 64-dim top-5 (measured 0.92 at N=500; the prefix correlates with the full vector on this
+    data); assert a high recall floor so funnel-parameter regressions get
+    caught, and that the funnel stays JVM-side."""
+    from templatedb_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_matryoshka_topk,
+    )
+    from templatedb_spark.plans.explain import uses_python_udf
+
+    exact = {(r.qid, r.vec_id) for r in ann_cosine_topk(spark, SF_SMALL).collect()}
+    mrl = {(r.qid, r.vec_id) for r in ann_matryoshka_topk(spark, SF_SMALL).collect()}
+    recall = len(exact & mrl) / len(exact)
+    assert recall >= 0.8, f"matryoshka recall collapsed: {recall:.2f}"
+    assert not uses_python_udf(ann_matryoshka_topk(spark, SF_SMALL))
+
+
 def test_brute_force_is_jvm_side(spark):
     """The brute-force scorer must stay off the Python-UDF slow path."""
     from templatedb_spark.operators.similarity import ann_cosine_topk
