@@ -537,6 +537,93 @@ GROUP BY split
 """
 
 
+# ---------------------------------------------------------------------------
+# Composite quality-filter verdict: the Gopher/C4-style rule stack as ONE
+# pass over the (doc, token) aggregate — min length, type-token-ratio band
+# (too-high TTR = word soup), repetition cap (max token frequency share),
+# mean token length band. Every signal is an exact integer ratio compared
+# unrounded (both engines evaluate the identical single division), so the
+# verdict is deterministic; fail reasons concatenate in a fixed rule order.
+# ---------------------------------------------------------------------------
+_QF_MIN_TOKENS = 25
+_QF_TTR_MAX = 0.6
+_QF_TOPFRAC_MAX = 0.12
+_QF_MEANLEN_LO = 4.0
+_QF_MEANLEN_HI = 5.0
+
+
+def quality_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = tokenized(spark, sf_dir).filter(F.size("t") >= 1)
+    cnt = (
+        tok.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("nd"),
+        F.max("c").alias("mx"),
+        F.sum(F.length("tok") * F.col("c")).alias("sl"),
+    )
+    ttr = F.col("nd").cast("double") / F.col("n_tokens")
+    topf = F.col("mx").cast("double") / F.col("n_tokens")
+    mlen = F.col("sl").cast("double") / F.col("n_tokens")
+    fails = F.concat_ws(
+        ",",
+        F.when(F.col("n_tokens") < _QF_MIN_TOKENS, F.lit("short")),
+        F.when(ttr > _QF_TTR_MAX, F.lit("soup")),
+        F.when(topf > _QF_TOPFRAC_MAX, F.lit("repetitive")),
+        F.when((mlen < _QF_MEANLEN_LO) | (mlen > _QF_MEANLEN_HI), F.lit("token_len")),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.round(ttr, 6).alias("ttr"),
+        F.round(topf, 6).alias("top_tok_frac"),
+        F.round(mlen, 6).alias("mean_tok_len"),
+        F.when(fails == "", 1).otherwise(0).cast("long").alias("keep"),
+        fails.alias("fail_reasons"),
+    )
+
+
+_QF_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+cnt AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks WHERE len(t) >= 1)
+  GROUP BY 1, 2
+),
+d AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS nd, max(c) AS mx,
+         sum(len(tok) * c) AS sl
+  FROM cnt GROUP BY doc_id
+),
+v AS (
+  SELECT doc_id, n_tokens,
+         nd::DOUBLE / n_tokens AS ttr,
+         mx::DOUBLE / n_tokens AS topf,
+         sl::DOUBLE / n_tokens AS mlen
+  FROM d
+),
+f AS (
+  SELECT doc_id, n_tokens, ttr, topf, mlen,
+         concat_ws(',',
+           CASE WHEN n_tokens < {_QF_MIN_TOKENS} THEN 'short' END,
+           CASE WHEN ttr > {_QF_TTR_MAX} THEN 'soup' END,
+           CASE WHEN topf > {_QF_TOPFRAC_MAX} THEN 'repetitive' END,
+           CASE WHEN mlen < {_QF_MEANLEN_LO} OR mlen > {_QF_MEANLEN_HI}
+                THEN 'token_len' END) AS fails
+  FROM v
+)
+SELECT doc_id, n_tokens,
+       round(ttr, 6) AS ttr, round(topf, 6) AS top_tok_frac,
+       round(mlen, 6) AS mean_tok_len,
+       (CASE WHEN fails = '' THEN 1 ELSE 0 END)::BIGINT AS keep,
+       fails AS fail_reasons
+FROM f
+"""
+
+
 for spec in [
     QuerySpec(
         "dedup_substring",
@@ -585,6 +672,12 @@ for spec in [
         train_val_split,
         _SPLIT_ORACLE,
         "deterministic 90/10 hash split + cross-split exact-dup leakage audit",
+    ),
+    QuerySpec(
+        "quality_filter_verdict",
+        quality_filter_verdict,
+        _QF_ORACLE,
+        "composite Gopher-style quality rule stack: one keep/drop verdict per doc",
     ),
 ]:
     register(spec)
