@@ -36,6 +36,11 @@ _HEAVIEST = [
     "percentiles_price",
     "vocab_top_tokens",
     "tfidf_top_terms",
+    # late-round-3 heavies (top of the contended bench among the new specs)
+    "dedup_substring",
+    "pmi_cooccurrence",
+    "bigram_logprob",
+    "train_val_split",
 ]
 
 
