@@ -126,6 +126,68 @@ def test_stream_neardup_matches_batch_lsh(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_stream_neardup_checkpoint_recovery(spark, tmp_path):
+    """Kill-and-resume: run the near-dup stream over chunk A with a
+    checkpoint, stop, add chunk B, restart from the same checkpoint. The
+    restarted query must (a) recover per-band state — cross-chunk pairs
+    appear without reprocessing chunk A — and (b) not re-emit chunk-A-only
+    pairs (source progress + state live in the checkpoint). Union of both
+    runs' distinct pairs == the batch LSH spec."""
+    from pyspark.sql import functions as F
+
+    from templatedb_spark.operators.dedup import dedup_minhash_lsh
+    from templatedb_spark.streaming.neardup import (
+        read_documents_stream,
+        stream_neardup_pairs,
+    )
+    from templatedb_spark.suite import table
+
+    stage = tmp_path / "docs_in"
+    stage.mkdir()
+    out = str(tmp_path / "pairs_out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = table(spark, SF_SMALL, "documents")
+
+    import glob
+
+    def stage_chunk(pred: str, name: str) -> None:
+        tmp = tmp_path / f"w_{name}"
+        docs.filter(pred).coalesce(1).write.parquet(str(tmp))
+        src = glob.glob(str(tmp / "part-*.parquet"))[0]
+        shutil.copy(src, stage / f"{name}.parquet")
+        shutil.rmtree(tmp)
+
+    def run_once() -> None:
+        q = (
+            stream_neardup_pairs(read_documents_stream(spark, str(stage)))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage_chunk("doc_id % 2 = 0", "chunk-a")
+    run_once()
+    run1 = {(r.doc_a, r.doc_b, r.matches) for r in spark.read.parquet(out).collect()}
+    assert all(a % 2 == 0 and b % 2 == 0 for a, b, _ in run1)
+
+    stage_chunk("doc_id % 2 = 1", "chunk-b")
+    run_once()
+    all_rows = spark.read.parquet(out)
+    got = {(r.doc_a, r.doc_b, r.matches) for r in all_rows.collect()}
+    run2 = got - run1
+    # every post-restart pair involves a chunk-B doc: chunk A was not replayed
+    assert run2 and all(a % 2 == 1 or b % 2 == 1 for a, b, _ in run2)
+
+    want = {
+        (r.doc_a, r.doc_b, int(round(r.est_jaccard * 16)))
+        for r in dedup_minhash_lsh(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
 def test_stream_attribution_matches_batch(spark, tmp_path):
     """Stateful last-touch attribution: the stream's per-purchase rows must
     equal the batch pre-rollup relation exactly — same (ts, event_id) order,
