@@ -624,7 +624,110 @@ FROM f
 """
 
 
+# ---------------------------------------------------------------------------
+# PII detection + redaction. The corpus is synthetic word-salad with no
+# natural PII, so the spec follows the multimodal encode->decode precedent:
+# a deterministic contact line (email, phone, IPv4 — all derived from doc_id)
+# is RENDERED into each document inside the query, then the scrubber has to
+# find and redact it. Both engines render identically, so the oracle is a
+# real exactness check on the regex machinery, not a trivial all-zeros pass.
+#
+# Scale: pure map-side projection — zero shuffle at any corpus size; the
+# regex stack runs inside whole-stage codegen (no Python). Patterns restrict
+# to syntax Java regex and DuckDB's RE2 interpret identically (character
+# classes + bounded repetition; no backrefs, no lookaround).
+# ---------------------------------------------------------------------------
+_PII_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PII_PHONE_RE = "555-[0-9]{4}"
+_PII_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tld = F.when(F.col("doc_id") % 3 == 0, "com").when(F.col("doc_id") % 3 == 1, "org").otherwise("net")
+    contact = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example."),
+        tld,
+        F.lit(" phone 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" host 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    aug = d.select("doc_id", F.concat(F.col("text"), contact).alias("s"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("s"), _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        _PII_IP_RE,
+        "<IP>",
+    )
+    out = aug.select(
+        "doc_id",
+        F.regexp_count(F.col("s"), F.lit(_PII_EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(F.col("s"), F.lit(_PII_PHONE_RE)).cast("long").alias("n_phone"),
+        F.regexp_count(F.col("s"), F.lit(_PII_IP_RE)).cast("long").alias("n_ip"),
+        redacted.alias("r"),
+    )
+    residual = (
+        F.regexp_count(F.col("r"), F.lit(_PII_EMAIL_RE))
+        + F.regexp_count(F.col("r"), F.lit(_PII_PHONE_RE))
+        + F.regexp_count(F.col("r"), F.lit(_PII_IP_RE))
+    )
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ip",
+        F.md5(F.col("r")).alias("redacted_fp"),
+        residual.cast("long").alias("residual_pii"),
+    )
+
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.' ||
+         (CASE WHEN doc_id % 3 = 0 THEN 'com'
+               WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END) ||
+         ' phone 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         CAST((doc_id * 7) % 256 AS VARCHAR) AS s
+  FROM documents
+),
+red AS (
+  SELECT doc_id, s,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(s, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{_PII_IP_RE}', '<IP>', 'g') AS r
+  FROM aug
+)
+SELECT doc_id,
+       len(regexp_extract_all(s, '{_PII_EMAIL_RE}'))::BIGINT AS n_email,
+       len(regexp_extract_all(s, '{_PII_PHONE_RE}'))::BIGINT AS n_phone,
+       len(regexp_extract_all(s, '{_PII_IP_RE}'))::BIGINT AS n_ip,
+       md5(r) AS redacted_fp,
+       (len(regexp_extract_all(r, '{_PII_EMAIL_RE}'))
+        + len(regexp_extract_all(r, '{_PII_PHONE_RE}'))
+        + len(regexp_extract_all(r, '{_PII_IP_RE}')))::BIGINT AS residual_pii
+FROM red
+"""
+
+
 for spec in [
+    QuerySpec(
+        "pii_redaction",
+        pii_redaction,
+        _PII_ORACLE,
+        "PII detect + redact: rendered contact lines scrubbed by a portable regex stack",
+    ),
     QuerySpec(
         "dedup_substring",
         dedup_substring,

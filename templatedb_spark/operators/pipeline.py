@@ -1037,8 +1037,110 @@ SELECT doc_id, score, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: Reciprocal Rank Fusion of the BM25 lexical ranking and a
+# dense cosine ranking against the aligned embedding (doc_id == vec_id in the
+# synthetic corpus — the standard "one embedding per document" layout). The
+# RAG-stack shape: each retriever produces its top-POOL list independently
+# (sparse: posting-list join; dense: ANN), then fusion is a cheap full outer
+# join on doc id with score = Σ 1/(K + rank). Float determinism: ranks are
+# integers, the two reciprocal terms are added in fixed left-to-right order,
+# and the fused score is rounded before the final ordering.
+#
+# Scale: both retriever legs are top-POOL lists (broadcast-sized regardless
+# of corpus size), so the fusion join is a driver-free broadcast join; the
+# expensive work stays inside the per-leg operators which already have their
+# own scale paths (inverted index / IVF-LSH ANN).
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_POOL = _BM25_K  # both legs feed their top-20
+_RRF_OUT = 15
+_RRF_QVEC = 0  # dense query: embedding of vec_id 0
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.operators.similarity import _vec_double, dot
+
+    bm = bm25_topk(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("rank").alias("bm25_rank")
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double("embedding").alias("v")
+    )
+    e = e.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    q = e.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    wa = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    ann = (
+        scored.select("vec_id", F.row_number().over(wa).cast("long").alias("ann_rank"))
+        .filter(F.col("ann_rank") <= _RRF_POOL)
+        .select(F.col("vec_id").alias("id"), "ann_rank")
+    )
+    fused = bm.join(ann, "id", "full_outer").select(
+        F.col("id").alias("doc_id"),
+        "bm25_rank",
+        "ann_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("ann_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return fused.select(
+        "doc_id", "bm25_rank", "ann_rank", "rrf_score",
+        F.row_number().over(wf).cast("long").alias("fused_rank"),
+    ).filter(F.col("fused_rank") <= _RRF_OUT)
+
+
+def _rrf_oracle() -> str:
+    return f"""
+WITH bm AS (SELECT doc_id AS id, rank AS bm25_rank FROM ({_bm25_oracle()})),
+ev AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM ev),
+q AS (SELECT v AS qv, norm AS qnorm FROM en WHERE vec_id = {_RRF_QVEC}),
+scored AS (
+  SELECT vec_id, ROUND(list_dot_product(q.qv, en.v) / (q.qnorm * en.norm), 6) AS cos
+  FROM en CROSS JOIN q WHERE vec_id <> {_RRF_QVEC}
+),
+ann AS (
+  SELECT vec_id AS id, ann_rank FROM (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC)::BIGINT AS ann_rank
+    FROM scored
+  ) WHERE ann_rank <= {_RRF_POOL}
+),
+fused AS (
+  SELECT COALESCE(bm.id, ann.id) AS doc_id, bm25_rank, ann_rank,
+         ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + bm25_rank), 0.0)
+               + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + ann_rank), 0.0), 6) AS rrf_score
+  FROM bm FULL OUTER JOIN ann ON bm.id = ann.id
+)
+SELECT doc_id, bm25_rank, ann_rank, rrf_score, fused_rank FROM (
+  SELECT doc_id, bm25_rank, ann_rank, rrf_score,
+         ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC)::BIGINT AS fused_rank
+  FROM fused
+) WHERE fused_rank <= {_RRF_OUT}
+"""
+
+
 for spec in [
     QuerySpec("inverted_index", inverted_index, _INVERTED_ORACLE, "inverted index: capped sorted posting lists + doc frequency"),
+    QuerySpec("rrf_fusion", rrf_fusion, _rrf_oracle(), "hybrid retrieval: reciprocal-rank fusion of BM25 and dense cosine top-k"),
     QuerySpec("mv_incremental_refresh", mv_incremental_refresh, _MV_ORACLE, "incremental MV refresh: base ∪ delta partial-state merge == full recompute"),
     QuerySpec("contamination_check", contamination_check, _contam_oracle(), "eval-set decontamination: broadcast shingle-overlap probe"),
     QuerySpec("text_repetition_score", text_repetition_score, _REPETITION_ORACLE, "Gopher-style repetition scoring (distinct ratio, top-bigram fraction)"),

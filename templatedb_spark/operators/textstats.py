@@ -349,8 +349,121 @@ SELECT tok, true_n, cms_n, (cms_n - true_n)::BIGINT AS overestimate FROM est
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog (sketch tier, completing CMS heavy-hitters and
+# approx_percentiles): m=64 registers, 40-bit md5-derived hash. Like the CMS
+# spec, the md5 register/rank derivation makes the SKETCH ITSELF bit-identical
+# across engines, so the whole thing has an EXACT oracle — unusual for HLL.
+# rho (leading-zero rank) avoids float log2 knife edges entirely: it is
+# computed by string ops on the binary expansion (lpad/ltrim), and the
+# harmonic denominator sum(2^-M_j) is scaled by 2^41 so it accumulates as an
+# EXACT BIGINT (register terms 2^(41-M_j); sum < 2^47) — no float-fold order
+# dependence. The final estimate divides two exactly-represented integers in
+# double, identical in both engines.
+#
+# Scale: the register build is one groupBy over m=64 keys with map-side
+# partial MAX — the classic mergeable-sketch shape: per-partition register
+# vectors merge by elementwise max, so a 100 TB scan reduces to 64 rows.
+# ---------------------------------------------------------------------------
+_HLL_M = 64  # registers (p=6 bits)
+_HLL_WBITS = 40  # rank-hash width
+_HLL_ALPHA = 0.709  # alpha_64 = 0.7213/(1 + 1.079/64), conventional constant
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("u"))
+    reg = (md5_long(F.concat(F.col("u"), F.lit(":hllr"))) % _HLL_M).alias("reg")
+    w = (md5_long(F.concat(F.col("u"), F.lit(":hllw"))) % F.lit(2**_HLL_WBITS)).alias("w")
+    # rho = leading zeros of the WBITS-wide w, + 1 (string ops — no log2)
+    hashed = e.select(reg, w)
+    rho = F.expr(
+        f"{_HLL_WBITS + 1} - length(ltrim('0', lpad(bin(w), {_HLL_WBITS}, '0')))"
+    ).alias("rho")
+    regs = hashed.select("reg", rho).groupBy("reg").agg(F.max("rho").alias("m"))
+    all_regs = (
+        spark.range(_HLL_M)
+        .select(F.col("id").alias("reg"))
+        .join(regs, "reg", "left")
+        .select("reg", F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("m"))
+    )
+    # exact integer harmonic denominator: S = sum(2^(41 - M_j))
+    scaled = all_regs.select(
+        "reg",
+        "m",
+        F.expr(
+            f"shiftleft(cast(1 as bigint), cast({_HLL_WBITS + 1} - m as int))"
+        ).alias("term"),
+    )
+    truth = (
+        table(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_true"))
+    )
+    est_num = _HLL_ALPHA * _HLL_M * _HLL_M * float(2 ** (_HLL_WBITS + 1))
+    summary = scaled.agg(
+        F.count(F.lit(1)).cast("long").alias("m_regs"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("n_zero_regs"),
+        F.sum("term").cast("long").alias("s"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("reg", "m"))),
+                    lambda x: x["m"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("registers_fp"),
+    )
+    return summary.crossJoin(truth).select(
+        "m_regs",
+        "n_zero_regs",
+        "registers_fp",
+        "n_true",
+        F.round(F.lit(est_num) / F.col("s").cast("double"), 6).alias("hll_estimate"),
+        F.round(
+            F.abs(F.lit(est_num) / F.col("s").cast("double") - F.col("n_true"))
+            / F.col("n_true"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def _hll_oracle() -> str:
+    reg = md5_long_sql("u || ':hllr'")
+    w = md5_long_sql("u || ':hllw'")
+    est_num = _HLL_ALPHA * _HLL_M * _HLL_M * float(2 ** (_HLL_WBITS + 1))
+    return f"""
+WITH e AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events),
+hashed AS (SELECT {reg} % {_HLL_M} AS reg, {w} % {2**_HLL_WBITS} AS w FROM e),
+rho AS (
+  SELECT reg,
+         {_HLL_WBITS + 1} - length(ltrim(lpad(bin(w), {_HLL_WBITS}, '0'), '0')) AS rho
+  FROM hashed
+),
+regs AS (SELECT reg, MAX(rho) AS m FROM rho GROUP BY reg),
+all_regs AS (
+  SELECT gs.reg, COALESCE(regs.m, 0)::BIGINT AS m
+  FROM (SELECT unnest(generate_series(0, {_HLL_M - 1}))::BIGINT AS reg) gs
+  LEFT JOIN regs ON regs.reg = gs.reg
+),
+scaled AS (SELECT reg, m, (1::BIGINT << ({_HLL_WBITS + 1} - m)::INT) AS term FROM all_regs),
+truth AS (SELECT COUNT(DISTINCT user_id)::BIGINT AS n_true FROM events),
+summary AS (
+  SELECT COUNT(*)::BIGINT AS m_regs,
+         SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_regs,
+         SUM(term)::BIGINT AS s,
+         md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY reg)) AS registers_fp
+  FROM scaled
+)
+SELECT m_regs, n_zero_regs, registers_fp, n_true,
+       round({est_num!r} / s::DOUBLE, 6) AS hll_estimate,
+       round(abs({est_num!r} / s::DOUBLE - n_true) / n_true, 4) AS rel_err
+FROM summary CROSS JOIN truth
+"""
+
+
 for spec in [
     QuerySpec("text_hash_sample", text_hash_sample, _hash_sample_oracle(), "deterministic stratified hash sampling"),
+    QuerySpec("hll_distinct_users", hll_distinct_users, _hll_oracle(), "deterministic HyperLogLog distinct sketch with exact integer-scaled oracle"),
     QuerySpec("mixture_sample", mixture_sample, _mixture_oracle(), "epoch-weighted source mixture (fractional up/down-sampling)"),
     QuerySpec("heavy_hitters_cms", heavy_hitters_cms, _cms_oracle(), "count-min sketch heavy hitters (deterministic, exact-oracle sketch)"),
     QuerySpec("text_language_id", text_language_id, _lang_oracle(), "stopword-heuristic language ID"),
