@@ -708,7 +708,106 @@ WHERE levenshtein(a.nm, b.nm) <= {_LEV_MAX}
 """
 
 
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood near-dup (the classical record-linkage blocking
+# strategy, complementing the shingle/minhash/simhash families): documents
+# are ordered by a composite blocking key (lang, padded length, first two
+# tokens), and only pairs within a rank window of w are compared — O(n·w)
+# candidates instead of O(n²). Candidates then get the exact shingle-Jaccard
+# verdict via the family's shared cached shingle relation.
+#
+# Scale: the rank window partitions by lang (no single-partition global
+# sort); at 100 TB the per-language sort is a range-partitioned shuffle and
+# the window self-join touches w row-neighbors per doc. The w-offset join is
+# an equi-join on (lang, rank) — shuffle-friendly, no cartesian anywhere.
+# ---------------------------------------------------------------------------
+_SNM_W = 4
+_SNM_THRESHOLD = 0.5
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = tokenized(spark, sf_dir)
+    keyed = d.join(tok, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("lang"),
+            F.lit(":"),
+            F.lpad(F.col("n_chars").cast("string"), 6, "0"),
+            F.lit(":"),
+            F.concat_ws(" ", F.slice(F.col("t"), 1, 2)),
+        ).alias("sk"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("sk").asc(), F.col("doc_id").asc())
+    ranked = keyed.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rn"))
+    offs = spark.range(1, _SNM_W + 1).select(F.col("id").alias("off"))
+    left = ranked.crossJoin(F.broadcast(offs)).select(
+        F.col("doc_id").alias("doc_a"), "lang", (F.col("rn") + F.col("off")).alias("rn_b")
+    )
+    cand = left.join(
+        ranked.select(F.col("doc_id").alias("doc_b"), "lang", F.col("rn").alias("rn_b")),
+        ["lang", "rn_b"],
+    ).select("doc_a", "doc_b")
+    sh = shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= _SNM_THRESHOLD)
+
+
+_SNM_ORACLE = f"""
+WITH {_SHINGLES_SQL},
+keyed AS (
+  SELECT d.doc_id, d.lang,
+         d.lang || ':' || lpad(CAST(d.n_chars AS VARCHAR), 6, '0') || ':' ||
+         array_to_string(t.t[1:2], ' ') AS sk
+  FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sk ASC, doc_id ASC)::BIGINT AS rn
+  FROM keyed
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ranked a JOIN ranked b
+    ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + {_SNM_W}
+),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*)::BIGINT AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.i::DOUBLE / (na.n + nb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE round(i.i::DOUBLE / (na.n + nb.n - i.i), 6) >= {_SNM_THRESHOLD}
+"""
+
+
 for spec in [
+    QuerySpec("dedup_sorted_neighborhood", dedup_sorted_neighborhood, _SNM_ORACLE, "sorted-neighborhood blocking + exact Jaccard verdict (O(n*w) candidates)"),
     QuerySpec("dedup_exact", dedup_exact, _DEDUP_EXACT_ORACLE, "exact dedup via md5 fingerprint"),
     QuerySpec("dedup_levenshtein", dedup_levenshtein, _LEVENSHTEIN_ORACLE, "edit-distance near-dup (blocked all-pairs)"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, _NGRAM_JACCARD_ORACLE, "word-trigram exact Jaccard near-dup"),

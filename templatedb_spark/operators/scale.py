@@ -77,3 +77,83 @@ def write_bucketed(df: DataFrame, name: str, key: str, buckets: int = 8) -> None
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: str) -> DataFrame:
     """Join two co-bucketed tables — Catalyst elides both shuffles."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout clustering — the data-layout tier. Interleaving the
+# bits of two dimensions into one sort key clusters BOTH dimensions at once,
+# so range-partitioning/sorting files by z-value lets min/max row-group stats
+# prune scans filtered on either dimension (the Delta/Iceberg OPTIMIZE ZORDER
+# shape). The spec computes an 8+8-bit Morton code over (user bucket, value
+# bucket) for every event and reports per-z-range locality stats: each
+# z-bucket bounds a small rectangle in (x, y) space, which is exactly the
+# property file skipping exploits.
+#
+# Exactness: the interleave is pure integer arithmetic (DIV/mod/scale by
+# powers of two, 16 unrolled terms generated in lockstep for both dialects).
+# Scale: map-side projection + one groupBy over <=256 buckets; the real
+# deployment sorts by `z` with repartitionByRange, which is a range shuffle.
+# ---------------------------------------------------------------------------
+_Z_BITS = 8
+
+
+def _morton_terms(xe: str, ye: str) -> str:
+    """SQL for the interleaved z-value; identical text works in both dialects
+    (integer division via explicit DIV/(// in DuckDB) avoided: uses CAST)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({xe}) % {2 ** (i + 1)} DIV {2 ** i}) * {2 ** (2 * i)}")
+        terms.append(f"(({ye}) % {2 ** (i + 1)} DIV {2 ** i}) * {2 ** (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.suite import table
+
+    e = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 256).cast("long").alias("x"),
+        (F.floor(F.coalesce(F.col("value"), F.lit(0.0))).cast("long") % 256).alias("y"),
+    )
+    z = F.expr(_morton_terms("x", "y").replace(" DIV ", " div ")).cast("long").alias("z")
+    zb = e.select("x", "y", z).select(
+        "x", "y", "z", (F.col("z") / 256).cast("long").alias("zbucket")
+    )
+    return zb.groupBy("zbucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("z").cast("long").alias("z_min"),
+        F.max("z").cast("long").alias("z_max"),
+        F.min("x").cast("long").alias("x_min"),
+        F.max("x").cast("long").alias("x_max"),
+        F.min("y").cast("long").alias("y_min"),
+        F.max("y").cast("long").alias("y_max"),
+    )
+
+
+def _zorder_oracle() -> str:
+    morton = _morton_terms("x", "y").replace(" DIV ", " // ")
+    return f"""
+WITH e AS (
+  SELECT (user_id % 256)::BIGINT AS x,
+         (CAST(FLOOR(COALESCE(value, 0.0)) AS BIGINT) % 256)::BIGINT AS y
+  FROM events
+),
+zb AS (SELECT x, y, ({morton})::BIGINT AS z FROM e)
+SELECT (z // 256)::BIGINT AS zbucket,
+       COUNT(*)::BIGINT AS n_events,
+       MIN(z)::BIGINT AS z_min, MAX(z)::BIGINT AS z_max,
+       MIN(x)::BIGINT AS x_min, MAX(x)::BIGINT AS x_max,
+       MIN(y)::BIGINT AS y_min, MAX(y)::BIGINT AS y_max
+FROM zb GROUP BY 1
+"""
+
+
+from templatedb_spark.suite import QuerySpec, register  # noqa: E402
+
+register(
+    QuerySpec(
+        "zorder_layout",
+        zorder_layout,
+        _zorder_oracle(),
+        "Z-order (Morton) layout clustering with per-z-bucket locality stats",
+    )
+)

@@ -1072,7 +1072,141 @@ SELECT qid, vec_id, cosine, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Lloyd's k-means over int8-range quantized vectors — the iterative-ML tier
+# (embedding clustering for mixture balancing / SemDedup-style curation).
+# Runs T fixed iterations with the MLlib driver pattern: centroids (K×64
+# ints, bounded regardless of corpus size) are collected to the driver each
+# iteration and inlined as literals, so ASSIGNMENT IS MAP-ONLY (no join, no
+# corpus shuffle); the update step is one groupBy over (cluster, dim) —
+# K×64 groups — with map-side partial sums. Total per iteration: one scan +
+# one tiny shuffle, the textbook distributed-kmeans shape.
+#
+# Exactness (why quantized): squared-L2 distances and per-cluster sums are
+# INTEGER arithmetic (|q|≤127 → dot ≤ ~1M, sums < 2^53 — exact in double in
+# both engines, no fold-order knife edges); centroid update is
+# floor(sum/count) computed as FLOOR over exact doubles in both dialects
+# (DuckDB's `//` truncates instead of flooring on negatives — avoided).
+# Empty clusters keep their previous centroid in both engines. The oracle
+# unrolls the T iterations as CTEs.
+# ---------------------------------------------------------------------------
+_KM_K = 8
+_KM_T = 3  # assignment passes; T-1 centroid updates between them
+_KM_DIM = 64
+_KM_QEXPR = "transform(embedding, x -> cast(floor(cast(x as double) * 127) as long))"
+_KM_QSQL = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT))"
+
+
+def kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.expr(_KM_QEXPR).alias("q"))
+        .withColumn("qq", _dot_long(F.col("q"), F.col("q")))
+    )
+    cents = [
+        [int(v) for v in r["q"]]
+        for r in e.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+    ]
+
+    def assign(df: DataFrame, cents: list[list[int]]) -> DataFrame:
+        choices = []
+        for j, c in enumerate(cents):
+            lit_c = F.array(*[F.lit(v).cast("long") for v in c])
+            cc = sum(v * v for v in c)
+            dist = F.col("qq") - 2 * _dot_long(F.col("q"), lit_c) + F.lit(cc).cast("long")
+            choices.append(F.struct(dist.alias("d"), F.lit(j).cast("long").alias("cl")))
+        best = F.array_min(F.array(*choices))
+        return df.select("vec_id", "q", best["cl"].alias("cluster"), best["d"].alias("dist"))
+
+    for t in range(_KM_T):
+        assigned = assign(e, cents)
+        if t == _KM_T - 1:
+            break
+        sums = (
+            assigned.select("cluster", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        newc = (
+            sums.withColumn(
+                "cv",
+                F.floor(F.col("s").cast("double") / F.col("n").cast("double")).cast("long"),
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda x: x["cv"]
+                ).alias("c")
+            )
+            .collect()
+        )
+        updated = {int(r["cluster"]): [int(v) for v in r["c"]] for r in newc}
+        cents = [updated.get(j, cents[j]) for j in range(_KM_K)]
+
+    fps = spark.createDataFrame(
+        [(j, ",".join(str(v) for v in c)) for j, c in enumerate(cents)],
+        "cluster long, cstr string",
+    )
+    stats = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("dist").cast("long").alias("inertia"),
+    )
+    return stats.join(F.broadcast(fps), "cluster").select(
+        "cluster", "n_vecs", "inertia", F.md5(F.col("cstr")).alias("centroid_fp")
+    )
+
+
+def _kmeans_oracle() -> str:
+    dims = ", ".join(
+        f"CAST(FLOOR(SUM(q[{d + 1}])::DOUBLE / COUNT(*)) AS BIGINT)" for d in range(_KM_DIM)
+    )
+    parts = [
+        f"q AS (SELECT vec_id, {_KM_QSQL} AS q FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cl, q AS c FROM q WHERE vec_id < {_KM_K})",
+    ]
+    for t in range(_KM_T):
+        parts.append(
+            f"""d{t} AS (
+  SELECT q.vec_id, q.q, c.cl,
+         CAST(list_dot_product(q.q, q.q) - 2 * list_dot_product(q.q, c.c)
+              + list_dot_product(c.c, c.c) AS BIGINT) AS dist
+  FROM q CROSS JOIN c{t} c
+),
+a{t} AS (
+  SELECT vec_id, q, cl, dist FROM (
+    SELECT vec_id, q, cl, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+)"""
+        )
+        if t < _KM_T - 1:
+            # per-dim means via direct list indexing (q[d] — no unnest
+            # ordinality dependence); empty clusters keep the old centroid
+            parts.append(
+                f"""u{t} AS (
+  SELECT cl, [{dims}] AS c FROM a{t} GROUP BY cl
+),
+c{t + 1} AS (
+  SELECT p.cl, COALESCE(u{t}.c, p.c) AS c
+  FROM c{t} p LEFT JOIN u{t} ON u{t}.cl = p.cl
+)"""
+            )
+    last = _KM_T - 1
+    return f"""
+WITH {', '.join(parts)},
+stats AS (
+  SELECT cl AS cluster, COUNT(*)::BIGINT AS n_vecs, SUM(dist)::BIGINT AS inertia
+  FROM a{last} GROUP BY cl
+)
+SELECT s.cluster, s.n_vecs, s.inertia,
+       md5(array_to_string(c.c, ',')) AS centroid_fp
+FROM stats s JOIN c{last} c ON c.cl = s.cluster
+"""
+
+
 for spec in [
+    QuerySpec("kmeans_quantized", kmeans_quantized, _kmeans_oracle(), "fixed-iteration integer k-means over quantized embeddings (iterative-ML tier)"),
     QuerySpec("ann_cosine_topk", ann_cosine_topk, _ANN_TOPK_ORACLE, "brute-force cosine top-k"),
     QuerySpec("ann_matryoshka_topk", ann_matryoshka_topk, _ANN_MRL_ORACLE, "Matryoshka two-stage retrieval: 16-dim prefix funnel + full-dim rerank"),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, _COSINE_DUP_ORACLE, "embedding cosine near-dup pairs"),

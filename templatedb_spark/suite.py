@@ -81,6 +81,7 @@ def all_specs() -> dict[str, QuerySpec]:
         tpch2,
         pipeline,
         curation,
+        scale,
     )
 
     covered = _driver_covered_names()
