@@ -413,17 +413,22 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("registers_fp"),
     )
+    # small-range (linear counting) correction, as in the HLL paper: when the
+    # raw estimate is <= 2.5m and empty registers exist, m*ln(m/V) is the
+    # better estimator. ln of exact small integers — both engines agree at
+    # round-to-6 (same convention as the BM25 idf log).
+    raw = F.lit(est_num) / F.col("s").cast("double")
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("n_zero_regs") > 0),
+        _HLL_M * F.log(F.lit(float(_HLL_M)) / F.col("n_zero_regs").cast("double")),
+    ).otherwise(raw)
     return summary.crossJoin(truth).select(
         "m_regs",
         "n_zero_regs",
         "registers_fp",
         "n_true",
-        F.round(F.lit(est_num) / F.col("s").cast("double"), 6).alias("hll_estimate"),
-        F.round(
-            F.abs(F.lit(est_num) / F.col("s").cast("double") - F.col("n_true"))
-            / F.col("n_true"),
-            4,
-        ).alias("rel_err"),
+        F.round(est, 6).alias("hll_estimate"),
+        F.round(F.abs(est - F.col("n_true")) / F.col("n_true"), 4).alias("rel_err"),
     )
 
 
@@ -453,11 +458,18 @@ summary AS (
          SUM(term)::BIGINT AS s,
          md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY reg)) AS registers_fp
   FROM scaled
+),
+est AS (
+  SELECT m_regs, n_zero_regs, registers_fp,
+         CASE WHEN {est_num!r} / s::DOUBLE <= {2.5 * _HLL_M} AND n_zero_regs > 0
+              THEN {_HLL_M} * ln({float(_HLL_M)!r} / n_zero_regs::DOUBLE)
+              ELSE {est_num!r} / s::DOUBLE END AS e
+  FROM summary
 )
 SELECT m_regs, n_zero_regs, registers_fp, n_true,
-       round({est_num!r} / s::DOUBLE, 6) AS hll_estimate,
-       round(abs({est_num!r} / s::DOUBLE - n_true) / n_true, 4) AS rel_err
-FROM summary CROSS JOIN truth
+       round(e, 6) AS hll_estimate,
+       round(abs(e - n_true) / n_true, 4) AS rel_err
+FROM est CROSS JOIN truth
 """
 
 
