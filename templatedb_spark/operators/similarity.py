@@ -1076,11 +1076,12 @@ SELECT qid, vec_id, cosine, rank FROM (
 # Lloyd's k-means over int8-range quantized vectors — the iterative-ML tier
 # (embedding clustering for mixture balancing / SemDedup-style curation).
 # Runs T fixed iterations with the MLlib driver pattern: centroids (K×64
-# ints, bounded regardless of corpus size) are collected to the driver each
-# iteration and inlined as literals, so ASSIGNMENT IS MAP-ONLY (no join, no
-# corpus shuffle); the update step is one groupBy over (cluster, dim) —
-# K×64 groups — with map-side partial sums. Total per iteration: one scan +
-# one tiny shuffle, the textbook distributed-kmeans shape.
+# ints, bounded regardless of corpus size) live in a broadcast numpy matrix,
+# so ASSIGNMENT IS MAP-ONLY (an int64 matmul kernel per Arrow batch — no
+# join, no corpus shuffle); the update step collects per-batch per-cluster
+# partial (count, sum-vector) rows — bounded by partitions × K — and folds
+# them on the driver. Total per iteration: one cached-corpus pass + a
+# partitions×K collect, the textbook distributed-kmeans shape.
 #
 # Exactness (why quantized): squared-L2 distances and per-cluster sums are
 # INTEGER arithmetic (|q|≤127 → dot ≤ ~1M, sums < 2^53 — exact in double in
@@ -1097,59 +1098,100 @@ _KM_QEXPR = "transform(embedding, x -> cast(floor(cast(x as double) * 127) as lo
 _KM_QSQL = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT))"
 
 
-def kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.expr(_KM_QEXPR).alias("q"))
-        .withColumn("qq", _dot_long(F.col("q"), F.col("q")))
+def _km_quantized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "km-quant")
+    return _ann_memo(
+        key,
+        lambda: table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.expr(_KM_QEXPR).alias("q")
+        ),
     )
+
+
+def kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment runs as an int64 numpy kernel over mapInPandas — integer
+    matmul is EXACT (no fold-order ulp concerns, unlike the float kernels
+    that need _seq_matmul), so BLAS-class speed costs nothing in oracle
+    fidelity. Updates follow the MLlib shape: each Arrow batch emits K
+    per-cluster partial (count, sum-vector) rows — bounded by
+    partitions × K regardless of corpus size — and the driver folds them
+    into new centroids with the same floor(sum/count) both dialects use."""
+    import numpy as np
+    import pandas as pd
+
+    e = _km_quantized_corpus(spark, sf_dir)
     cents = [
         [int(v) for v in r["q"]]
         for r in e.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
     ]
 
-    def assign(df: DataFrame, cents: list[list[int]]) -> DataFrame:
-        choices = []
-        for j, c in enumerate(cents):
-            lit_c = F.array(*[F.lit(v).cast("long") for v in c])
-            cc = sum(v * v for v in c)
-            dist = F.col("qq") - 2 * _dot_long(F.col("q"), lit_c) + F.lit(cc).cast("long")
-            choices.append(F.struct(dist.alias("d"), F.lit(j).cast("long").alias("cl")))
-        best = F.array_min(F.array(*choices))
-        return df.select("vec_id", "q", best["cl"].alias("cluster"), best["d"].alias("dist"))
+    for t in range(_KM_T - 1):
+        bc = spark.sparkContext.broadcast(np.array(cents, dtype="int64"))
 
-    for t in range(_KM_T):
-        assigned = assign(e, cents)
-        if t == _KM_T - 1:
-            break
-        sums = (
-            assigned.select("cluster", F.posexplode("q").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-        )
-        newc = (
-            sums.withColumn(
-                "cv",
-                F.floor(F.col("s").cast("double") / F.col("n").cast("double")).cast("long"),
-            )
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda x: x["cv"]
-                ).alias("c")
-            )
-            .collect()
-        )
-        updated = {int(r["cluster"]): [int(v) for v in r["c"]] for r in newc}
-        cents = [updated.get(j, cents[j]) for j in range(_KM_K)]
+        def partials(batches, bc=bc):
+            C = bc.value
+            cc = (C * C).sum(axis=1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = np.stack(pdf["q"].to_numpy()).astype("int64")
+                d = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + cc[None, :]
+                j = np.argmin(d, axis=1)  # first min → lowest cluster id on ties
+                rows = []
+                for cl in np.unique(j):
+                    m = j == cl
+                    rows.append(
+                        {"cluster": int(cl), "n": int(m.sum()), "s": Q[m].sum(axis=0).tolist()}
+                    )
+                yield pd.DataFrame(rows)
 
-    fps = spark.createDataFrame(
-        [(j, ",".join(str(v) for v in c)) for j, c in enumerate(cents)],
-        "cluster long, cstr string",
+        agg = e.mapInPandas(partials, schema="cluster long, n long, s array<long>").collect()
+        counts: dict[int, int] = {}
+        sums: dict[int, "np.ndarray"] = {}
+        for r in agg:
+            cl = int(r["cluster"])
+            counts[cl] = counts.get(cl, 0) + int(r["n"])
+            v = np.array(r["s"], dtype="int64")
+            sums[cl] = sums[cl] + v if cl in sums else v
+        cents = [
+            # floor over exact doubles — matches FLOOR(CAST(s AS DOUBLE)/n)
+            # in both engines (sums < 2^53); empty clusters keep the old one
+            np.floor(sums[j].astype("float64") / counts[j]).astype("int64").tolist()
+            if j in counts
+            else cents[j]
+            for j in range(_KM_K)
+        ]
+
+    bc = spark.sparkContext.broadcast(np.array(cents, dtype="int64"))
+
+    def stats_kernel(batches, bc=bc):
+        C = bc.value
+        cc = (C * C).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["q"].to_numpy()).astype("int64")
+            d = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + cc[None, :]
+            j = np.argmin(d, axis=1)
+            rows = []
+            for cl in np.unique(j):
+                m = j == cl
+                rows.append(
+                    {"cluster": int(cl), "n": int(m.sum()), "inertia": int(d[m, cl].sum())}
+                )
+            yield pd.DataFrame(rows)
+
+    stats = (
+        e.mapInPandas(stats_kernel, schema="cluster long, n long, inertia long")
+        .groupBy("cluster")
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.sum("inertia").cast("long").alias("inertia"),
+        )
     )
-    stats = assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.sum("dist").cast("long").alias("inertia"),
+    fps = spark.createDataFrame(
+        [(j, ",".join(str(int(v)) for v in c)) for j, c in enumerate(cents)],
+        "cluster long, cstr string",
     )
     return stats.join(F.broadcast(fps), "cluster").select(
         "cluster", "n_vecs", "inertia", F.md5(F.col("cstr")).alias("centroid_fp")
