@@ -49,6 +49,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from templatedb_spark.functions.hashing import md5_long, md5_long_sql
 from templatedb_spark.operators.dedup import _TOKENS_SQL, tokenized
@@ -721,7 +722,153 @@ FROM red
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE merge learning (the tokenizer-training primitive): K merge rules are
+# learned from the corpus with the classic Sennrich algorithm — count
+# adjacent symbol pairs over the WORD VOCABULARY weighted by word frequency
+# (the trick that makes BPE scale: iterations run over the vocab relation,
+# not the token stream; the 100 TB corpus is touched exactly once to build
+# (word, freq)), pick the most frequent pair (ties: lexicographic), and
+# apply the merge with GREEDY LEFT-TO-RIGHT semantics before the next count.
+#
+# Greedy application is the part engines get wrong: in a run of overlapping
+# matches (l l l l), only every other occurrence merges. That is expressed
+# relationally with gaps-and-islands — maximal runs of consecutive match
+# positions keep their odd-numbered members — so the operator is pure
+# integer/string window logic, identically unrolled in the DuckDB oracle.
+# No floats anywhere.
+# ---------------------------------------------------------------------------
+_BPE_ITERS = 3
+
+
+def _bpe_step(s: DataFrame, it: int):
+    """One BPE iteration: (word, freq, pos, sym) → (merged relation, best-pair
+    row). All windows are vocabulary-partitioned (bounded by max word length,
+    not corpus size)."""
+    ww = Window.partitionBy("word").orderBy("pos")
+    p = s.withColumn("nxt", F.lead("sym").over(ww))
+    cnt = (
+        p.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+    )
+    best = cnt.orderBy(
+        F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(1)
+    m = p.crossJoin(F.broadcast(best)).withColumn(
+        "m",
+        F.coalesce((F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b")), F.lit(False)),
+    )
+    wm = Window.partitionBy("word", "m").orderBy("pos")
+    m = m.withColumn("run", F.col("pos") - F.row_number().over(wm))
+    wrun = Window.partitionBy("word", "m", "run").orderBy("pos")
+    m = m.withColumn(
+        "merge_at", F.col("m") & (F.row_number().over(wrun) % 2 == 1)
+    ).withColumn("consumed", F.coalesce(F.lag("merge_at").over(ww), F.lit(False)))
+    nxt_s = (
+        m.filter(~F.col("consumed"))
+        .select(
+            "word",
+            "freq",
+            "pos",
+            F.when(F.col("merge_at"), F.concat(F.col("sym"), F.col("nxt")))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+        .withColumn("pos", F.row_number().over(Window.partitionBy("word").orderBy("pos")))
+    )
+    out = best.select(
+        F.lit(it).cast("long").alias("iteration"),
+        F.col("a").alias("sym_a"),
+        F.col("b").alias("sym_b"),
+        "pair_count",
+        F.concat(F.col("a"), F.col("b")).alias("merged"),
+    )
+    return nxt_s, out
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = (
+        tokenized(spark, sf_dir)
+        .select(F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    s = vocab.select(
+        "word",
+        "freq",
+        F.posexplode(F.split(F.col("word"), "")).alias("pos0", "sym"),
+    ).select("word", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
+    merges = []
+    for it in range(1, _BPE_ITERS + 1):
+        s, out = _bpe_step(s, it)
+        merges.append(out)
+    res = merges[0]
+    for df in merges[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        f"tok AS (SELECT unnest({_TOKENS_SQL}) AS word FROM documents)",
+        "vocab AS (SELECT word, COUNT(*)::BIGINT AS freq FROM tok GROUP BY 1)",
+        """s1 AS (
+  SELECT word, freq, i AS pos, substr(word, i, 1) AS sym
+  FROM vocab, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i)
+)""",
+    ]
+    sel = []
+    for it in range(1, _BPE_ITERS + 1):
+        parts.append(
+            f"""p{it} AS (
+  SELECT word, freq, pos, sym,
+         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM s{it}
+),
+best{it} AS (
+  SELECT sym AS a, nxt AS b, SUM(freq)::BIGINT AS pair_count
+  FROM p{it} WHERE nxt IS NOT NULL GROUP BY 1, 2
+  ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
+),
+m{it} AS (
+  SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+         COALESCE(p.sym = b.a AND p.nxt = b.b, false) AS m
+  FROM p{it} p CROSS JOIN best{it} b
+),
+r{it} AS (
+  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY pos) AS run
+  FROM m{it}
+),
+g{it} AS (
+  SELECT *,
+         m AND (ROW_NUMBER() OVER (PARTITION BY word, m, run ORDER BY pos) % 2 = 1) AS merge_at
+  FROM r{it}
+),
+h{it} AS (
+  SELECT *, COALESCE(LAG(merge_at) OVER (PARTITION BY word ORDER BY pos), false) AS consumed
+  FROM g{it}
+),
+s{it + 1} AS (
+  SELECT word, freq,
+         ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN merge_at THEN sym || nxt ELSE sym END AS sym
+  FROM h{it} WHERE NOT consumed
+)"""
+        )
+        sel.append(
+            f"SELECT {it}::BIGINT AS iteration, a AS sym_a, b AS sym_b, pair_count, a || b AS merged FROM best{it}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
 for spec in [
+    QuerySpec(
+        "bpe_learn_merges",
+        bpe_learn_merges,
+        _bpe_oracle(),
+        "BPE tokenizer merge learning: vocab-weighted pair counts, greedy left-to-right application",
+    ),
     QuerySpec(
         "pii_redaction",
         pii_redaction,

@@ -735,6 +735,54 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Hopping (sliding) window rollup — the overlapping-window shape Structured
+# Streaming's window(ts, length, slide) produces: each event lands in
+# length/slide windows. Spark's native window() does the fan-out; the oracle
+# replicates it by unioning the slide offsets. Sums accumulate as
+# DECIMAL(12,2) (order-independent — the overlap doubles the rows flowing
+# into the aggregation, so float-fold drift would be amplified here).
+# Scale: map-side ×(length/slide) fan-out then one shuffle on (window, type)
+# — same cost model as the streaming counterpart's state updates.
+# ---------------------------------------------------------------------------
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window(F.col("ts"), "60 minutes", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+_EVENTS_HOPPING_ORACLE = """
+WITH fanout AS (
+  SELECT DATE_TRUNC('hour', ts) + (CASE WHEN EXTRACT(minute FROM ts) >= 30
+                                        THEN INTERVAL '30 minutes' ELSE INTERVAL '0 minutes' END)
+           - (off * INTERVAL '30 minutes') AS wstart,
+         event_type, value, user_id
+  FROM events, (SELECT unnest(generate_series(0, 1)) AS off)
+)
+SELECT STRFTIME(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM fanout GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Modulo arithmetic. The reference *binds* % (parser/binder accept it) but its
 # compute kernel panics at execution (array_compute.rs:75-87 — Remainder is an
 # unimplemented match arm); we claim the capability correctly. Both engines
@@ -789,5 +837,6 @@ for spec in [
     QuerySpec("values_scan", q_values_scan, _VALUES_ORACLE, "VALUES + table-less select"),
     QuerySpec("topk", q_topk, _TOPK_ORACLE, "fused top-k"),
     QuerySpec("events_rollup", q_events_rollup, _EVENTS_ROLLUP_ORACLE, "tumbling-window rollup (batch twin of streaming)"),
+    QuerySpec("events_hopping", q_events_hopping, _EVENTS_HOPPING_ORACLE, "hopping/sliding 60m-by-30m window rollup (overlapping-window shape)"),
 ]:
     register(spec)

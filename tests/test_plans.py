@@ -440,3 +440,53 @@ def test_zorder_bucket_locality(spark):
     for r in rows:
         assert r["x_max"] - r["x_min"] <= 15, r
         assert r["y_max"] - r["y_min"] <= 15, r
+
+
+def test_events_hopping_double_coverage(spark):
+    """Every event lands in exactly length/slide = 2 hopping windows, so the
+    window counts must sum to exactly 2x the event count."""
+    specs = all_specs()
+    rows = specs["events_hopping"].spark(spark, SF_SMALL).collect()
+    n_events = table(spark, SF_SMALL, "events").count()
+    assert sum(r["n_events"] for r in rows) == 2 * n_events
+
+
+def test_bpe_greedy_overlap_semantics(spark):
+    """The gaps-and-islands merge must implement greedy left-to-right BPE:
+    in 'aaaa' (symbols a a a a) merging (a,a) yields aa|aa — two merges, no
+    overlap — and in 'aaa' it yields aa|a. Verified by driving one _bpe_step
+    over a crafted vocabulary."""
+    from pyspark.sql import functions as F
+
+    from templatedb_spark.operators.curation import _bpe_step
+
+    rows = []
+    for word in ["aaaa", "aaa"]:
+        for i, ch in enumerate(word):
+            rows.append((word, 1, i + 1, ch))
+    s = spark.createDataFrame(rows, "word string, freq long, pos long, sym string")
+    merged, best = _bpe_step(s, 1)
+    b = best.collect()[0]
+    # overlapping pairs counted naively (Sennrich): aaaa→3 + aaa→2 = 5
+    assert (b["sym_a"], b["sym_b"], b["pair_count"]) == ("a", "a", 5)
+    out = {
+        w: [r["sym"] for r in g]
+        for w, g in __import__("itertools").groupby(
+            sorted(merged.collect(), key=lambda r: (r["word"], r["pos"])),
+            key=lambda r: r["word"],
+        )
+    }
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+
+
+def test_bpe_learns_plausible_merges(spark):
+    """End-to-end sanity on the corpus: K distinct single-char pairs with
+    monotonically non-increasing counts across iterations is NOT guaranteed
+    (merges change the pair distribution), but each learned merge must have
+    been the argmax of its iteration — spot-check shape + positivity."""
+    specs = all_specs()
+    rows = specs["bpe_learn_merges"].spark(spark, SF_SMALL).collect()
+    assert [r["iteration"] for r in sorted(rows, key=lambda r: r["iteration"])] == [1, 2, 3]
+    assert all(r["pair_count"] > 0 for r in rows)
+    assert all(r["merged"] == r["sym_a"] + r["sym_b"] for r in rows)
