@@ -241,7 +241,99 @@ GROUP BY event_type, lo, hi
 """
 
 
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch with an EXACT oracle — completing the sketch
+# family (CMS heavy hitters, deterministic HLL): a fixed 1024-bin histogram
+# over [min, max] is a mergeable one-pass sketch (per-partition bin counts
+# combine by +), and quantiles are estimated by linear interpolation inside
+# the target bin. Unlike approx_percentile's randomized GK sketch, every
+# step here is deterministic: bin assignment and interpolation use the SAME
+# left-to-right IEEE expression shape in both engines, so the estimates are
+# bit-identical and hash-comparable. This is the production shape for
+# unbounded-cardinality profiling at 100 TB: one scan, 1024-row state, no
+# per-group sort buffer (the exact `percentiles_price` twin is the
+# verification path).
+# ---------------------------------------------------------------------------
+_QSK_BINS = 1024
+_QSK_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def quantile_sketch_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("x"))
+    stats = l.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    binned = (
+        l.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("x") - F.col("lo")) * float(_QSK_BINS) / (F.col("hi") - F.col("lo"))).cast("long"),
+                F.lit(_QSK_BINS - 1).cast("long"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    from pyspark.sql.window import Window
+
+    cum = binned.select(
+        "bin",
+        "c",
+        F.sum("c").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("cum"),
+    )
+    qs = stats.select(
+        F.explode(F.array(*[F.lit(q) for q in _QSK_QS])).alias("q"), "lo", "hi", "n"
+    ).select("q", "lo", "hi", "n", F.ceil(F.col("q") * F.col("n")).cast("long").alias("target"))
+    hit = (
+        qs.join(F.broadcast(cum), (F.col("cum") >= F.col("target")) & ((F.col("cum") - F.col("c")) < F.col("target")))
+        .select(
+            "q",
+            "target",
+            "bin",
+            F.col("c").alias("bin_count"),
+            F.round(
+                F.col("lo")
+                + (
+                    F.col("bin").cast("double")
+                    + (F.col("target") - (F.col("cum") - F.col("c"))).cast("double") / F.col("c").cast("double")
+                )
+                * (F.col("hi") - F.col("lo"))
+                / float(_QSK_BINS),
+                6,
+            ).alias("est"),
+        )
+    )
+    return hit
+
+
+_QSK_ORACLE = f"""
+WITH x AS (SELECT l_extendedprice AS x FROM lineitem),
+stats AS (SELECT MIN(x) AS lo, MAX(x) AS hi, COUNT(*)::BIGINT AS n FROM x),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((x.x - s.lo) * CAST({_QSK_BINS} AS DOUBLE) / (s.hi - s.lo)) AS BIGINT),
+               {_QSK_BINS - 1}) AS bin
+  FROM x CROSS JOIN stats s
+),
+bins AS (SELECT bin, COUNT(*)::BIGINT AS c FROM binned GROUP BY bin),
+cum AS (
+  SELECT bin, c,
+         SUM(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+  FROM bins
+),
+qs AS (
+  SELECT q, lo, hi, n, CAST(CEIL(q * n) AS BIGINT) AS target
+  FROM stats, (SELECT unnest([{', '.join(repr(q) for q in _QSK_QS)}]) AS q)
+)
+SELECT qs.q, qs.target, cum.bin, cum.c AS bin_count,
+       ROUND(qs.lo + (CAST(cum.bin AS DOUBLE)
+                      + CAST(qs.target - (cum.cum - cum.c) AS DOUBLE) / CAST(cum.c AS DOUBLE))
+                     * (qs.hi - qs.lo) / CAST({_QSK_BINS} AS DOUBLE), 6) AS est
+FROM qs JOIN cum ON cum.cum >= qs.target AND (cum.cum - cum.c) < qs.target
+"""
+
+
 for spec in [
+    QuerySpec("quantile_sketch_price", quantile_sketch_price, _QSK_ORACLE, "1024-bin histogram quantile sketch (deterministic, exact oracle)"),
     QuerySpec("percentiles_price", percentiles_price, _PERCENTILES_ORACLE, "exact interpolated percentiles per group"),
     QuerySpec("anomaly_mad", anomaly_mad, _MAD_ORACLE, "median/MAD robust outlier counts with pre-rounded operands"),
     QuerySpec("winsorize_stats", winsorize_stats, _WINSORIZE_ORACLE, "p05/p95 winsorized mean via exact decimal accumulation"),

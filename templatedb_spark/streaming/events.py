@@ -79,6 +79,33 @@ def windowed_rollup(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def hopping_rollup(
+    events: DataFrame,
+    window: str = "60 minutes",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked hopping (sliding) window rollup — streaming twin of the
+    batch `events_hopping` spec. Each event updates length/slide window
+    states; the watermark evicts finalized slides. DECIMAL accumulation
+    mirrors the batch spec so stream == batch is exact, not approximate.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_stream_interval_join(events: DataFrame) -> DataFrame:
     """Stream-stream interval join: clicks within 30 min before each error,
     per user — the streaming twin of operators/analytics.range_join_clicks.

@@ -490,3 +490,28 @@ def test_bpe_learns_plausible_merges(spark):
     assert [r["iteration"] for r in sorted(rows, key=lambda r: r["iteration"])] == [1, 2, 3]
     assert all(r["pair_count"] > 0 for r in rows)
     assert all(r["merged"] == r["sym_a"] + r["sym_b"] for r in rows)
+
+
+def test_quantile_sketch_accuracy_and_shape(spark):
+    """The histogram sketch's estimates must bracket the exact quantiles
+    within one bin width, and the sketch state must be bin-bounded (single
+    aggregation over <=1024 groups — no per-group sort buffer)."""
+    from templatedb_spark.plans.explain import physical_plan
+
+    specs = all_specs()
+    df = specs["quantile_sketch_price"].spark(spark, SF_SMALL)
+    rows = {r["q"]: r for r in df.collect()}
+    xs = sorted(
+        r["x"]
+        for r in table(spark, SF_SMALL, "lineitem")
+        .select(F.col("l_extendedprice").alias("x"))
+        .collect()
+    )
+    lo, hi = xs[0], xs[-1]
+    width = (hi - lo) / 1024.0
+    import math
+
+    for q, r in rows.items():
+        exact = xs[min(len(xs) - 1, max(0, math.ceil(q * len(xs)) - 1))]
+        assert abs(r["est"] - exact) <= 2 * width, (q, r["est"], exact, width)
+    assert not uses_python_udf(df)

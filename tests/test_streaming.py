@@ -313,3 +313,35 @@ def test_stream_cdc_apply_matches_batch_twin(spark, tmp_path):
     assert deleted and not (deleted & set(got))
     # incremental: three micro-batches → three KV versions
     assert kv.latest_version() == v0 + 3
+
+
+def test_stream_hopping_matches_batch_spec(spark, tmp_path):
+    """Hopping-window stream twin: complete-mode drain over the backlog must
+    equal the batch events_hopping spec row-for-row on the shared columns
+    (the batch spec's n_users needs countDistinct, unsupported in streaming
+    aggs — the stream twin carries count + decimal-exact sum)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from templatedb_spark.streaming.events import (
+        hopping_rollup,
+        read_events_stream,
+        run_available_now,
+    )
+    from templatedb_spark.suite import all_specs
+
+    stage = tmp_path / "events_hop_in"
+    stage.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", stage / "part-0.parquet")
+    stream = read_events_stream(spark, str(stage))
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in run_available_now(hopping_rollup(stream), "t_stream_hopping")
+    }
+    batch = all_specs()["events_hopping"].spark(spark, SF_SMALL)
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want
