@@ -882,6 +882,81 @@ FROM tri CROSS JOIN triads CROSS JOIN ecnt
 
 
 # ---------------------------------------------------------------------------
+# Fixed-depth BFS shortest paths over the dup-pair graph (completing the
+# graph tier: connected components, PageRank, triangles, now distance). The
+# frontier-expansion loop is the textbook distributed BFS: each hop is one
+# join of the current frontier against the symmetric edge list plus an
+# anti-join against the visited set — level-synchronous, no driver-side
+# traversal, frontier and visited stay DataFrames throughout. Depth is a
+# fixed K=3 so the oracle unrolls to K CTE levels. Deterministic: BFS level
+# sets are order-free, the source is the highest-degree node (ties → min id).
+#
+# Scale: per hop, one shuffle keyed on the frontier node id; the visited
+# anti-join is the standard dedup barrier. At 100 TB the edge list would be
+# pre-partitioned by u so frontier joins co-locate.
+# ---------------------------------------------------------------------------
+_BFS_DEPTH = 3
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.operators.dedup import dedup_minhash_lsh
+
+    # cached: the frontier loop references the edge list once per hop — without
+    # this the whole minhash/banding pipeline re-executes K+1 times
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
+    sym = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    # seed: the highest-degree node (ties → lowest id) — the hub whose
+    # neighborhood actually exercises multi-hop expansion
+    src = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.col("d").desc(), F.col("u").asc())
+        .limit(1)
+        .select(F.col("u").alias("doc_id"))
+    )
+    visited = src.select("doc_id", F.lit(0).cast("long").alias("hops"))
+    frontier = visited
+    for k in range(1, _BFS_DEPTH + 1):
+        nxt = (
+            frontier.join(sym, frontier["doc_id"] == sym["u"])
+            .select(F.col("v").alias("doc_id"))
+            .distinct()
+            .join(visited.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.lit(k).cast("long").alias("hops"))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def _bfs_oracle() -> str:
+    from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
+
+    parts = [
+        f"{_MINHASH_CTES}",
+        f"pairs AS ({_MINHASH_SELECT})",
+        "sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u)",
+        "l0 AS (SELECT u AS doc_id, 0::BIGINT AS hops FROM deg ORDER BY d DESC, u ASC LIMIT 1)",
+    ]
+    union = ["SELECT doc_id, hops FROM l0"]
+    seen = "SELECT doc_id FROM l0"
+    for k in range(1, _BFS_DEPTH + 1):
+        parts.append(
+            f"""l{k} AS (
+  SELECT DISTINCT sym.v AS doc_id, {k}::BIGINT AS hops
+  FROM sym JOIN l{k - 1} f ON sym.u = f.doc_id
+  WHERE sym.v NOT IN ({seen})
+)"""
+        )
+        union.append(f"SELECT doc_id, hops FROM l{k}")
+        seen += f" UNION ALL SELECT doc_id FROM l{k}"
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(union)
+
+
+# ---------------------------------------------------------------------------
 # Document chunking: overlapping token windows (size C, stride S) — the
 # standard preprocessing step for pretraining sequence packing and RAG
 # indexing. Pure map-side: sequence() generates the window starts inside the
@@ -1154,6 +1229,7 @@ for spec in [
     QuerySpec("tfidf_top_terms", tfidf_top_terms, _TFIDF_ORACLE, "TF-IDF salient terms per document (smooth idf)"),
     QuerySpec("pack_token_shards", pack_token_shards, _PACK_ORACLE, "token-budget shard packing, per-bucket sequential fill"),
     QuerySpec("graph_triangles", graph_triangles, _triangles_oracle(), "triangle census + clustering coefficient over the dup-pair graph"),
+    QuerySpec("graph_bfs_hops", graph_bfs_hops, _bfs_oracle(), "fixed-depth level-synchronous BFS shortest paths over the dup-pair graph"),
     QuerySpec("chunk_documents", chunk_documents, _CHUNK_ORACLE, "overlapping token-window chunking (pretraining/RAG preprocessing)"),
     QuerySpec("bm25_topk", bm25_topk, _bm25_oracle(), "Okapi BM25 ranking against a fixed query (IR tier)"),
 ]:
