@@ -486,9 +486,112 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Video frame sampling: a minimal raw-frame container (header + concatenated
+# grayscale frames) is built per document, then the sampler parses the
+# header and strides every SAMPLE_STRIDE-th frame — the standard
+# video-preprocessing shape (decode only the frames you keep; at 100 TB the
+# stride is what turns petabytes of video into a trainable frame set).
+# Both stages are Arrow-batched mapInPandas; container bytes never leave
+# the executors. The oracle reproduces the sampled frames' pixel stats from
+# the ASCII byte ↔ codepoint identity (guard-tested for this corpus).
+# ---------------------------------------------------------------------------
+_VID_MAGIC = b"VID0"
+_VID_W = _VID_H = 4
+_VID_FRAMES = 8
+_VID_STRIDE = 3  # keep frames 0, 3, 6
+
+
+def encode_video(frames: list[bytes], width: int, height: int) -> bytes:
+    """Minimal raw-frame video container: magic, counts, then frame planes."""
+    import struct
+
+    head = _VID_MAGIC + struct.pack(">HHH", len(frames), width, height)
+    return head + b"".join(frames)
+
+
+def decode_video_frames(payload: bytes, stride: int = 1) -> list[tuple[int, bytes]]:
+    """Parse the container and return (frame_idx, plane) for every stride-th
+    frame. Validates magic and exact payload length."""
+    import struct
+
+    if payload[:4] != _VID_MAGIC:
+        raise ValueError("not a VID0 container")
+    n, w, h = struct.unpack(">HHH", payload[4:10])
+    plane = w * h
+    if len(payload) != 10 + n * plane:
+        raise ValueError("truncated video payload")
+    out = []
+    for k in range(0, n, stride):
+        out.append((k, payload[10 + k * plane : 10 + (k + 1) * plane]))
+    return out
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from templatedb_spark.suite import table
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    plane = _VID_W * _VID_H
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                frames = [
+                    (raw[k * plane : (k + 1) * plane] + b"\x00" * plane)[:plane]
+                    for k in range(_VID_FRAMES)
+                ]
+                payloads.append(encode_video(frames, _VID_W, _VID_H))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for k, fr in decode_video_frames(bytes(payload), _VID_STRIDE):
+                    rows.append((doc_id, k, sum(fr) / len(fr), max(fr)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "pixel_mean", "pixel_max"]
+            )
+
+    return d.mapInPandas(encode, schema="doc_id long, payload binary").mapInPandas(
+        sample,
+        schema="doc_id long, frame_idx long, pixel_mean double, pixel_max long",
+    )
+
+
+_FRAME_SAMPLE_ORACLE = f"""
+WITH frames AS (
+  SELECT doc_id, k
+  FROM documents, (SELECT unnest(generate_series(0, {_VID_FRAMES - 1}, {_VID_STRIDE})) AS k)
+),
+px AS (
+  SELECT doc_id, k,
+         list_transform(generate_series(1, {_VID_W * _VID_H}),
+                        i -> CASE WHEN k * {_VID_W * _VID_H} + i <= strlen(text)
+                                  THEN ascii(substr(text, k * {_VID_W * _VID_H} + i, 1))
+                                  ELSE 0 END) AS p
+  FROM frames JOIN documents USING (doc_id)
+)
+SELECT doc_id, k::BIGINT AS frame_idx,
+       (list_sum(p) / {_VID_W * _VID_H}.0) AS pixel_mean,
+       list_max(p)::BIGINT AS pixel_max
+FROM px
+"""
+
+
 from templatedb_spark.suite import QuerySpec, register  # noqa: E402
 
 for _spec in [
+    QuerySpec(
+        "multimodal_frame_sample",
+        multimodal_frame_sample,
+        _FRAME_SAMPLE_ORACLE,
+        "video container frame sampling: stride-decode only the kept frames",
+    ),
     QuerySpec(
         "multimodal_features",
         multimodal_features,

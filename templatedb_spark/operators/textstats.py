@@ -473,8 +473,63 @@ FROM est CROSS JOIN truth
 """
 
 
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES / Efraimidis–Spirakis): each
+# row draws a deterministic uniform u from its id hash and competes with key
+# ln(u)/w — the exponential-clock form of u^(1/w), same ordering, one less
+# transcendental. Top-K by key IS a weighted sample without replacement.
+# This is THE one-pass distributed weighted sampler: no global state, no
+# rejection loop; at 100 TB it is a map-side key projection + TakeOrdered.
+# Determinism: u is an exact rational from md5 (no RNG), and the only float
+# op is one ln + one division in identical expression shape (the BM25-idf
+# precedent); keys are rounded before ranking, ties break on doc_id.
+# ---------------------------------------------------------------------------
+_WS_K = 25
+_WS_U_MOD = 1_000_000
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = (1 + F.substring("source", 4, 8).cast("int") % 8).cast("long").alias("weight")
+    h = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))) % _WS_U_MOD
+    key = F.round(
+        F.log((h + 1).cast("double") / float(_WS_U_MOD + 1)) / F.col("weight"), 6
+    ).alias("key")
+    scored = d.select("doc_id", "source", w).select("doc_id", "source", "weight", key)
+    win = Window.orderBy(F.col("key").desc(), F.col("doc_id").asc())
+    return scored.select(
+        "doc_id", "source", "weight", "key",
+        F.row_number().over(win).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= _WS_K)
+
+
+def _weighted_sample_oracle() -> str:
+    h = md5_long_sql("CAST(doc_id AS VARCHAR) || ':ws'")
+    return f"""
+WITH s AS (
+  SELECT doc_id, source,
+         (1 + CAST(substr(source, 4) AS INT) % 8)::BIGINT AS weight,
+         {h} % {_WS_U_MOD} AS h
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, weight,
+         ROUND(ln((h + 1)::DOUBLE / {float(_WS_U_MOD + 1)!r}) / weight, 6) AS key
+  FROM s
+)
+SELECT doc_id, source, weight, key, rank FROM (
+  SELECT doc_id, source, weight, key,
+         ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {_WS_K}
+"""
+
+
 for spec in [
     QuerySpec("text_hash_sample", text_hash_sample, _hash_sample_oracle(), "deterministic stratified hash sampling"),
+    QuerySpec("weighted_sample_docs", weighted_sample_docs, _weighted_sample_oracle(), "A-ES weighted sampling without replacement (one-pass, deterministic keys)"),
     QuerySpec("hll_distinct_users", hll_distinct_users, _hll_oracle(), "deterministic HyperLogLog distinct sketch with exact integer-scaled oracle"),
     QuerySpec("mixture_sample", mixture_sample, _mixture_oracle(), "epoch-weighted source mixture (fractional up/down-sampling)"),
     QuerySpec("heavy_hitters_cms", heavy_hitters_cms, _cms_oracle(), "count-min sketch heavy hitters (deterministic, exact-oracle sketch)"),

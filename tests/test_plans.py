@@ -223,7 +223,7 @@ def test_multimodal_decode_pipelines_without_shuffle(spark):
     from templatedb_spark.plans.explain import formatted_plan
 
     specs = all_specs()
-    for name in ("multimodal_decode_image", "multimodal_decode_audio"):
+    for name in ("multimodal_decode_image", "multimodal_decode_audio", "multimodal_frame_sample"):
         plan = formatted_plan(specs[name].spark(spark, SF_SMALL))
         assert plan.count("MapInPandas") >= 2, name
         assert "Exchange" not in plan, name

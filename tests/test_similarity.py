@@ -371,3 +371,27 @@ def test_quantized_ann_recall(spark):
     quant = {(r.qid, r.vec_id) for r in ann_quantized_topk(spark, SF_SMALL).collect()}
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, f"quantized recall collapsed: {recall:.2f}"
+
+
+def test_video_container_roundtrip_and_validation():
+    """The VID0 container roundtrips frame-exactly, stride sampling keeps
+    exactly the k % stride == 0 frames, and corrupt payloads raise ValueError
+    (wrong magic, truncated plane)."""
+    import pytest
+
+    from templatedb_spark.operators.multimodal import (
+        decode_video_frames,
+        encode_video,
+    )
+
+    frames = [bytes([i] * 16) for i in range(8)]
+    payload = encode_video(frames, 4, 4)
+    all_f = decode_video_frames(payload, 1)
+    assert [k for k, _ in all_f] == list(range(8))
+    assert all(fr == frames[k] for k, fr in all_f)
+    sampled = decode_video_frames(payload, 3)
+    assert [k for k, _ in sampled] == [0, 3, 6]
+    with pytest.raises(ValueError):
+        decode_video_frames(b"XXXX" + payload[4:], 1)
+    with pytest.raises(ValueError):
+        decode_video_frames(payload[:-1], 1)
