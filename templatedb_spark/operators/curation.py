@@ -809,7 +809,10 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
-def _bpe_oracle() -> str:
+def _bpe_chain() -> tuple[list, list]:
+    """Shared DuckDB CTE chain for BPE learn/encode: returns (parts, per-iter
+    best-pair selects); parts end at s{_BPE_ITERS+1}, the fully-merged symbol
+    relation."""
     parts = [
         f"tok AS (SELECT unnest({_TOKENS_SQL}) AS word FROM documents)",
         "vocab AS (SELECT word, COUNT(*)::BIGINT AS freq FROM tok GROUP BY 1)",
@@ -859,10 +862,80 @@ s{it + 1} AS (
         sel.append(
             f"SELECT {it}::BIGINT AS iteration, a AS sym_a, b AS sym_b, pair_count, a || b AS merged FROM best{it}"
         )
+    return parts, sel
+
+
+def _bpe_oracle() -> str:
+    parts, sel = _bpe_chain()
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+# ---------------------------------------------------------------------------
+# BPE encode — apply the learned merges back to the corpus. The companion of
+# bpe_learn_merges: where learn runs over the (word, freq) VOCABULARY, encode
+# reports the tokenization the learned merges induce on every DOCUMENT.
+# Because BPE merges are a pure function of the word, the corpus never
+# re-runs the merge machinery per occurrence: the final per-word symbol
+# sequences (the learn loop's last state) aggregate to one tiny
+# (word → n_symbols) relation that broadcast-joins onto the per-doc token
+# stream. At 100 TB that relation IS the tokenizer — a few MB no matter the
+# corpus size — so encode is one broadcast join + one groupBy(doc_id).
+# ---------------------------------------------------------------------------
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokenized(spark, sf_dir)
+    vocab = (
+        toks.select(F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    s = vocab.select(
+        "word",
+        "freq",
+        F.posexplode(F.split(F.col("word"), "")).alias("pos0", "sym"),
+    ).select("word", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
+    for it in range(1, _BPE_ITERS + 1):
+        s, _ = _bpe_step(s, it)
+    word_syms = s.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sym"),
+        F.sum(F.when(F.length("sym") > 1, 1).otherwise(0)).cast("long").alias("n_merged"),
+    )
+    stream = toks.select("doc_id", F.explode("t").alias("word"))
+    return (
+        stream.join(F.broadcast(word_syms), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_symbols"),
+            F.sum("n_merged").cast("long").alias("n_merged_syms"),
+        )
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    parts, _sel = _bpe_chain()
+    parts.insert(0, f"tokd AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents)")
+    parts.append(
+        f"""word_syms AS (
+  SELECT word, COUNT(*)::BIGINT AS n_sym,
+         SUM(CASE WHEN length(sym) > 1 THEN 1 ELSE 0 END)::BIGINT AS n_merged
+  FROM s{_BPE_ITERS + 1} GROUP BY 1
+)"""
+    )
+    final = """SELECT t.doc_id,
+       COUNT(*)::BIGINT AS n_words,
+       SUM(w.n_sym)::BIGINT AS n_symbols,
+       SUM(w.n_merged)::BIGINT AS n_merged_syms
+FROM tokd t JOIN word_syms w USING (word) GROUP BY 1"""
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
 
 
 for spec in [
+    QuerySpec(
+        "bpe_encode",
+        bpe_encode,
+        _bpe_encode_oracle(),
+        "BPE encode: learned merges applied per word, broadcast onto the doc token stream",
+    ),
     QuerySpec(
         "bpe_learn_merges",
         bpe_learn_merges,

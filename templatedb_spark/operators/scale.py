@@ -157,3 +157,201 @@ register(
         "Z-order (Morton) layout clustering with per-z-bucket locality stats",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-stage rollup — the skewed-groupBy fix, as an oracle-backed spec.
+#
+# events.event_type has ~5 distinct values over the whole table: a naive
+# groupBy(event_type) sends every row's contribution to ≤5 reducer tasks.
+# For algebraic aggs Spark's map-side partial combine already bounds that
+# (each mapper emits one partial per key), but the moment the aggregation
+# state doesn't combine — collect_list, exact medians, large HLL unions,
+# pandas UDAFs — the hot key's full state lands on ONE task. The salted plan
+# is the general fix: aggregate (event_type, salt) first so the hot group
+# spreads over _SALT_FACTOR tasks, each emitting one bounded partial, then
+# combine partials per event_type. The salt is a deterministic hash of the
+# row key (NOT rand(): re-executed tasks must re-derive the same salt or
+# retries double-count under speculative execution).
+#
+# The final result is salt-independent, so the oracle is the PLAIN rollup —
+# proving the salted plan computes exactly what the naive plan would.
+# Measures use DECIMAL accumulation (partition-order independent).
+# ---------------------------------------------------------------------------
+_SALT_FACTOR = 16
+
+
+def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.functions.hashing import h32
+    from templatedb_spark.suite import table
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    salted = e.withColumn("_salt", h32(F.col("event_id").cast("string")) % _SALT_FACTOR)
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("v").alias("pv"),
+        F.max("v").alias("pmax"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            F.round(F.sum("pv"), 2).cast("double").alias("sum_value"),
+            F.round(F.max("pmax"), 2).cast("double").alias("max_value"),
+        )
+    )
+
+
+_SALTED_ORACLE = """
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+       CAST(ROUND(MAX(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS max_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned join — runtime filter pushdown, spelled out as an operator.
+#
+# The 100 TB shape: a selective predicate lives on the DIMENSION side
+# (orders with o_totalprice > T) but the COST lives in shuffling the huge
+# FACT side (lineitem). Catalyst's own runtime bloom filter
+# (spark.sql.optimizer.runtime.bloomFilter.enabled) injects exactly this;
+# here it is explicit and cross-engine-deterministic so the pruning itself
+# is oracle-checked:
+#
+#   1. build an M-bit / K-hash bloom bitmap over the qualifying order keys —
+#      one tiny aggregate (<= M/32 packed words), never collected to the
+#      driver: the bitmap is a 1-row map DataFrame broadcast into the fact
+#      scan;
+#   2. prune lineitem map-side: a row survives only if ALL K probed bits are
+#      set (false positives possible, false negatives impossible);
+#   3. an exact semi-join of the survivors closes the FP gap.
+#
+# The output exposes n_candidates (post-bloom) vs n_matched (exact) so the
+# oracle verifies the bloom's selectivity bit-for-bit, not just the final
+# revenue. Hashes are the repo's md5-derived H(s) — identical in DuckDB.
+# Bits pack into 32-bit lanes of a BIGINT (shift < 32 keeps every value
+# positive in both engines; no signed-overflow edge at bit 63).
+# ---------------------------------------------------------------------------
+_BLOOM_BITS = 8192  # M
+_BLOOM_K = 3  # hash count
+_BLOOM_PRICE_T = "450000.0"  # ~top 10% of orders qualify
+
+
+def _bloom_pos(key: Column, i: int) -> Column:
+    from templatedb_spark.functions.hashing import md5_long
+
+    return md5_long(F.concat(F.lit(f"{i}:"), key.cast("string"))) % _BLOOM_BITS
+
+
+def _bloom_pos_sql(key_expr: str, i: int) -> str:
+    from templatedb_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql(f"'{i}:' || CAST({key_expr} AS VARCHAR)")
+    return f"({h} % {_BLOOM_BITS})"
+
+
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.suite import table
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    keys = orders.filter(F.col("o_totalprice") > float(_BLOOM_PRICE_T)).select("o_orderkey")
+
+    # 1. bitmap: every (key, hash_i) bit position -> packed 32-bit words.
+    pos = keys.select(
+        F.explode(F.array(*[_bloom_pos(F.col("o_orderkey"), i) for i in range(_BLOOM_K)])).alias("p")
+    )
+    words = pos.groupBy((F.col("p") / 32).cast("long").alias("w")).agg(
+        F.bit_or(F.call_function("shiftleft", F.lit(1).cast("long"), (F.col("p") % 32).cast("int"))).alias("bits")
+    )
+    bitmap = words.agg(
+        F.map_from_arrays(F.collect_list("w"), F.collect_list("bits")).alias("bloom")
+    )
+
+    # 2. map-side prune: all K probes must find their bit set.
+    probed = lineitem.select("l_orderkey", "l_extendedprice", "l_discount").crossJoin(
+        F.broadcast(bitmap)
+    )
+    cond = F.lit(True)
+    for i in range(_BLOOM_K):
+        p = _bloom_pos(F.col("l_orderkey"), i)
+        word = F.element_at(F.col("bloom"), (p / 32).cast("long"))
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"), (p % 32).cast("int"))
+        cond = cond & (F.coalesce(word, F.lit(0).cast("long")).bitwiseAND(bit) != 0)
+    cand = probed.filter(cond).drop("bloom")
+
+    # 3. exact closure + one-row audit summary.
+    matched = cand.join(F.broadcast(keys), cand["l_orderkey"] == keys["o_orderkey"], "left_semi")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("double")
+    summary = (
+        cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .crossJoin(
+            matched.agg(
+                F.count(F.lit(1)).cast("long").alias("n_matched"),
+                F.coalesce(rev, F.lit(0.0)).alias("revenue"),
+            )
+        )
+        .crossJoin(keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys")))
+    )
+    return summary.select("n_keys", "n_candidates", "n_matched", "revenue")
+
+
+def _bloom_oracle() -> str:
+    probes = " AND ".join(
+        f"""EXISTS (SELECT 1 FROM words
+         WHERE w = {_bloom_pos_sql('l.l_orderkey', i)} // 32
+           AND (bits & (1::BIGINT << ({_bloom_pos_sql('l.l_orderkey', i)} % 32))) <> 0)"""
+        for i in range(_BLOOM_K)
+    )
+    build = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql('o_orderkey', i)} AS p FROM keys" for i in range(_BLOOM_K)
+    )
+    return f"""
+WITH keys AS (SELECT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_PRICE_T}),
+pos AS ({build}),
+words AS (
+  SELECT p // 32 AS w, BIT_OR(1::BIGINT << (p % 32)) AS bits FROM pos GROUP BY 1
+),
+cand AS (
+  SELECT l.l_orderkey, l.l_extendedprice, l.l_discount
+  FROM lineitem l
+  WHERE {probes}
+),
+matched AS (
+  SELECT c.* FROM cand c WHERE EXISTS (SELECT 1 FROM keys k WHERE k.o_orderkey = c.l_orderkey)
+)
+SELECT (SELECT COUNT(*) FROM keys)::BIGINT AS n_keys,
+       (SELECT COUNT(*) FROM cand)::BIGINT AS n_candidates,
+       (SELECT COUNT(*) FROM matched)::BIGINT AS n_matched,
+       COALESCE((SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) FROM matched), 0.0)
+         AS revenue
+"""
+
+
+register(
+    QuerySpec(
+        "skew_salted_rollup",
+        skew_salted_rollup,
+        _SALTED_ORACLE,
+        "salted two-stage rollup: deterministic-hash salt spreads hot groups; oracle is the plain rollup",
+    )
+)
+register(
+    QuerySpec(
+        "bloom_semi_join",
+        bloom_semi_join,
+        _bloom_oracle(),
+        "bloom-filter runtime join pruning: broadcast M-bit/K-hash bitmap prunes the fact side, exact semi-join closes FPs",
+    )
+)

@@ -1247,6 +1247,92 @@ FROM stats s JOIN c{last} c ON c.cl = s.cluster
 """
 
 
+# ---------------------------------------------------------------------------
+# k-NN majority-vote classification — the labeled-corpus consumer of the ANN
+# tier. Probe vectors (held out of the corpus) take the majority label of
+# their K nearest neighbors by cosine; ties break to the smallest label so
+# the verdict is deterministic. The plan is the brute-force scored join
+# (broadcast probes x corpus, JVM-side dot product), one window top-K, and a
+# (qid, label) vote count — at 100 TB the scored-join stage swaps for any of
+# the bucketed ANN paths above (IVF/LSH/quantized) without touching the vote
+# logic, which is the point of keeping vote and search as separate stages.
+# Cosines round to 6 decimals before ranking (repo float convention).
+# ---------------------------------------------------------------------------
+_KNN_NPROBE = 10
+_KNN_K = 7
+
+
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_double("embedding").alias("v")
+    )
+    e = with_norm(e)
+    probes = e.filter(F.col("vec_id") < _KNN_NPROBE).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    corpus = e.filter(F.col("vec_id") >= _KNN_NPROBE)
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "qid",
+        "true_label",
+        "vec_id",
+        "label",
+        F.round(dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    nn = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _KNN_K)
+    votes = nn.groupBy("qid", "true_label", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("n_votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("vrank", F.row_number().over(wv))
+        .filter(F.col("vrank") == 1)
+        .select(
+            "qid",
+            F.col("label").cast("long").alias("pred_label"),
+            "n_votes",
+            F.col("true_label").cast("long").alias("true_label"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+_KNN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+probes AS (
+  SELECT vec_id AS qid, label AS true_label, v AS qv, norm AS qnorm
+  FROM n WHERE vec_id < {_KNN_NPROBE}
+),
+scored AS (
+  SELECT p.qid, p.true_label, c.vec_id, c.label,
+         ROUND(list_dot_product(p.qv, c.v) / (p.qnorm * c.norm), 6) AS cosine
+  FROM n c CROSS JOIN probes p WHERE c.vec_id >= {_KNN_NPROBE}
+),
+nn AS (
+  SELECT * FROM (
+    SELECT qid, true_label, vec_id, label,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {_KNN_K}
+),
+votes AS (
+  SELECT qid, true_label, label, COUNT(*)::BIGINT AS n_votes
+  FROM nn GROUP BY 1, 2, 3
+)
+SELECT qid, label::BIGINT AS pred_label, n_votes, true_label::BIGINT AS true_label,
+       label = true_label AS correct
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n_votes DESC, label ASC) AS vrank
+  FROM votes
+) WHERE vrank = 1
+"""
+
 for spec in [
     QuerySpec("kmeans_quantized", kmeans_quantized, _kmeans_oracle(), "fixed-iteration integer k-means over quantized embeddings (iterative-ML tier)"),
     QuerySpec("ann_cosine_topk", ann_cosine_topk, _ANN_TOPK_ORACLE, "brute-force cosine top-k"),
@@ -1257,5 +1343,6 @@ for spec in [
     QuerySpec("ann_lsh_banded_topk", ann_lsh_banded_topk, _ann_lsh_banded_oracle(), "banded multi-table LSH ANN top-k"),
     QuerySpec("semantic_dedup", semantic_dedup, _SEMDEDUP_ORACLE, "SemDedup-style cluster-representative dedup"),
     QuerySpec("ann_quantized_topk", ann_quantized_topk, _ANN_QUANTIZED_ORACLE, "int8-range quantized brute-force ANN (integer scoring, exact oracle)"),
+    QuerySpec("knn_classify", knn_classify, _KNN_ORACLE, "k-NN majority-vote label classification over the ANN scored join"),
 ]:
     register(spec)

@@ -69,3 +69,43 @@ def test_merge_upsert(spark):
     )
     got = {(r.k, r.v) for r in merge_upsert(target, source, "k").collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "D")}
+
+
+def test_salted_rollup_two_stage_plan(spark):
+    """The salted rollup must actually run two aggregation stages (salted
+    partial -> final) — i.e. two Exchanges — and the salt must be derived
+    from data (deterministic), never rand()."""
+    from templatedb_spark.operators.scale import skew_salted_rollup
+    from templatedb_spark.plans.explain import formatted_plan
+
+    df = skew_salted_rollup(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    # two shuffle stages: (event_type, salt) partials, then event_type finals
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "rand(" not in plan
+    # deterministic: two independent executions agree exactly
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, skew_salted_rollup(spark, SF_SMALL).collect()))
+    assert a == b
+
+
+def test_bloom_prune_no_false_negatives(spark):
+    """Every truly-matching lineitem row must survive the bloom stage
+    (n_matched == exact semi-join count), and the bloom must actually prune
+    (n_candidates well below the full fact table)."""
+    from templatedb_spark.operators.scale import _BLOOM_PRICE_T, bloom_semi_join
+    from templatedb_spark.plans.explain import formatted_plan
+
+    row = bloom_semi_join(spark, SF_SMALL).collect()[0]
+    l = table(spark, SF_SMALL, "lineitem")
+    o = table(spark, SF_SMALL, "orders").filter(
+        F.col("o_totalprice") > float(_BLOOM_PRICE_T)
+    )
+    exact = l.join(o, l.l_orderkey == o.o_orderkey, "left_semi").count()
+    total = l.count()
+    assert row.n_matched == exact  # no false negatives
+    assert row.n_candidates >= row.n_matched  # FPs only add
+    assert row.n_candidates < total  # it pruned something
+    # the bitmap reaches the fact side via broadcast, never a shuffle join
+    plan = formatted_plan(bloom_semi_join(spark, SF_SMALL))
+    assert "BroadcastExchange" in plan

