@@ -71,6 +71,10 @@ def clear_dedup_caches(spark: SparkSession) -> None:
 
     pipeline._LABELS_MEMO.clear()
     similarity.clear_ann_caches()
+    from templatedb_spark.operators import curation
+
+    with curation._BPE_LOCK:
+        curation._BPE_MEMO.clear()
     spark.catalog.clearCache()
 
 

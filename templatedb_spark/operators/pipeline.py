@@ -916,7 +916,12 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("u").alias("doc_id"))
     )
-    visited = src.select("doc_id", F.lit(0).cast("long").alias("hops"))
+    # Each level is localCheckpoint'd (frontiers are tiny — a few rows), so
+    # `visited` stays a K-way union of MATERIALIZED levels. Without this the
+    # level-k plan references level-(k-1) twice (expand + anti-join) and the
+    # whole subtree re-executes per reference — lineage grows exponentially
+    # in depth (measured: 14 s → <2 s at sf0.1 for K=3).
+    visited = src.select("doc_id", F.lit(0).cast("long").alias("hops")).localCheckpoint()
     frontier = visited
     for k in range(1, _BFS_DEPTH + 1):
         nxt = (
@@ -925,6 +930,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("doc_id"), "doc_id", "left_anti")
             .select("doc_id", F.lit(k).cast("long").alias("hops"))
+            .localCheckpoint()
         )
         visited = visited.unionByName(nxt)
         frontier = nxt
@@ -934,10 +940,13 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bfs_oracle() -> str:
     from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
 
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference — sym feeds the
+    # degree seed plus every BFS level, which would re-run the whole minhash
+    # chain 4+ times (measured 112 s → ~2 s at sf0.1).
     parts = [
         f"{_MINHASH_CTES}",
-        f"pairs AS ({_MINHASH_SELECT})",
-        "sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        f"pairs AS MATERIALIZED ({_MINHASH_SELECT})",
+        "sym AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)",
         "deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u)",
         "l0 AS (SELECT u AS doc_id, 0::BIGINT AS hops FROM deg ORDER BY d DESC, u ASC LIMIT 1)",
     ]

@@ -225,36 +225,56 @@ FROM events GROUP BY 1
 # here it is explicit and cross-engine-deterministic so the pruning itself
 # is oracle-checked:
 #
-#   1. build an M-bit / K-hash bloom bitmap over the qualifying order keys —
-#      one tiny aggregate (<= M/32 packed words), never collected to the
-#      driver: the bitmap is a 1-row map DataFrame broadcast into the fact
-#      scan;
-#   2. prune lineitem map-side: a row survives only if ALL K probed bits are
+#   1. size the bitmap off the data: M = smallest power-of-two with
+#      M >= 16·n_keys (a pure-integer CASE ladder, computed identically in
+#      both engines — a fixed M that fits sf0.01 saturates at sf0.1 and
+#      prunes nothing, the classic bloom scale bug);
+#   2. build the M-bit / K-hash bitmap over the qualifying keys — one tiny
+#      aggregate of <= M/32 packed words, never collected to the driver: the
+#      bitmap is a 1-row map DataFrame broadcast into the fact scan;
+#   3. prune lineitem map-side: a row survives only if ALL K probed bits are
 #      set (false positives possible, false negatives impossible);
-#   3. an exact semi-join of the survivors closes the FP gap.
+#   4. a broadcast flag-join closes the FP gap in the SAME pass that
+#      aggregates the audit counters.
 #
-# The output exposes n_candidates (post-bloom) vs n_matched (exact) so the
-# oracle verifies the bloom's selectivity bit-for-bit, not just the final
-# revenue. Hashes are the repo's md5-derived H(s) — identical in DuckDB.
-# Bits pack into 32-bit lanes of a BIGINT (shift < 32 keeps every value
-# positive in both engines; no signed-overflow edge at bit 63).
+# Hashes are the universal family ((a·k + b) mod p) mod M over p = 2^31-1
+# (same parameter stream as MinHash) — pure 64-bit integer arithmetic,
+# bit-identical in DuckDB and ~10x cheaper per probe than an md5 derivation.
+# Bits pack into 32-bit lanes of a BIGINT (shift < 32: no sign edge).
 # ---------------------------------------------------------------------------
-_BLOOM_BITS = 8192  # M
 _BLOOM_K = 3  # hash count
+_BLOOM_BITS_PER_KEY = 16  # M >= 16·n  →  ~0.5% FP at K=3
+_BLOOM_LADDER = [2 ** b for b in range(13, 27, 2)]  # 8k .. 64M bits
 _BLOOM_PRICE_T = "450000.0"  # ~top 10% of orders qualify
 
 
-def _bloom_pos(key: Column, i: int) -> Column:
-    from templatedb_spark.functions.hashing import md5_long
+def _bloom_m_col(nk: Column) -> Column:
+    m = F.lit(_BLOOM_LADDER[-1]).cast("long")
+    for cand_m in reversed(_BLOOM_LADDER[:-1]):
+        m = F.when(nk * _BLOOM_BITS_PER_KEY <= cand_m, F.lit(cand_m).cast("long")).otherwise(m)
+    return m
 
-    return md5_long(F.concat(F.lit(f"{i}:"), key.cast("string"))) % _BLOOM_BITS
+
+def _bloom_m_sql(nk_expr: str) -> str:
+    sql = f"{_BLOOM_LADDER[-1]}"
+    for cand_m in reversed(_BLOOM_LADDER[:-1]):
+        sql = f"CASE WHEN {nk_expr} * {_BLOOM_BITS_PER_KEY} <= {cand_m} THEN {cand_m} ELSE {sql} END"
+    return f"({sql})::BIGINT"
 
 
-def _bloom_pos_sql(key_expr: str, i: int) -> str:
-    from templatedb_spark.functions.hashing import md5_long_sql
+def _bloom_pos(key: Column, i: int, m: Column) -> Column:
+    from templatedb_spark.functions.hashing import MERSENNE_31, minhash_params
 
-    h = md5_long_sql(f"'{i}:' || CAST({key_expr} AS VARCHAR)")
-    return f"({h} % {_BLOOM_BITS})"
+    a, b = minhash_params(_BLOOM_K)[i]
+    kk = key.cast("long") % MERSENNE_31
+    return ((F.lit(a) * kk + F.lit(b)) % MERSENNE_31) % m
+
+
+def _bloom_pos_sql(key_expr: str, i: int, m_expr: str) -> str:
+    from templatedb_spark.functions.hashing import MERSENNE_31, minhash_params
+
+    a, b = minhash_params(_BLOOM_K)[i]
+    return f"((({a} * (CAST({key_expr} AS BIGINT) % {MERSENNE_31}) + {b}) % {MERSENNE_31}) % {m_expr})"
 
 
 def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,68 +284,103 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = table(spark, sf_dir, "lineitem")
     keys = orders.filter(F.col("o_totalprice") > float(_BLOOM_PRICE_T)).select("o_orderkey")
 
-    # 1. bitmap: every (key, hash_i) bit position -> packed 32-bit words.
-    pos = keys.select(
-        F.explode(F.array(*[_bloom_pos(F.col("o_orderkey"), i) for i in range(_BLOOM_K)])).alias("p")
+    # 1. data-sized M (1-row relation, joins in by broadcast — never collected)
+    msel = keys.agg(F.count(F.lit(1)).cast("long").alias("nk")).select(
+        "nk", _bloom_m_col(F.col("nk")).alias("m")
+    )
+
+    # 2. bitmap: every (key, hash_i) bit position -> packed 32-bit words.
+    pos = keys.crossJoin(F.broadcast(msel)).select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("o_orderkey"), i, F.col("m")) for i in range(_BLOOM_K)])
+        ).alias("p")
     )
     words = pos.groupBy((F.col("p") / 32).cast("long").alias("w")).agg(
         F.bit_or(F.call_function("shiftleft", F.lit(1).cast("long"), (F.col("p") % 32).cast("int"))).alias("bits")
     )
-    bitmap = words.agg(
-        F.map_from_arrays(F.collect_list("w"), F.collect_list("bits")).alias("bloom")
-    )
 
-    # 2. map-side prune: all K probes must find their bit set.
+    # 3. map-side prune: hash positions projected ONCE per row (CSE-safe),
+    # then each probe resolves its packed word through a BROADCAST hash join
+    # on the <= M/32-row words relation — an O(1) JVM hash lookup per probe
+    # inside whole-stage codegen. (A map-typed bitmap column is the obvious
+    # alternative and is wrong at this M: Spark's element_at on a map literal
+    # is a LINEAR scan, turning 3 probes/row into 3·M/32 comparisons/row.)
     probed = lineitem.select("l_orderkey", "l_extendedprice", "l_discount").crossJoin(
-        F.broadcast(bitmap)
+        F.broadcast(msel.select("m"))
     )
+    probed = probed.select(
+        "*", *[_bloom_pos(F.col("l_orderkey"), i, F.col("m")).alias(f"_p{i}") for i in range(_BLOOM_K)]
+    )
+    for i in range(_BLOOM_K):
+        wi = words.select(
+            F.col("w").alias(f"_w{i}"), F.col("bits").alias(f"_bits{i}")
+        )
+        probed = probed.join(
+            F.broadcast(wi), (F.col(f"_p{i}") / 32).cast("long") == F.col(f"_w{i}"), "left"
+        )
     cond = F.lit(True)
     for i in range(_BLOOM_K):
-        p = _bloom_pos(F.col("l_orderkey"), i)
-        word = F.element_at(F.col("bloom"), (p / 32).cast("long"))
-        bit = F.call_function("shiftleft", F.lit(1).cast("long"), (p % 32).cast("int"))
-        cond = cond & (F.coalesce(word, F.lit(0).cast("long")).bitwiseAND(bit) != 0)
-    cand = probed.filter(cond).drop("bloom")
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (F.col(f"_p{i}") % 32).cast("int")
+        )
+        cond = cond & (
+            F.coalesce(F.col(f"_bits{i}"), F.lit(0).cast("long")).bitwiseAND(bit) != 0
+        )
+    cand = probed.filter(cond).select("l_orderkey", "l_extendedprice", "l_discount")
 
-    # 3. exact closure + one-row audit summary.
-    matched = cand.join(F.broadcast(keys), cand["l_orderkey"] == keys["o_orderkey"], "left_semi")
-    rev = F.sum(
+    # 4. exact closure + one-row audit summary, in ONE pass over the pruned
+    # fact rows: a broadcast flag-join marks true matches, so candidate count,
+    # match count, and matched revenue come out of a single aggregation.
+    flagged = cand.join(
+        F.broadcast(keys.withColumn("_hit", F.lit(1))),
+        cand["l_orderkey"] == keys["o_orderkey"],
+        "left",
+    )
+    rev = (
         F.col("l_extendedprice").cast("decimal(12,2)")
         * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
-    ).cast("double")
-    summary = (
-        cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-        .crossJoin(
-            matched.agg(
-                F.count(F.lit(1)).cast("long").alias("n_matched"),
-                F.coalesce(rev, F.lit(0.0)).alias("revenue"),
-            )
-        )
-        .crossJoin(keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys")))
     )
+    summary = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_matched"),
+        F.coalesce(
+            F.sum(F.when(F.col("_hit").isNotNull(), rev)).cast("double"), F.lit(0.0)
+        ).alias("revenue"),
+    ).crossJoin(keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys")))
     return summary.select("n_keys", "n_candidates", "n_matched", "revenue")
 
 
 def _bloom_oracle() -> str:
-    probes = " AND ".join(
-        f"""EXISTS (SELECT 1 FROM words
-         WHERE w = {_bloom_pos_sql('l.l_orderkey', i)} // 32
-           AND (bits & (1::BIGINT << ({_bloom_pos_sql('l.l_orderkey', i)} % 32))) <> 0)"""
+    # positions projected once per fact row, then probed via decorrelated
+    # equi-joins on the words relation (EXISTS-per-hash forces DuckDB into a
+    # nested-loop per probe: measured 17 s → <1 s at sf0.1)
+    pos_cols = ", ".join(
+        f"{_bloom_pos_sql('l.l_orderkey', i, '(SELECT m FROM msel)')} AS p{i}"
+        for i in range(_BLOOM_K)
+    )
+    probe_joins = "\n  ".join(
+        f"JOIN words w{i} ON w{i}.w = lp.p{i} // 32"
+        f" AND (w{i}.bits & (1::BIGINT << (lp.p{i} % 32))) <> 0"
         for i in range(_BLOOM_K)
     )
     build = " UNION ALL ".join(
-        f"SELECT {_bloom_pos_sql('o_orderkey', i)} AS p FROM keys" for i in range(_BLOOM_K)
+        f"SELECT {_bloom_pos_sql('o_orderkey', i, 'msel.m')} AS p FROM keys, msel"
+        for i in range(_BLOOM_K)
     )
     return f"""
-WITH keys AS (SELECT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_PRICE_T}),
+WITH keys AS MATERIALIZED (SELECT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_PRICE_T}),
+msel AS MATERIALIZED (SELECT {_bloom_m_sql("(SELECT COUNT(*) FROM keys)")} AS m),
 pos AS ({build}),
-words AS (
+words AS MATERIALIZED (
   SELECT p // 32 AS w, BIT_OR(1::BIGINT << (p % 32)) AS bits FROM pos GROUP BY 1
 ),
+lpos AS (
+  SELECT l.l_orderkey, l.l_extendedprice, l.l_discount, {pos_cols} FROM lineitem l
+),
 cand AS (
-  SELECT l.l_orderkey, l.l_extendedprice, l.l_discount
-  FROM lineitem l
-  WHERE {probes}
+  SELECT lp.l_orderkey, lp.l_extendedprice, lp.l_discount
+  FROM lpos lp
+  {probe_joins}
 ),
 matched AS (
   SELECT c.* FROM cand c WHERE EXISTS (SELECT 1 FROM keys k WHERE k.o_orderkey = c.l_orderkey)
