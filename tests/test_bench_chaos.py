@@ -41,6 +41,10 @@ _HEAVIEST = [
     "pmi_cooccurrence",
     "bigram_logprob",
     "train_val_split",
+    "graph_bfs_hops",
+    "bpe_encode",
+    "bpe_learn_merges",
+    "bloom_semi_join",
 ]
 
 
