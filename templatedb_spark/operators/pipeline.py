@@ -1222,6 +1222,89 @@ SELECT doc_id, bm25_rank, ann_rank, rrf_score, fused_rank FROM (
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Cascade dedup — the staged funnel every production corpus actually runs:
+# cheap exact dedup first (hash groupBy, removes the bulk), then near-dup
+# LSH only over the exact survivors. One verdict row per document records
+# WHICH stage dropped it and against which partner — the lineage auditors
+# ask for ("why is this doc gone?"). Near-stage policy is keep-first: a
+# survivor is dropped iff an exact-surviving partner with a smaller doc_id
+# shares an LSH band (partner = the smallest such). The stages reuse the
+# memoized LSH pair relation, so the cascade adds two broadcast-scale joins
+# on top of work the suite already shares. At 100 TB the exact stage is one
+# shuffle on the 16-byte fingerprint and the near stage inherits the banded
+# join's economics — the funnel ordering is precisely what keeps the
+# expensive stage's input small.
+# ---------------------------------------------------------------------------
+def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.operators.dedup import dedup_minhash_lsh
+
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    fp = d.select("doc_id", F.md5(norm).alias("fingerprint"))
+    wfp = Window.partitionBy("fingerprint")
+    ex = fp.select("doc_id", F.min("doc_id").over(wfp).alias("keep_id"))
+    surv = ex.filter(F.col("doc_id") == F.col("keep_id")).select(
+        F.col("doc_id").alias("s_id")
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    near = (
+        pairs.join(F.broadcast(surv), pairs["doc_a"] == F.col("s_id"), "left_semi")
+        .join(
+            F.broadcast(surv.select(F.col("s_id").alias("s_id2"))),
+            pairs["doc_b"] == F.col("s_id2"),
+            "left_semi",
+        )
+        .groupBy(F.col("doc_b").alias("n_id"))
+        .agg(F.min("doc_a").alias("n_partner"))
+    )
+    return (
+        ex.join(F.broadcast(near), ex["doc_id"] == near["n_id"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("keep_id"), F.lit("exact"))
+            .when(F.col("n_id").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("keep"))
+            .alias("stage"),
+            F.when(F.col("doc_id") != F.col("keep_id"), F.col("keep_id"))
+            .otherwise(F.col("n_partner"))
+            .cast("long")
+            .alias("partner"),
+        )
+    )
+
+
+def _cascade_oracle() -> str:
+    from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
+
+    return f"""
+WITH {_MINHASH_CTES},
+pairs AS MATERIALIZED ({_MINHASH_SELECT}),
+fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id FROM fp
+),
+surv AS (SELECT doc_id FROM ex WHERE doc_id = keep_id),
+near AS (
+  SELECT p.doc_b AS n_id, MIN(p.doc_a) AS n_partner
+  FROM pairs p
+  WHERE p.doc_a IN (SELECT doc_id FROM surv)
+    AND p.doc_b IN (SELECT doc_id FROM surv)
+  GROUP BY 1
+)
+SELECT e.doc_id,
+       CASE WHEN e.doc_id <> e.keep_id THEN 'exact'
+            WHEN n.n_id IS NOT NULL THEN 'near'
+            ELSE 'keep' END AS stage,
+       CASE WHEN e.doc_id <> e.keep_id THEN e.keep_id
+            ELSE n.n_partner END::BIGINT AS partner
+FROM ex e LEFT JOIN near n ON n.n_id = e.doc_id
+"""
+
 for spec in [
     QuerySpec("inverted_index", inverted_index, _INVERTED_ORACLE, "inverted index: capped sorted posting lists + doc frequency"),
     QuerySpec("rrf_fusion", rrf_fusion, _rrf_oracle(), "hybrid retrieval: reciprocal-rank fusion of BM25 and dense cosine top-k"),
@@ -1241,5 +1324,6 @@ for spec in [
     QuerySpec("graph_bfs_hops", graph_bfs_hops, _bfs_oracle(), "fixed-depth level-synchronous BFS shortest paths over the dup-pair graph"),
     QuerySpec("chunk_documents", chunk_documents, _CHUNK_ORACLE, "overlapping token-window chunking (pretraining/RAG preprocessing)"),
     QuerySpec("bm25_topk", bm25_topk, _bm25_oracle(), "Okapi BM25 ranking against a fixed query (IR tier)"),
+    QuerySpec("dedup_cascade", dedup_cascade, _cascade_oracle(), "staged dedup funnel: exact fingerprint stage, then LSH near-dup over survivors, with per-doc drop lineage"),
 ]:
     register(spec)

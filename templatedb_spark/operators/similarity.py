@@ -1333,6 +1333,86 @@ FROM (
 ) WHERE vrank = 1
 """
 
+# ---------------------------------------------------------------------------
+# MaxSim multi-vector (late-interaction) retrieval — the ColBERT scoring
+# shape. Each "document" is a BAG of token vectors (here: 4 consecutive
+# embedding rows share a group id); a query document scores against a corpus
+# document as  sum over query tokens of (max over doc tokens of cosine).
+# The plan: probes broadcast against the corpus vector table, one
+# (query-token x corpus-doc) max-aggregation, one (query-doc x corpus-doc)
+# sum-aggregation, window top-k. Per-token cosines round to 6 decimals and
+# accumulate as DECIMAL so the two-level aggregation is partition-order
+# independent (float sums of independently-maxed terms are not).
+# At 100 TB the scored join swaps its corpus side for an ANN candidate set
+# (IVF/LSH over a pooled per-doc centroid) — the MaxSim head is unchanged.
+# ---------------------------------------------------------------------------
+_MAXSIM_GROUP = 4  # token vectors per document
+_MAXSIM_NQUERY = 5  # query documents
+_MAXSIM_K = 5
+
+
+def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("vec_id") / _MAXSIM_GROUP).cast("long").alias("gid"),
+        _vec_double("embedding").alias("v"),
+    )
+    e = with_norm(e)
+    probes = e.filter(F.col("gid") < _MAXSIM_NQUERY).select(
+        F.col("gid").alias("qid"),
+        F.col("vec_id").alias("q_vec"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    corpus = e.filter(F.col("gid") >= _MAXSIM_NQUERY)
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "qid",
+        "q_vec",
+        F.col("gid").alias("doc_gid"),
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6
+        ).cast("decimal(10,6)").alias("cosine"),
+    )
+    # level 1: best corpus token per (query token, corpus doc)
+    best = scored.groupBy("qid", "q_vec", "doc_gid").agg(F.max("cosine").alias("best"))
+    # level 2: MaxSim = exact decimal sum of the per-query-token maxima
+    sims = best.groupBy("qid", "doc_gid").agg(
+        F.sum("best").cast("double").alias("maxsim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("maxsim").desc(), F.col("doc_gid").asc())
+    return sims.select(
+        "qid", "doc_gid", "maxsim", F.row_number().over(w).cast("long").alias("rank")
+    ).filter(F.col("rank") <= _MAXSIM_K)
+
+
+_MAXSIM_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, vec_id // {_MAXSIM_GROUP} AS gid, embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, gid, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+probes AS (
+  SELECT gid AS qid, vec_id AS q_vec, v AS qv, norm AS qnorm
+  FROM n WHERE gid < {_MAXSIM_NQUERY}
+),
+scored AS (
+  SELECT p.qid, p.q_vec, c.gid AS doc_gid,
+         ROUND(list_dot_product(p.qv, c.v) / (p.qnorm * c.norm), 6)::DECIMAL(10,6) AS cosine
+  FROM n c CROSS JOIN probes p WHERE c.gid >= {_MAXSIM_NQUERY}
+),
+best AS (
+  SELECT qid, q_vec, doc_gid, MAX(cosine) AS best FROM scored GROUP BY 1, 2, 3
+),
+sims AS (
+  SELECT qid, doc_gid, CAST(SUM(best) AS DOUBLE) AS maxsim FROM best GROUP BY 1, 2
+)
+SELECT qid, doc_gid, maxsim, rank FROM (
+  SELECT qid, doc_gid, maxsim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY maxsim DESC, doc_gid ASC)::BIGINT AS rank
+  FROM sims
+) WHERE rank <= {_MAXSIM_K}
+"""
+
 for spec in [
     QuerySpec("kmeans_quantized", kmeans_quantized, _kmeans_oracle(), "fixed-iteration integer k-means over quantized embeddings (iterative-ML tier)"),
     QuerySpec("ann_cosine_topk", ann_cosine_topk, _ANN_TOPK_ORACLE, "brute-force cosine top-k"),
@@ -1344,5 +1424,6 @@ for spec in [
     QuerySpec("semantic_dedup", semantic_dedup, _SEMDEDUP_ORACLE, "SemDedup-style cluster-representative dedup"),
     QuerySpec("ann_quantized_topk", ann_quantized_topk, _ANN_QUANTIZED_ORACLE, "int8-range quantized brute-force ANN (integer scoring, exact oracle)"),
     QuerySpec("knn_classify", knn_classify, _KNN_ORACLE, "k-NN majority-vote label classification over the ANN scored join"),
+    QuerySpec("maxsim_multivector_topk", maxsim_multivector_topk, _MAXSIM_ORACLE, "ColBERT-style MaxSim late-interaction retrieval over multi-vector documents"),
 ]:
     register(spec)

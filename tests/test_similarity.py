@@ -407,3 +407,45 @@ def test_knn_classify_majority_property(spark):
     for r in rows:
         assert 1 <= r.n_votes <= _KNN_K
         assert r.correct == (r.pred_label == r.true_label)
+
+
+def test_maxsim_bounds_and_ranks(spark):
+    """MaxSim of G unit-capped cosines is bounded by G; ranks are a dense
+    1..K prefix per query doc."""
+    from templatedb_spark.operators.similarity import (
+        _MAXSIM_GROUP,
+        _MAXSIM_K,
+        _MAXSIM_NQUERY,
+        maxsim_multivector_topk,
+    )
+
+    rows = maxsim_multivector_topk(spark, SF_SMALL).collect()
+    by_q = {}
+    for r in rows:
+        assert r.maxsim <= _MAXSIM_GROUP + 1e-9
+        assert r.doc_gid >= _MAXSIM_NQUERY  # probes never retrieved
+        by_q.setdefault(r.qid, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, _MAXSIM_K + 1))
+
+
+def test_dedup_cascade_partitions_and_lineage(spark):
+    """Every document gets exactly one verdict; drops carry a smaller-id
+    partner; exact drops agree with dedup_exact's keep representatives."""
+    from templatedb_spark.operators.dedup import dedup_exact
+    from templatedb_spark.operators.pipeline import dedup_cascade
+    from templatedb_spark.suite import table
+
+    rows = dedup_cascade(spark, SF_SMALL).collect()
+    n_docs = table(spark, SF_SMALL, "documents").count()
+    assert len(rows) == n_docs
+    keeps = {r.keep_doc_id for r in dedup_exact(spark, SF_SMALL).collect()}
+    for r in rows:
+        if r.stage == "keep":
+            assert r.partner is None
+        else:
+            assert r.partner is not None and r.partner < r.doc_id
+        if r.stage == "exact":
+            assert r.partner in keeps
+        if r.stage == "near":
+            assert r.doc_id in keeps  # near stage only judges exact survivors
