@@ -332,6 +332,154 @@ FROM qs JOIN cum ON cum.cum >= qs.target AND (cum.cum - cum.c) < qs.target
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-source data card — the one-page profile attached to every corpus drop:
+# volume, internal exact-dup rate, language mix, and token mass per source.
+# Composes the repo's shared relations (normalized fingerprint from the
+# dedup tier, cached tokenized corpus) into one rollup, so the card costs
+# two aggregations over scans the suite already pays for. The majority
+# language resolves ties deterministically (count desc, lang asc).
+# ---------------------------------------------------------------------------
+def dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from templatedb_spark.operators.dedup import tokenized
+
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    base = d.select("doc_id", "source", "lang", "n_chars", F.md5(norm).alias("fp"))
+    toks = tokenized(spark, sf_dir).select("doc_id", F.size("t").alias("n_tok"))
+    base = base.join(toks, "doc_id")
+
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long").alias("n_dup_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.round(F.avg(F.col("n_chars").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("avg_chars"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+    lang_counts = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wl = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("lang").asc())
+    top_lang = (
+        lang_counts.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), F.col("n").alias("top_n"))
+    )
+    return (
+        per_source.join(top_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "n_langs",
+            "top_lang",
+            F.round(F.col("top_n").cast("decimal(18,6)") / F.col("n_docs"), 4)
+            .cast("double")
+            .alias("top_lang_share"),
+            "avg_chars",
+            "total_tokens",
+        )
+    )
+
+
+def _profile_oracle() -> str:
+    from templatedb_spark.operators.dedup import _TOKENS_SQL
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, lang, n_chars,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         len({_TOKENS_SQL}) AS n_tok
+  FROM documents
+),
+per_source AS (
+  SELECT source,
+         COUNT(*)::BIGINT AS n_docs,
+         (COUNT(*) - COUNT(DISTINCT fp))::BIGINT AS n_dup_docs,
+         COUNT(DISTINCT lang)::BIGINT AS n_langs,
+         CAST(ROUND(AVG(n_chars::DECIMAL(18,6)), 2) AS DOUBLE) AS avg_chars,
+         SUM(n_tok)::BIGINT AS total_tokens
+  FROM base GROUP BY 1
+),
+lang_counts AS (
+  SELECT source, lang, COUNT(*)::BIGINT AS n FROM base GROUP BY 1, 2
+),
+top_lang AS (
+  SELECT source, lang AS top_lang, n AS top_n FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang ASC) AS rn
+    FROM lang_counts
+  ) WHERE rn = 1
+)
+SELECT p.source, p.n_docs, p.n_dup_docs, p.n_langs, t.top_lang,
+       CAST(ROUND(t.top_n::DECIMAL(18,6) / p.n_docs, 4) AS DOUBLE) AS top_lang_share,
+       p.avg_chars, p.total_tokens
+FROM per_source p JOIN top_lang t USING (source)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report — the diagnostic run BEFORE picking salt factors or
+# trusting AQE: per-key frequencies on the prospective join key, the global
+# skew ratio (hottest key vs mean), and the top hot keys. Two aggregations
+# (key rollup, then global stats broadcast back onto the top keys); at
+# 100 TB the key rollup is the only real shuffle and is itself the thing
+# being measured. Shares (round 6) and ratios (round 2) use DECIMAL
+# intermediates for cross-engine exactness.
+# ---------------------------------------------------------------------------
+_SKEW_TOPN = 5
+
+
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    stats = per_key.agg(
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    top = per_key.orderBy(F.col("n_rows").desc(), F.col("user_id").asc()).limit(_SKEW_TOPN)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "n_rows",
+            F.round(F.col("n_rows").cast("decimal(18,6)") / F.col("total_rows"), 6)
+            .cast("double")
+            .alias("share"),
+            # hottest-vs-mean ratio as an integer (x100): n·k·100/total is an
+            # exact double division + floor, identical in both engines —
+            # nested DECIMAL division is not (scale rules differ per engine)
+            F.floor(
+                F.col("n_rows") * F.col("n_keys") * F.lit(100.0) / F.col("total_rows")
+            )
+            .cast("long")
+            .alias("skew_ratio_x100"),
+            "n_keys",
+        )
+    )
+
+
+_SKEW_ORACLE = f"""
+WITH per_key AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_rows
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+stats AS (
+  SELECT SUM(n_rows)::BIGINT AS total_rows, COUNT(*)::BIGINT AS n_keys FROM per_key
+),
+top AS (
+  SELECT user_id, n_rows FROM per_key ORDER BY n_rows DESC, user_id ASC LIMIT {_SKEW_TOPN}
+)
+SELECT t.user_id, t.n_rows,
+       CAST(ROUND(t.n_rows::DECIMAL(18,6) / s.total_rows, 6) AS DOUBLE) AS share,
+       CAST(FLOOR(t.n_rows * s.n_keys * 100.0 / s.total_rows) AS BIGINT) AS skew_ratio_x100,
+       s.n_keys
+FROM top t CROSS JOIN stats s
+"""
+
 for spec in [
     QuerySpec("quantile_sketch_price", quantile_sketch_price, _QSK_ORACLE, "1024-bin histogram quantile sketch (deterministic, exact oracle)"),
     QuerySpec("percentiles_price", percentiles_price, _PERCENTILES_ORACLE, "exact interpolated percentiles per group"),
@@ -340,5 +488,7 @@ for spec in [
     QuerySpec("approx_percentiles_price", approx_percentiles_price, None, "sketch-based percentiles (rows-only + tolerance test)"),
     QuerySpec("histogram_event_values", histogram_event_values, _HISTOGRAM_ORACLE, "floor-binned value histogram"),
     QuerySpec("embedding_quantize", embedding_quantize, _QUANTIZE_ORACLE, "int8 embedding quantization stats"),
+    QuerySpec("dataset_profile", dataset_profile, _profile_oracle(), "per-source data card: volume, dup rate, language mix, token mass"),
+    QuerySpec("join_skew_report", join_skew_report, _SKEW_ORACLE, "join-key skew diagnostic: hot keys, shares, skew ratio vs mean"),
 ]:
     register(spec)
