@@ -245,6 +245,31 @@ FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY island)
 
 
 # ---------------------------------------------------------------------------
+# AS OF snapshot over the SCD2 history — the point-in-time read that
+# justifies building type-2 rows at all: "what segment was each user in at
+# time T?" resolves to the single history row whose [valid_from, valid_to)
+# interval covers T (open-ended current rows cover everything after their
+# start). The filter is sargable on the validity columns, so a history table
+# range-partitioned on valid_from answers any T by pruning — no window
+# function at read time, the windows were paid once at build.
+# ---------------------------------------------------------------------------
+_ASOF_T = "2024-01-15 00:00:00"
+
+
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = scd2_user_segments(spark, sf_dir)
+    t = F.lit(_ASOF_T)
+    return hist.filter(
+        (F.col("valid_from") <= t) & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "version", "segment", "valid_from", "n_events")
+
+
+_ASOF_SNAPSHOT_ORACLE = f"""
+SELECT user_id, version, segment, valid_from, n_events
+FROM ({_SCD2_ORACLE}) hist
+WHERE valid_from <= '{_ASOF_T}' AND (valid_to IS NULL OR valid_to > '{_ASOF_T}')
+"""
+# ---------------------------------------------------------------------------
 # Inverted index build: posting lists (sorted doc_ids, capped) + document
 # frequency per token — the retrieval-side artifact of a text corpus. One
 # shuffle on the token key; the capped sorted posting list is a bounded
@@ -1317,6 +1342,7 @@ for spec in [
     QuerySpec("dedup_keep_policy", dedup_keep_policy, _keep_oracle(), "end-to-end dedup verdict: keep representative per cluster, drop the rest"),
     QuerySpec("graph_pagerank", graph_pagerank, _pagerank_oracle(), "fixed-iteration PageRank over the dup-pair graph (power method, unrolled oracle)"),
     QuerySpec("scd2_user_segments", scd2_user_segments, _SCD2_ORACLE, "SCD2 history build: gaps-and-islands + validity windows"),
+    QuerySpec("scd2_asof_snapshot", scd2_asof_snapshot, _ASOF_SNAPSHOT_ORACLE, "point-in-time AS OF read over the SCD2 history (sargable validity-interval filter)"),
     QuerySpec("vocab_top_tokens", vocab_top_tokens, _VOCAB_ORACLE, "corpus vocabulary: token + doc frequency, fused top-k"),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, _TFIDF_ORACLE, "TF-IDF salient terms per document (smooth idf)"),
     QuerySpec("pack_token_shards", pack_token_shards, _PACK_ORACLE, "token-budget shard packing, per-bucket sequential fill"),

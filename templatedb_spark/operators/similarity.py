@@ -1413,6 +1413,96 @@ SELECT qid, doc_gid, maxsim, rank FROM (
 ) WHERE rank <= {_MAXSIM_K}
 """
 
+# ---------------------------------------------------------------------------
+# Hard-example mining for contrastive embedding training: for each anchor
+# vector, the hardest NEGATIVE (highest-cosine corpus vector with a
+# DIFFERENT label — the confusable impostor) and the hardest POSITIVE
+# (lowest-cosine corpus vector with the SAME label — the estranged twin).
+# These pairs are what metric-learning batches are built from. One scored
+# broadcast join, two window top-1 passes over opposite orderings, joined
+# back per anchor. At 100 TB the negatives side runs over ANN candidates
+# (a hard negative is by definition a near neighbor — IVF/LSH candidates
+# contain it); the positives side runs per label partition.
+# ---------------------------------------------------------------------------
+_MINE_NANCHOR = 10
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_double("embedding").alias("v")
+    )
+    e = with_norm(e)
+    anchors = e.filter(F.col("vec_id") < _MINE_NANCHOR).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("av"),
+        F.col("norm").alias("anorm"),
+    )
+    corpus = e.filter(F.col("vec_id") >= _MINE_NANCHOR)
+    scored = corpus.crossJoin(F.broadcast(anchors)).select(
+        "aid",
+        "a_label",
+        "vec_id",
+        "label",
+        F.round(dot(F.col("av"), F.col("v")) / (F.col("anorm") * F.col("norm")), 6).alias("cosine"),
+    )
+    wneg = Window.partitionBy("aid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    hard_neg = (
+        scored.filter(F.col("label") != F.col("a_label"))
+        .withColumn("rn", F.row_number().over(wneg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "aid",
+            "a_label",
+            F.col("vec_id").alias("hard_neg_id"),
+            F.col("cosine").alias("hard_neg_cos"),
+        )
+    )
+    wpos = Window.partitionBy("aid").orderBy(F.col("cosine").asc(), F.col("vec_id").asc())
+    hard_pos = (
+        scored.filter(F.col("label") == F.col("a_label"))
+        .withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("aid").alias("p_aid"),
+            F.col("vec_id").alias("hard_pos_id"),
+            F.col("cosine").alias("hard_pos_cos"),
+        )
+    )
+    return (
+        hard_neg.join(hard_pos, hard_neg["aid"] == hard_pos["p_aid"], "left")
+        .select("aid", "a_label", "hard_neg_id", "hard_neg_cos", "hard_pos_id", "hard_pos_cos")
+    )
+
+
+_MINE_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+anchors AS (
+  SELECT vec_id AS aid, label AS a_label, v AS av, norm AS anorm
+  FROM n WHERE vec_id < {_MINE_NANCHOR}
+),
+scored AS (
+  SELECT a.aid, a.a_label, c.vec_id, c.label,
+         ROUND(list_dot_product(a.av, c.v) / (a.anorm * c.norm), 6) AS cosine
+  FROM n c CROSS JOIN anchors a WHERE c.vec_id >= {_MINE_NANCHOR}
+),
+hard_neg AS (
+  SELECT aid, a_label, vec_id AS hard_neg_id, cosine AS hard_neg_cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY aid ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM scored WHERE label <> a_label
+  ) WHERE rn = 1
+),
+hard_pos AS (
+  SELECT aid AS p_aid, vec_id AS hard_pos_id, cosine AS hard_pos_cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY aid ORDER BY cosine ASC, vec_id ASC) AS rn
+    FROM scored WHERE label = a_label
+  ) WHERE rn = 1
+)
+SELECT hn.aid, hn.a_label, hn.hard_neg_id, hn.hard_neg_cos, hp.hard_pos_id, hp.hard_pos_cos
+FROM hard_neg hn LEFT JOIN hard_pos hp ON hp.p_aid = hn.aid
+"""
+
 for spec in [
     QuerySpec("kmeans_quantized", kmeans_quantized, _kmeans_oracle(), "fixed-iteration integer k-means over quantized embeddings (iterative-ML tier)"),
     QuerySpec("ann_cosine_topk", ann_cosine_topk, _ANN_TOPK_ORACLE, "brute-force cosine top-k"),
@@ -1425,5 +1515,6 @@ for spec in [
     QuerySpec("ann_quantized_topk", ann_quantized_topk, _ANN_QUANTIZED_ORACLE, "int8-range quantized brute-force ANN (integer scoring, exact oracle)"),
     QuerySpec("knn_classify", knn_classify, _KNN_ORACLE, "k-NN majority-vote label classification over the ANN scored join"),
     QuerySpec("maxsim_multivector_topk", maxsim_multivector_topk, _MAXSIM_ORACLE, "ColBERT-style MaxSim late-interaction retrieval over multi-vector documents"),
+    QuerySpec("hard_negative_mining", hard_negative_mining, _MINE_ORACLE, "contrastive hard-example mining: hardest negative + hardest positive per anchor"),
 ]:
     register(spec)

@@ -113,3 +113,17 @@ def test_dup_clusters_consistent_with_pairs(spark):
     expected = {(min(m), len(m), max(m)) for m in comp.values()}
     got = {(c.cluster_id, c.n_docs, c.max_doc_id) for c in clusters}
     assert got == expected
+
+
+def test_scd2_asof_one_row_per_covered_user(spark):
+    """The AS OF snapshot returns at most one segment per user, and that
+    segment's interval covers T."""
+    from templatedb_spark.operators.pipeline import _ASOF_T, scd2_asof_snapshot
+
+    from tests.conftest import SF_SMALL
+
+    rows = scd2_asof_snapshot(spark, SF_SMALL).collect()
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users))
+    for r in rows:
+        assert r.valid_from <= _ASOF_T

@@ -449,3 +449,28 @@ def test_dedup_cascade_partitions_and_lineage(spark):
             assert r.partner in keeps
         if r.stage == "near":
             assert r.doc_id in keeps  # near stage only judges exact survivors
+
+
+def test_hard_mining_invariants(spark):
+    """Hard negative has a different label and is a near neighbour; hard
+    positive shares the label and scores at most the negative's ceiling of 1;
+    both partners come from the corpus side."""
+    from templatedb_spark.operators.similarity import (
+        _MINE_NANCHOR,
+        hard_negative_mining,
+    )
+    from templatedb_spark.suite import table
+
+    labels = {
+        r.vec_id: r.label
+        for r in table(spark, SF_SMALL, "embeddings").select("vec_id", "label").collect()
+    }
+    rows = hard_negative_mining(spark, SF_SMALL).collect()
+    assert len(rows) == _MINE_NANCHOR
+    for r in rows:
+        assert r.hard_neg_id >= _MINE_NANCHOR
+        assert labels[r.hard_neg_id] != r.a_label
+        assert -1.0 <= r.hard_neg_cos <= 1.0
+        if r.hard_pos_id is not None:
+            assert labels[r.hard_pos_id] == r.a_label
+            assert r.hard_pos_id >= _MINE_NANCHOR
