@@ -680,12 +680,21 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("signup_ts"))
     )
-    purchase = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    # the step predicate lives in the JOIN condition: a user whose purchases
+    # are all <= signup_ts must survive null-extended (a post-join filter
+    # would drop them from n_signup — latent divergence from the oracle's
+    # LEFT JOIN ... ON, exposed only by data where it happens)
+    purchase = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
     conv = (
-        signup.join(purchase, "user_id", "left")
-        .filter(F.col("ts").isNull() | (F.col("ts") > F.col("signup_ts")))
+        signup.join(
+            purchase,
+            (F.col("user_id") == F.col("p_user")) & (F.col("p_ts") > F.col("signup_ts")),
+            "left",
+        )
         .groupBy("user_id", "signup_ts")
-        .agg(F.min("ts").alias("first_purchase"))
+        .agg(F.min("p_ts").alias("first_purchase"))
     )
     hours = (
         (F.unix_timestamp("first_purchase") - F.unix_timestamp("signup_ts")) / 3600.0
@@ -929,6 +938,104 @@ SELECT s.user_id,
 FROM spine s LEFT JOIN daily USING (user_id, d)
 """
 
+# ---------------------------------------------------------------------------
+# Three-step sequential funnel with per-step conversion windows — the
+# MATCH_RECOGNIZE-shaped question (view → click within 24 h → purchase
+# within 72 h) answered with three min-after joins: each step keeps only the
+# FIRST qualifying event after the previous step's timestamp, so the chain
+# is deterministic and each join is keyed on user_id (one partitioning
+# reused across all three steps at scale). Rates are integer ×10000 (exact
+# double division + floor — no cross-engine rounding surface).
+# ---------------------------------------------------------------------------
+_FUNNEL3_STEP2_HOURS = 24
+_FUNNEL3_STEP3_HOURS = 72
+
+
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    # step predicates live in the JOIN condition (LEFT ... ON), never a
+    # post-join filter: a user whose candidate events all miss the window
+    # must survive as a null-extended row, not vanish from the funnel
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    c = (
+        v.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("view_ts"))
+            & (
+                F.unix_timestamp("c_ts")
+                <= F.unix_timestamp("view_ts") + _FUNNEL3_STEP2_HOURS * 3600
+            ),
+            "left",
+        )
+        .groupBy("user_id", "view_ts")
+        .agg(F.min("c_ts").alias("click_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    p = (
+        c.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & F.col("click_ts").isNotNull()
+            & (F.col("p_ts") > F.col("click_ts"))
+            & (
+                F.unix_timestamp("p_ts")
+                <= F.unix_timestamp("click_ts") + _FUNNEL3_STEP3_HOURS * 3600
+            ),
+            "left",
+        )
+        .groupBy("user_id", "view_ts", "click_ts")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_viewed"),
+        F.count("click_ts").cast("long").alias("n_clicked"),
+        F.count("purchase_ts").cast("long").alias("n_purchased"),
+        F.floor(F.count("click_ts") * F.lit(10000.0) / F.count(F.lit(1)))
+        .cast("long")
+        .alias("click_rate_x10000"),
+        F.floor(F.count("purchase_ts") * F.lit(10000.0) / F.count(F.lit(1)))
+        .cast("long")
+        .alias("purchase_rate_x10000"),
+    )
+
+
+_FUNNEL3_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT v.user_id, v.view_ts, MIN(e.ts) AS click_ts
+  FROM v LEFT JOIN events e
+    ON e.user_id = v.user_id AND e.event_type = 'click'
+   AND e.ts > v.view_ts
+   AND epoch(e.ts) <= epoch(v.view_ts) + {_FUNNEL3_STEP2_HOURS} * 3600
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT c.user_id, c.view_ts, c.click_ts, MIN(e.ts) AS purchase_ts
+  FROM c LEFT JOIN events e
+    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+   AND c.click_ts IS NOT NULL AND e.ts > c.click_ts
+   AND epoch(e.ts) <= epoch(c.click_ts) + {_FUNNEL3_STEP3_HOURS} * 3600
+  GROUP BY 1, 2, 3
+)
+SELECT COUNT(*)::BIGINT AS n_viewed,
+       COUNT(click_ts)::BIGINT AS n_clicked,
+       COUNT(purchase_ts)::BIGINT AS n_purchased,
+       CAST(FLOOR(COUNT(click_ts) * 10000.0 / COUNT(*)) AS BIGINT) AS click_rate_x10000,
+       CAST(FLOOR(COUNT(purchase_ts) * 10000.0 / COUNT(*)) AS BIGINT) AS purchase_rate_x10000
+FROM p
+"""
 
 for spec in [
     QuerySpec("events_gapfill", events_gapfill, _GAPFILL_ORACLE, "per-user daily spine densification + LOCF forward fill"),
@@ -957,5 +1064,6 @@ for spec in [
     QuerySpec("q6_forecast_revenue", q6_forecast_revenue, _Q6_ORACLE, "TPC-H Q6 shape"),
     QuerySpec("events_ewma", events_ewma, _EWMA_ORACLE, "per-user EWMA via time-ordered fold (sequential recurrence)"),
     QuerySpec("attribution_last_touch", attribution_last_touch, _ATTRIBUTION_ORACLE, "last-touch purchase attribution with 7-day lookback"),
+    QuerySpec("funnel_three_step", funnel_three_step, _FUNNEL3_ORACLE, "three-step sequential funnel with per-step conversion windows"),
 ]:
     register(spec)

@@ -130,6 +130,71 @@ sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM
 
 
 # ---------------------------------------------------------------------------
+# Asymmetric shingle CONTAINMENT — the dup relation Jaccard misses: a short
+# document quoted wholesale inside a long one scores |A∩B|/|A| ≈ 1 for the
+# short side while Jaccard |A∩B|/|A∪B| stays tiny. Emits one directed row
+# per (contained ⊂ container) pair above threshold. Same candidate economics
+# as the exact-Jaccard anchor (shared-shingle self-join over the cached
+# pre-partitioned hashed shingles); the capped/prefix variants remain the
+# 100 TB candidate-generation path — containment only changes the verdict
+# arithmetic, not the join.
+# ---------------------------------------------------------------------------
+_CONTAINMENT_T = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = hashed_shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = counts.select(F.col("doc_id").alias("da"), F.col("n").alias("n_a"))
+    nb = counts.select(F.col("doc_id").alias("db"), F.col("n").alias("n_b"))
+    scored = inter.join(na, "da").join(nb, "db")
+    ab = scored.select(
+        F.col("da").alias("doc_contained"),
+        F.col("db").alias("doc_container"),
+        "inter",
+        F.col("n_a").alias("n_contained"),
+        F.round(F.col("inter") / F.col("n_a"), 6).alias("containment"),
+    )
+    ba = scored.select(
+        F.col("db").alias("doc_contained"),
+        F.col("da").alias("doc_container"),
+        "inter",
+        F.col("n_b").alias("n_contained"),
+        F.round(F.col("inter") / F.col("n_b"), 6).alias("containment"),
+    )
+    return ab.unionByName(ba).filter(F.col("containment") >= _CONTAINMENT_T)
+
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLES_SQL},
+hs AS (SELECT doc_id, {md5_long_sql('sh')} AS h FROM sh),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.da, i.db, i.inter, ca.n AS n_a, cb.n AS n_b
+  FROM inter i JOIN counts ca ON ca.doc_id = i.da JOIN counts cb ON cb.doc_id = i.db
+),
+directed AS (
+  SELECT da AS doc_contained, db AS doc_container, inter, n_a AS n_contained,
+         ROUND(inter * 1.0 / n_a, 6) AS containment
+  FROM scored
+  UNION ALL
+  SELECT db, da, inter, n_b, ROUND(inter * 1.0 / n_b, 6) FROM scored
+)
+SELECT * FROM directed WHERE containment >= {_CONTAINMENT_T}
+"""
+# ---------------------------------------------------------------------------
 # Exact dedup: group documents by normalized-text fingerprint.
 # At scale: one shuffle keyed by a 16-byte hash — the canonical first pass of
 # any training-data pipeline.
@@ -815,6 +880,7 @@ for spec in [
     QuerySpec("dedup_exact", dedup_exact, _DEDUP_EXACT_ORACLE, "exact dedup via md5 fingerprint"),
     QuerySpec("dedup_levenshtein", dedup_levenshtein, _LEVENSHTEIN_ORACLE, "edit-distance near-dup (blocked all-pairs)"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, _NGRAM_JACCARD_ORACLE, "word-trigram exact Jaccard near-dup"),
+    QuerySpec("dedup_containment", dedup_containment, _CONTAINMENT_ORACLE, "asymmetric shingle containment (catches quoted/subset duplication Jaccard misses)"),
     QuerySpec("dedup_ngram_capped", dedup_ngram_capped, _NGRAM_CAPPED_ORACLE, "df-capped shingle Jaccard (the at-scale variant)"),
     QuerySpec("dedup_ngram_prefix", dedup_ngram_prefix, _ngram_jaccard_oracle(_PREFIX_THRESHOLD), "prefix-filtered exact Jaccard at t=0.8 (the technique's design point)"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _MINHASH_ORACLE, "MinHash(16) + LSH banding near-dup"),
