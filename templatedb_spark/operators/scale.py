@@ -27,7 +27,11 @@ def salted_group_count(df: DataFrame, key: str, salt_factor: int = 16) -> DataFr
     tasks; stage 2 sums the partials per key. Identical result to the naive
     plan, bounded per-task state.
     """
-    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_factor).cast("int"))
+    # content-hash salt, not rand(): a re-executed task must re-derive the
+    # same salt or speculative retries double-count rows
+    salted = df.withColumn(
+        "_salt", (F.pmod(F.xxhash64(*df.columns), F.lit(salt_factor))).cast("int")
+    )
     partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").cast("long").alias("n"))
 
@@ -42,7 +46,9 @@ def salted_join(
     key's probe rows land on `salt_factor` tasks instead of one.
     """
     salts = big.sparkSession.range(salt_factor).select(F.col("id").cast("int").alias("_salt"))
-    big_s = big.withColumn("_salt", (F.rand(seed=42) * salt_factor).cast("int"))
+    big_s = big.withColumn(
+        "_salt", (F.pmod(F.xxhash64(*big.columns), F.lit(salt_factor))).cast("int")
+    )
     small_s = small.crossJoin(F.broadcast(salts))
     joined = big_s.join(
         small_s, (big_s[big_key] == small_s[small_key]) & (big_s["_salt"] == small_s["_salt"])
@@ -408,5 +414,71 @@ register(
         bloom_semi_join,
         _bloom_oracle(),
         "bloom-filter runtime join pruning: broadcast M-bit/K-hash bitmap prunes the fact side, exact semi-join closes FPs",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# MERGE upsert as a spec — the TPC-H refresh-function / warehouse-ingest
+# shape, driving the merge_upsert library operator: a deterministic delta
+# (5% of orders re-priced + a disjoint set of brand-new keys) merges into
+# the base table; source wins on key collision, everything else survives.
+# Output is the post-merge per-status rollup, so the oracle checks the merge
+# RESULT, not just row counts. One anti-join + union (both sides shuffle
+# once on the key) — the engine-side equivalent of Delta MERGE.
+# ---------------------------------------------------------------------------
+_MERGE_NEW_KEY_OFFSET = 100_000_000
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.suite import table
+
+    target = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("decimal(12,2)").alias("price")
+    )
+    updates = target.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("price") * 2).cast("decimal(12,2)").alias("price"),
+    )
+    inserts = target.filter(F.col("o_orderkey") % 40 == 0).select(
+        (F.col("o_orderkey") + _MERGE_NEW_KEY_OFFSET).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(100.00).cast("decimal(12,2)").alias("price"),
+    )
+    source = updates.unionByName(inserts)
+    merged = merge_upsert(target, source, "o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("price").cast("double").alias("sum_price"),
+    )
+
+
+_MERGE_ORACLE = f"""
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice::DECIMAL(12,2) AS price FROM orders
+),
+source AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, (price * 2)::DECIMAL(12,2) AS price
+  FROM target WHERE o_orderkey % 20 = 0
+  UNION ALL
+  SELECT o_orderkey + {_MERGE_NEW_KEY_OFFSET}, 'N', 100.00::DECIMAL(12,2)
+  FROM target WHERE o_orderkey % 40 = 0
+),
+merged AS (
+  SELECT t.* FROM target t WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT * FROM source
+)
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders, CAST(SUM(price) AS DOUBLE) AS sum_price
+FROM merged GROUP BY 1
+"""
+
+register(
+    QuerySpec(
+        "merge_upsert_orders",
+        merge_upsert_orders,
+        _MERGE_ORACLE,
+        "MERGE upsert (TPC-H refresh shape): deterministic delta into the base table, per-status post-merge rollup",
     )
 )
