@@ -1037,6 +1037,50 @@ SELECT COUNT(*)::BIGINT AS n_viewed,
 FROM p
 """
 
+# ---------------------------------------------------------------------------
+# Behavioral Markov transitions: the per-user event_type → next event_type
+# transition counts and probabilities — the matrix behind "what do users do
+# after an error?". One user-partitioned lead() window (the per-user event
+# order is the only sort, never global) + one rollup over ≤ |types|² cells;
+# probabilities are integer ×10000 (exact double division + floor).
+# ---------------------------------------------------------------------------
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    wtot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.floor(F.col("n_transitions") * F.lit(10000.0) / F.sum("n_transitions").over(wtot))
+        .cast("long")
+        .alias("prob_x10000"),
+    )
+
+
+_TRANSITIONS_ORACLE = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*)::BIGINT AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(FLOOR(n_transitions * 10000.0 / SUM(n_transitions) OVER (PARTITION BY from_type)) AS BIGINT) AS prob_x10000
+FROM counts
+"""
+
+
 for spec in [
     QuerySpec("events_gapfill", events_gapfill, _GAPFILL_ORACLE, "per-user daily spine densification + LOCF forward fill"),
     QuerySpec("funnel_signup_purchase", funnel_signup_purchase, _FUNNEL_ORACLE, "signup→purchase funnel conversion within 7 days"),
@@ -1065,5 +1109,6 @@ for spec in [
     QuerySpec("events_ewma", events_ewma, _EWMA_ORACLE, "per-user EWMA via time-ordered fold (sequential recurrence)"),
     QuerySpec("attribution_last_touch", attribution_last_touch, _ATTRIBUTION_ORACLE, "last-touch purchase attribution with 7-day lookback"),
     QuerySpec("funnel_three_step", funnel_three_step, _FUNNEL3_ORACLE, "three-step sequential funnel with per-step conversion windows"),
+    QuerySpec("event_transitions", event_transitions, _TRANSITIONS_ORACLE, "behavioral Markov transition matrix: per-user next-event counts + probabilities"),
 ]:
     register(spec)

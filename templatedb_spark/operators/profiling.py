@@ -480,6 +480,159 @@ SELECT t.user_id, t.n_rows,
 FROM top t CROSS JOIN stats s
 """
 
+# ---------------------------------------------------------------------------
+# Declarative data-quality constraint suite (the dbt-test / Deequ shape):
+# one row per constraint with checked/violation counts and a verdict.
+# Each constraint is an independent aggregate over its table; the union is
+# a plan of tiny parallel branches — at 100 TB every branch is one scan
+# (Catalyst shares scans of the same table between branches) + one partial
+# agg, and adding a constraint never touches the others.
+# ---------------------------------------------------------------------------
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+
+    unique_key = o.agg(
+        F.lit("orders.o_orderkey unique").alias("constraint"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("long").alias("n_violations"),
+    )
+    not_null = o.agg(
+        F.lit("orders.o_orderdate not null").alias("constraint"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        F.sum(F.col("o_orderdate").isNull().cast("int")).cast("long").alias("n_violations"),
+    )
+    ref = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("orphans"))
+        .crossJoin(o.agg(F.count(F.lit(1)).cast("long").alias("total")))
+        .select(
+            F.lit("orders.o_custkey references customer").alias("constraint"),
+            F.col("total").alias("n_checked"),
+            F.col("orphans").alias("n_violations"),
+        )
+    )
+    qty_range = l.agg(
+        F.lit("lineitem.l_quantity in (0, 50]").alias("constraint"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        F.sum(((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)).cast("int"))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    disc_range = l.agg(
+        F.lit("lineitem.l_discount in [0, 0.1]").alias("constraint"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("int"))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    out = unique_key
+    for branch in (not_null, ref, qty_range, disc_range):
+        out = out.unionByName(branch)
+    return out.select("constraint", "n_checked", "n_violations", (F.col("n_violations") == 0).alias("passed"))
+
+
+_DQ_ORACLE = """
+WITH checks AS (
+  SELECT 'orders.o_orderkey unique' AS "constraint", COUNT(*)::BIGINT AS n_checked,
+         (COUNT(*) - COUNT(DISTINCT o_orderkey))::BIGINT AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders.o_orderdate not null', COUNT(*)::BIGINT,
+         SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'orders.o_custkey references customer', COUNT(*)::BIGINT,
+         SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+                  THEN 1 ELSE 0 END)::BIGINT
+  FROM orders o
+  UNION ALL
+  SELECT 'lineitem.l_quantity in (0, 50]', COUNT(*)::BIGINT,
+         SUM(CASE WHEN l_quantity <= 0 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_discount in [0, 0.1]', COUNT(*)::BIGINT,
+         SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)::BIGINT
+  FROM lineitem
+)
+SELECT "constraint", n_checked, n_violations, n_violations = 0 AS passed FROM checks
+"""
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff → changefeed (the INVERSE of cdc_apply): given the base
+# table and a deterministically-mutated next snapshot, emit the per-op CDC
+# summary (inserts / updates / deletes / unchanged) with exact decimal
+# price-delta mass. One full-outer join on the key — the scan-and-compare
+# shape every lakehouse "generate changefeed between versions" runs; at
+# scale both snapshots are bucketed on the key so the join is co-located.
+# ---------------------------------------------------------------------------
+_DIFF_NEW_KEY_OFFSET = 100_000_000
+
+
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("price")
+    )
+    # next snapshot: delete keys %50==0, re-price keys %20==10, insert fresh keys
+    nxt = (
+        base.filter(F.col("o_orderkey") % 50 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 20 == 10, (F.col("price") * 2).cast("decimal(12,2)"))
+            .otherwise(F.col("price"))
+            .alias("price"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 40 == 0).select(
+                (F.col("o_orderkey") + _DIFF_NEW_KEY_OFFSET).alias("o_orderkey"),
+                F.lit(100.00).cast("decimal(12,2)").alias("price"),
+            )
+        )
+    )
+    a = base.select(F.col("o_orderkey").alias("k_old"), F.col("price").alias("p_old"))
+    b = nxt.select(F.col("o_orderkey").alias("k_new"), F.col("price").alias("p_new"))
+    diff = a.join(b, a["k_old"] == b["k_new"], "full_outer").select(
+        F.when(F.col("k_old").isNull(), F.lit("I"))
+        .when(F.col("k_new").isNull(), F.lit("D"))
+        .when(F.col("p_old") != F.col("p_new"), F.lit("U"))
+        .otherwise(F.lit("="))
+        .alias("op"),
+        F.coalesce(F.col("p_new"), F.lit(0).cast("decimal(12,2)")).alias("pn"),
+        F.coalesce(F.col("p_old"), F.lit(0).cast("decimal(12,2)")).alias("po"),
+    )
+    return diff.groupBy("op").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.abs(F.col("pn") - F.col("po"))).cast("double").alias("abs_price_delta"),
+    )
+
+
+_DIFF_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice::DECIMAL(12,2) AS price FROM orders
+),
+nxt AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 20 = 10 THEN (price * 2)::DECIMAL(12,2) ELSE price END AS price
+  FROM base WHERE o_orderkey % 50 <> 0
+  UNION ALL
+  SELECT o_orderkey + {_DIFF_NEW_KEY_OFFSET}, 100.00::DECIMAL(12,2)
+  FROM base WHERE o_orderkey % 40 = 0
+),
+diff AS (
+  SELECT CASE WHEN a.o_orderkey IS NULL THEN 'I'
+              WHEN b.o_orderkey IS NULL THEN 'D'
+              WHEN a.price <> b.price THEN 'U'
+              ELSE '=' END AS op,
+         COALESCE(b.price, 0::DECIMAL(12,2)) AS pn,
+         COALESCE(a.price, 0::DECIMAL(12,2)) AS po
+  FROM base a FULL OUTER JOIN nxt b ON a.o_orderkey = b.o_orderkey
+)
+SELECT op, COUNT(*)::BIGINT AS n_rows, CAST(SUM(ABS(pn - po)) AS DOUBLE) AS abs_price_delta
+FROM diff GROUP BY 1
+"""
+
 for spec in [
     QuerySpec("quantile_sketch_price", quantile_sketch_price, _QSK_ORACLE, "1024-bin histogram quantile sketch (deterministic, exact oracle)"),
     QuerySpec("percentiles_price", percentiles_price, _PERCENTILES_ORACLE, "exact interpolated percentiles per group"),
@@ -490,5 +643,7 @@ for spec in [
     QuerySpec("embedding_quantize", embedding_quantize, _QUANTIZE_ORACLE, "int8 embedding quantization stats"),
     QuerySpec("dataset_profile", dataset_profile, _profile_oracle(), "per-source data card: volume, dup rate, language mix, token mass"),
     QuerySpec("join_skew_report", join_skew_report, _SKEW_ORACLE, "join-key skew diagnostic: hot keys, shares, skew ratio vs mean"),
+    QuerySpec("data_quality_checks", data_quality_checks, _DQ_ORACLE, "declarative constraint suite: uniqueness, null, referential, range checks"),
+    QuerySpec("snapshot_diff_cdc", snapshot_diff_cdc, _DIFF_ORACLE, "snapshot diff changefeed: per-op CDC summary with exact price-delta mass"),
 ]:
     register(spec)
