@@ -153,12 +153,60 @@ def _gen_query3(rng: random.Random) -> str:
     )
 
 
+
+
+def _gen_query4(rng: random.Random) -> str:
+    """Continuation-session grammar extension: nested aggregation — derived
+    tables of grouped aggregates re-aggregated or filtered by scalar
+    subqueries, plus EXISTS/IN correlation against orders. All measures go
+    through DECIMAL; every ORDER BY ends in a unique key or covers the full
+    projection, so results are total-ordered in both engines."""
+    shape = rng.choice(["reagg", "scalar_having", "exists"])
+    if shape == "reagg":
+        inner_agg = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+        expr = (
+            "COUNT(*)" if inner_agg == "COUNT"
+            else f"CAST({inner_agg}(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)"
+        )
+        outer = rng.choice(["AVG_N", "MINMAX"])
+        if outer == "AVG_N":
+            return (
+                f"SELECT COUNT(*) AS n_groups, CAST(MIN(m) AS DOUBLE) AS min_m "
+                f"FROM (SELECT c_nationkey, {expr} AS m FROM customer "
+                f"GROUP BY c_nationkey) t"
+            )
+        return (
+            f"SELECT MIN(m) AS lo, MAX(m) AS hi "
+            f"FROM (SELECT c_mktsegment, {expr} AS m FROM customer "
+            f"GROUP BY c_mktsegment) t"
+        )
+    if shape == "scalar_having":
+        cmp_op = rng.choice([">", "<", ">="])
+        return (
+            "SELECT c_nationkey, COUNT(*) AS n "
+            "FROM customer GROUP BY c_nationkey "
+            f"HAVING COUNT(*) {cmp_op} (SELECT COUNT(*) FROM customer) / {rng.randint(20, 40)} "
+            "ORDER BY c_nationkey"
+        )
+    neg = rng.choice(["", "NOT "])
+    status = rng.choice(["'O'", "'F'", "'P'"])
+    n = rng.randint(10, 50)
+    return (
+        "SELECT c_custkey, c_nationkey FROM customer c "
+        f"WHERE {neg}EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        f"AND o.o_orderstatus = {status}) "
+        f"ORDER BY c_custkey LIMIT {n}"
+    )
+
+
 _NUM_CASES2 = 20
 _NUM_CASES3 = 20
+_NUM_CASES4 = 20
 _CASES = (
     [_gen_query(random.Random(_SEED + i)) for i in range(_NUM_CASES)]
     + [_gen_query2(random.Random(_SEED + 1000 + i)) for i in range(_NUM_CASES2)]
     + [_gen_query3(random.Random(_SEED + 2000 + i)) for i in range(_NUM_CASES3)]
+    + [_gen_query4(random.Random(_SEED + 3000 + i)) for i in range(_NUM_CASES4)]
 )
 
 
