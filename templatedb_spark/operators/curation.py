@@ -939,6 +939,140 @@ FROM tokd t JOIN word_syms w USING (word) GROUP BY 1"""
 
 
 
+# ---------------------------------------------------------------------------
+# Held-out LM perplexity — the EVALUATION composition of the split + LM
+# tiers: an add-one-smoothed bigram model is fit on the TRAIN split only
+# (same deterministic hash split as train_val_split) and scored on the VAL
+# split, unseen bigrams falling back to the smoothed floor. This is the
+# quality signal real pipelines gate on (is this document "surprising" to a
+# model of the corpus?) — and fitting on train-only is what makes it honest.
+# Per-doc sums fold in position order (the repo's bit-identical-float trick);
+# smoothed probabilities are exact rational doubles in both engines.
+# ---------------------------------------------------------------------------
+def lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = tokenized(spark, sf_dir).filter(F.size("t") >= 2)
+    split_of = F.when(
+        md5_long(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
+        < _SPLIT_TRAIN_PCT,
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    tagged = tok.select("doc_id", "t", split_of.alias("split"))
+    big = tagged.select(
+        "doc_id",
+        "split",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS a, t[i] AS b))"
+            )
+        ).alias("pos", "bg"),
+    ).select("doc_id", "split", "pos", F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    train = big.filter(F.col("split") == "train")
+    cab = train.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    ca = cab.groupBy("a").agg(F.sum("cab").alias("ca"))
+    vsize = train.select("b").union(train.select("a")).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    val = big.filter(F.col("split") == "val")
+    scored = (
+        val.join(F.broadcast(cab), ["a", "b"], "left")
+        .join(F.broadcast(ca), "a", "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            "pos",
+            F.log(
+                (F.coalesce(F.col("cab"), F.lit(0)).cast("double") + 1.0)
+                / (F.coalesce(F.col("ca"), F.lit(0)).cast("double") + F.col("v").cast("double"))
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.expr("aggregate(array_sort(collect_list(struct(pos, lp))),"
+               " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.lp)").alias("acc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(-F.col("acc") / F.col("n_bigrams"), 6).alias("cross_entropy"),
+    )
+
+
+_HELDOUT_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+base AS (
+  SELECT doc_id, t,
+         CASE WHEN {md5_long_sql("'split|' || CAST(doc_id AS VARCHAR)")} % 100 < {_SPLIT_TRAIN_PCT}
+              THEN 'train' ELSE 'val' END AS split
+  FROM toks WHERE len(t) >= 2
+),
+big AS (
+  SELECT doc_id, split, s AS pos, t[s] AS a, t[s + 1] AS b
+  FROM base, unnest(generate_series(1, len(t) - 1)) AS u(s)
+),
+train AS (SELECT * FROM big WHERE split = 'train'),
+cab AS (SELECT a, b, count(*) AS cab FROM train GROUP BY 1, 2),
+ca AS (SELECT a, sum(cab) AS ca FROM cab GROUP BY 1),
+vsize AS (
+  SELECT count(*)::BIGINT AS v
+  FROM (SELECT b FROM train UNION SELECT a FROM train)
+),
+scored AS (
+  SELECT vb.doc_id, vb.pos,
+         ln((COALESCE(cab.cab, 0)::DOUBLE + 1.0)
+            / (COALESCE(ca.ca, 0)::DOUBLE + vsize.v::DOUBLE)) AS lp
+  FROM big vb
+  LEFT JOIN cab ON cab.a = vb.a AND cab.b = vb.b
+  LEFT JOIN ca ON ca.a = vb.a
+  CROSS JOIN vsize
+  WHERE vb.split = 'val'
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         list_reduce(list(lp ORDER BY pos), (x, y) -> x + y) AS acc
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, round(-acc / n_bigrams, 6) AS cross_entropy
+FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup threshold sweep — the tuning diagnostic for the minhash tier:
+# histogram of estimated-Jaccard mass over the candidate pairs, by 0.1 bins.
+# Answers "where should the dedup threshold sit for THIS corpus?" from work
+# the suite already computes (the memoized LSH pair relation); one ≤10-row
+# rollup on top.
+# ---------------------------------------------------------------------------
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    binned = pairs.select(
+        F.floor(F.col("est_jaccard") * 10).cast("long").alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    ).select(
+        "bin",
+        (F.col("bin").cast("double") / 10).alias("threshold_lo"),
+        "n_pairs",
+    )
+
+
+def _sweep_oracle() -> str:
+    from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
+
+    return f"""
+WITH {_MINHASH_CTES},
+pairs AS ({_MINHASH_SELECT})
+SELECT CAST(FLOOR(est_jaccard * 10) AS BIGINT) AS bin,
+       CAST(FLOOR(est_jaccard * 10) AS BIGINT)::DOUBLE / 10 AS threshold_lo,
+       COUNT(*)::BIGINT AS n_pairs
+FROM pairs GROUP BY 1, 2
+"""
+
 for spec in [
     QuerySpec(
         "bpe_encode",
@@ -1011,6 +1145,18 @@ for spec in [
         quality_filter_verdict,
         _QF_ORACLE,
         "composite Gopher-style quality rule stack: one keep/drop verdict per doc",
+    ),
+    QuerySpec(
+        "lm_heldout_perplexity",
+        lm_heldout_perplexity,
+        _HELDOUT_ORACLE,
+        "held-out cross-entropy: add-one bigram LM fit on the train split, scored on val",
+    ),
+    QuerySpec(
+        "dedup_threshold_sweep",
+        dedup_threshold_sweep,
+        _sweep_oracle(),
+        "near-dup threshold tuning histogram over the minhash candidate pairs",
     ),
 ]:
     register(spec)

@@ -186,3 +186,34 @@ def test_mad_and_winsorize_sanity(spark):
         assert r["lo"] <= r["hi"]
         assert r["n_clamped_low"] + r["n_clamped_high"] < r["n"]
         assert r["lo"] - 1e-6 <= r["mean_winsorized"] <= r["hi"] + 1e-6
+
+
+def test_heldout_perplexity_covers_val_split(spark):
+    """Every val-split doc with >= 2 tokens gets scored; cross-entropy is
+    positive (probabilities < 1) and unseen-bigram docs stay finite thanks
+    to add-one smoothing."""
+    import math
+
+    from templatedb_spark.operators.curation import lm_heldout_perplexity
+
+    from tests.conftest import SF_SMALL
+
+    rows = lm_heldout_perplexity(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.cross_entropy > 0
+        assert math.isfinite(r.cross_entropy)
+        assert r.n_bigrams >= 1
+
+
+def test_threshold_sweep_mass_equals_pairs(spark):
+    """Histogram mass equals the LSH pair count and bins lie in [0, 10]."""
+    from templatedb_spark.operators.curation import dedup_threshold_sweep
+    from templatedb_spark.operators.dedup import dedup_minhash_lsh
+
+    from tests.conftest import SF_SMALL
+
+    rows = dedup_threshold_sweep(spark, SF_SMALL).collect()
+    total = sum(r.n_pairs for r in rows)
+    assert total == dedup_minhash_lsh(spark, SF_SMALL).count()
+    assert all(0 <= r.bin <= 10 for r in rows)
