@@ -48,3 +48,51 @@ def test_append_atomic(spark, tmp_path):
     append_atomic(d, out)
     append_atomic(d, out)
     assert spark.read.parquet(out).count() == 2 * d.count()
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """ORC is Spark's other built-in columnar format: write orders as ORC,
+    read it back, and require the aggregate to match the parquet source
+    exactly (schema + values). Covers the source/sink matrix beyond
+    parquet/csv/jsonl."""
+    from pyspark.sql import functions as F
+
+    from templatedb_spark.suite import table
+    from tests.conftest import SF_SMALL
+
+    o = table(spark, SF_SMALL, "orders")
+    path = str(tmp_path / "orders_orc")
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == o.schema
+
+    def rollup(df):
+        return sorted(
+            map(
+                tuple,
+                df.groupBy("o_orderstatus")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("s"),
+                )
+                .collect(),
+            )
+        )
+
+    assert rollup(back) == rollup(o)
+
+
+def test_orc_predicate_pushdown(spark, tmp_path):
+    """Filters reach the ORC scan (PushedFilters) just as they do for
+    parquet — the format swap keeps the scan-pruning contract."""
+    from pyspark.sql import functions as F
+
+    from templatedb_spark.plans.explain import formatted_plan
+    from templatedb_spark.suite import table
+    from tests.conftest import SF_SMALL
+
+    path = str(tmp_path / "orders_orc")
+    table(spark, SF_SMALL, "orders").write.mode("overwrite").orc(path)
+    df = spark.read.orc(path).filter(F.col("o_totalprice") > 100000.0).select("o_orderkey")
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan and "o_totalprice" in plan
