@@ -1018,7 +1018,7 @@ c AS (
   FROM v LEFT JOIN events e
     ON e.user_id = v.user_id AND e.event_type = 'click'
    AND e.ts > v.view_ts
-   AND epoch(e.ts) <= epoch(v.view_ts) + {_FUNNEL3_STEP2_HOURS} * 3600
+   AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) <= CAST(FLOOR(epoch(v.view_ts)) AS BIGINT) + {_FUNNEL3_STEP2_HOURS} * 3600
   GROUP BY 1, 2
 ),
 p AS (
@@ -1026,7 +1026,7 @@ p AS (
   FROM c LEFT JOIN events e
     ON e.user_id = c.user_id AND e.event_type = 'purchase'
    AND c.click_ts IS NOT NULL AND e.ts > c.click_ts
-   AND epoch(e.ts) <= epoch(c.click_ts) + {_FUNNEL3_STEP3_HOURS} * 3600
+   AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) <= CAST(FLOOR(epoch(c.click_ts)) AS BIGINT) + {_FUNNEL3_STEP3_HOURS} * 3600
   GROUP BY 1, 2, 3
 )
 SELECT COUNT(*)::BIGINT AS n_viewed,

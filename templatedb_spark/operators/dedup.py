@@ -143,14 +143,9 @@ _CONTAINMENT_T = 0.8
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = hashed_shingles(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    pair_inter, counts = _pair_intersections(spark, sf_dir)
+    inter = pair_inter.select(
+        F.col("doc_a").alias("da"), F.col("doc_b").alias("db"), "inter"
     )
     na = counts.select(F.col("doc_id").alias("da"), F.col("n").alias("n_a"))
     nb = counts.select(F.col("doc_id").alias("db"), F.col("n").alias("n_b"))
@@ -248,7 +243,11 @@ def hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pair_intersections(spark: SparkSession, sf_dir: str):
+    """Shared candidate-generation sub-plan of the exact pairwise family:
+    (inter, counts) where `inter` is per shared-shingle pair intersection
+    size (doc_a < doc_b) and `counts` the per-doc shingle count. Jaccard and
+    containment differ only in the verdict arithmetic on top of these."""
     sh = hashed_shingles(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -258,6 +257,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return inter, counts
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inter, counts = _pair_intersections(spark, sf_dir)
     ca = counts.alias("ca")
     cb = counts.alias("cb")
     return (

@@ -355,9 +355,12 @@ def dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long").alias("n_dup_docs"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
-        F.round(F.avg(F.col("n_chars").cast("decimal(18,6)")), 2)
-        .cast("double")
-        .alias("avg_chars"),
+        # integer-exact: sum is a BIGINT, ×100 division + floor is one IEEE
+        # double op — Spark's exact-DECIMAL AVG and DuckDB's (silently
+        # DOUBLE-promoting) AVG(DECIMAL) round differently at half boundaries
+        F.floor(F.sum("n_chars") * F.lit(100.0) / F.count(F.lit(1)))
+        .cast("long")
+        .alias("avg_chars_x100"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
     )
     lang_counts = base.groupBy("source", "lang").agg(
@@ -377,10 +380,10 @@ def dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_docs",
             "n_langs",
             "top_lang",
-            F.round(F.col("top_n").cast("decimal(18,6)") / F.col("n_docs"), 4)
-            .cast("double")
-            .alias("top_lang_share"),
-            "avg_chars",
+            F.floor(F.col("top_n") * F.lit(10000.0) / F.col("n_docs"))
+            .cast("long")
+            .alias("top_lang_share_x10000"),
+            "avg_chars_x100",
             "total_tokens",
         )
     )
@@ -401,7 +404,7 @@ per_source AS (
          COUNT(*)::BIGINT AS n_docs,
          (COUNT(*) - COUNT(DISTINCT fp))::BIGINT AS n_dup_docs,
          COUNT(DISTINCT lang)::BIGINT AS n_langs,
-         CAST(ROUND(AVG(n_chars::DECIMAL(18,6)), 2) AS DOUBLE) AS avg_chars,
+         CAST(FLOOR(SUM(n_chars) * 100.0 / COUNT(*)) AS BIGINT) AS avg_chars_x100,
          SUM(n_tok)::BIGINT AS total_tokens
   FROM base GROUP BY 1
 ),
@@ -415,8 +418,8 @@ top_lang AS (
   ) WHERE rn = 1
 )
 SELECT p.source, p.n_docs, p.n_dup_docs, p.n_langs, t.top_lang,
-       CAST(ROUND(t.top_n::DECIMAL(18,6) / p.n_docs, 4) AS DOUBLE) AS top_lang_share,
-       p.avg_chars, p.total_tokens
+       CAST(FLOOR(t.top_n * 10000.0 / p.n_docs) AS BIGINT) AS top_lang_share_x10000,
+       p.avg_chars_x100, p.total_tokens
 FROM per_source p JOIN top_lang t USING (source)
 """
 
@@ -446,9 +449,9 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n_rows",
-            F.round(F.col("n_rows").cast("decimal(18,6)") / F.col("total_rows"), 6)
-            .cast("double")
-            .alias("share"),
+            F.floor(F.col("n_rows") * F.lit(1000000.0) / F.col("total_rows"))
+            .cast("long")
+            .alias("share_x1000000"),
             # hottest-vs-mean ratio as an integer (x100): n·k·100/total is an
             # exact double division + floor, identical in both engines —
             # nested DECIMAL division is not (scale rules differ per engine)
@@ -474,7 +477,7 @@ top AS (
   SELECT user_id, n_rows FROM per_key ORDER BY n_rows DESC, user_id ASC LIMIT {_SKEW_TOPN}
 )
 SELECT t.user_id, t.n_rows,
-       CAST(ROUND(t.n_rows::DECIMAL(18,6) / s.total_rows, 6) AS DOUBLE) AS share,
+       CAST(FLOOR(t.n_rows * 1000000.0 / s.total_rows) AS BIGINT) AS share_x1000000,
        CAST(FLOOR(t.n_rows * s.n_keys * 100.0 / s.total_rows) AS BIGINT) AS skew_ratio_x100,
        s.n_keys
 FROM top t CROSS JOIN stats s

@@ -20,24 +20,38 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def salted_group_count(df: DataFrame, key: str, salt_factor: int = 16) -> DataFrame:
+def salted_group_count(
+    df: DataFrame, key: str, salt_factor: int = 16, salt_cols: list[str] | None = None
+) -> DataFrame:
     """groupBy(key).count() that survives a pathologically hot key.
 
     Stage 1 aggregates (key, salt) — the hot key spreads over `salt_factor`
     tasks; stage 2 sums the partials per key. Identical result to the naive
     plan, bounded per-task state.
+
+    The salt is a content hash, not rand(): a re-executed task must
+    re-derive the same salt or speculative retries double-count rows.
+    Caveats that follow from determinism: (a) byte-identical duplicate rows
+    share a salt — harmless for combinable aggs (map-side combine already
+    bounds them to one partial per mapper) but no help for a hot key made
+    of identical rows feeding a non-combinable state; (b) xxhash64 rejects
+    MapType columns — pass `salt_cols` to hash a hashable subset.
     """
-    # content-hash salt, not rand(): a re-executed task must re-derive the
-    # same salt or speculative retries double-count rows
+    cols = salt_cols if salt_cols is not None else df.columns
     salted = df.withColumn(
-        "_salt", (F.pmod(F.xxhash64(*df.columns), F.lit(salt_factor))).cast("int")
+        "_salt", (F.pmod(F.xxhash64(*cols), F.lit(salt_factor))).cast("int")
     )
     partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").cast("long").alias("n"))
 
 
 def salted_join(
-    big: DataFrame, small: DataFrame, big_key: str, small_key: str, salt_factor: int = 8
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_factor: int = 8,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join where `big` is skewed on the join key: salt the big side,
     replicate the small side once per salt value, join on (key, salt).
@@ -46,8 +60,11 @@ def salted_join(
     key's probe rows land on `salt_factor` tasks instead of one.
     """
     salts = big.sparkSession.range(salt_factor).select(F.col("id").cast("int").alias("_salt"))
+    # content-hash salt (see salted_group_count for the determinism rationale
+    # and the duplicate-row / MapType caveats)
     big_s = big.withColumn(
-        "_salt", (F.pmod(F.xxhash64(*big.columns), F.lit(salt_factor))).cast("int")
+        "_salt",
+        (F.pmod(F.xxhash64(*(salt_cols if salt_cols is not None else big.columns)), F.lit(salt_factor))).cast("int"),
     )
     small_s = small.crossJoin(F.broadcast(salts))
     joined = big_s.join(
@@ -348,7 +365,9 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     summary = flagged.agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
-        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_matched"),
+        F.coalesce(F.sum(F.coalesce(F.col("_hit"), F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_matched"),
         F.coalesce(
             F.sum(F.when(F.col("_hit").isNotNull(), rev)).cast("double"), F.lit(0.0)
         ).alias("revenue"),
