@@ -1081,6 +1081,58 @@ FROM counts
 """
 
 
+# ---------------------------------------------------------------------------
+# Rolling active users (DAU / trailing-7-day WAU): the product-analytics
+# staple whose hard part is that rolling COUNT(DISTINCT) does not decompose
+# — a user active twice in the window must count once. Exact formulation:
+# reduce to per-(day, user) grain first (the only big shuffle), then a
+# day×day-spine range join re-counts distinct users per trailing window.
+# The range join fans each (day, user) row out to ≤7 window rows — bounded
+# by the window length, not the data. At 100 TB the (day, user) grain is
+# the pre-aggregated activity table every warehouse already maintains.
+# ---------------------------------------------------------------------------
+_WAU_WINDOW_DAYS = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct().select(F.col("day").alias("win_day"))
+    joined = days.join(
+        du,
+        (F.col("day") <= F.col("win_day"))
+        & (F.col("day") > F.date_sub(F.col("win_day"), _WAU_WINDOW_DAYS)),
+    )
+    wau = joined.groupBy("win_day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    dau = du.groupBy(F.col("day").alias("win_day")).agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    return (
+        dau.join(wau, "win_day")
+        .select(F.date_format("win_day", "yyyy-MM-dd").alias("day"), "dau", "wau")
+    )
+
+
+_ROLLING_AU_ORACLE = f"""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+days AS (SELECT DISTINCT day AS win_day FROM du),
+wau AS (
+  SELECT d.win_day, COUNT(DISTINCT u.user_id)::BIGINT AS wau
+  FROM days d JOIN du u
+    ON u.day <= d.win_day AND u.day > d.win_day - {_WAU_WINDOW_DAYS}
+  GROUP BY 1
+),
+dau AS (SELECT day AS win_day, COUNT(*)::BIGINT AS dau FROM du GROUP BY 1)
+SELECT STRFTIME(a.win_day, '%Y-%m-%d') AS day, a.dau, w.wau
+FROM dau a JOIN wau w USING (win_day)
+"""
+
+
 for spec in [
     QuerySpec("events_gapfill", events_gapfill, _GAPFILL_ORACLE, "per-user daily spine densification + LOCF forward fill"),
     QuerySpec("funnel_signup_purchase", funnel_signup_purchase, _FUNNEL_ORACLE, "signup→purchase funnel conversion within 7 days"),
@@ -1110,5 +1162,6 @@ for spec in [
     QuerySpec("attribution_last_touch", attribution_last_touch, _ATTRIBUTION_ORACLE, "last-touch purchase attribution with 7-day lookback"),
     QuerySpec("funnel_three_step", funnel_three_step, _FUNNEL3_ORACLE, "three-step sequential funnel with per-step conversion windows"),
     QuerySpec("event_transitions", event_transitions, _TRANSITIONS_ORACLE, "behavioral Markov transition matrix: per-user next-event counts + probabilities"),
+    QuerySpec("rolling_active_users", rolling_active_users, _ROLLING_AU_ORACLE, "exact DAU + trailing-7-day WAU via (day,user)-grain range join"),
 ]:
     register(spec)
