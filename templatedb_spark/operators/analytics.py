@@ -1133,6 +1133,108 @@ FROM dau a JOIN wau w USING (win_day)
 """
 
 
+# ---------------------------------------------------------------------------
+# Sweep-line interval aggregation: how many orders are OPEN on each day
+# (open = within 30 days of o_orderdate)? The naive day×order interval join
+# explodes; the sweep-line form emits one +1 at the start and one -1 after
+# the end per order, then a single cumulative sum over the date axis gives
+# the backlog curve — O(n) events, one window pass, the classic algorithmic
+# answer to interval-overlap counting at scale.
+# ---------------------------------------------------------------------------
+_BACKLOG_OPEN_DAYS = 30
+
+
+def orders_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    deltas = o.select(F.col("o_orderdate").alias("day"), F.lit(1).alias("delta")).unionByName(
+        o.select(
+            F.date_add(F.col("o_orderdate"), _BACKLOG_OPEN_DAYS).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    per_day = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = per_day.select(
+        "day", F.sum("net").over(w).cast("long").alias("open_orders")
+    )
+    return curve.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "open_orders"
+    )
+
+
+_BACKLOG_ORACLE = f"""
+WITH deltas AS (
+  SELECT o_orderdate AS day, 1 AS delta FROM orders
+  UNION ALL
+  SELECT o_orderdate + INTERVAL {_BACKLOG_OPEN_DAYS} DAY, -1 FROM orders
+),
+per_day AS (SELECT day, SUM(delta) AS net FROM deltas GROUP BY 1)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+       CAST(SUM(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+FROM per_day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration (the Pareto question): how many of the top
+# customers does it take to reach 50% / 80% / 95% of total revenue?
+# Exact: per-customer DECIMAL revenue, one total-ordered cumulative sum
+# (revenue desc, custkey tiebreak), then count rows below each threshold.
+# The global sort is the honest cost — at scale it is a range shuffle over
+# the customer aggregate (already tiny relative to the fact table).
+# Thresholds compare exact DECIMAL cumsum × 100 against total × pct —
+# integer-side arithmetic, no division anywhere.
+# ---------------------------------------------------------------------------
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_cust.select(
+        "o_custkey", "rev", F.sum("rev").over(w).alias("cum_rev")
+    ).crossJoin(
+        F.broadcast(per_cust.agg(F.sum("rev").alias("total"), F.count(F.lit(1)).alias("n_cust")))
+    )
+    out = None
+    for pct in (50, 80, 95):
+        row = ranked.agg(
+            F.lit(pct).cast("long").alias("pct"),
+            F.sum((F.col("cum_rev") * 100 < F.col("total") * pct).cast("int"))
+            .cast("long")
+            .alias("n_below"),
+            F.max("n_cust").cast("long").alias("n_customers"),
+        ).select(
+            "pct",
+            (F.col("n_below") + 1).alias("n_top_customers"),
+            "n_customers",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_CONCENTRATION_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(o_totalprice::DECIMAL(12,2)) AS rev FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT o_custkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+         (SELECT SUM(rev) FROM per_cust) AS total,
+         (SELECT COUNT(*) FROM per_cust) AS n_cust
+  FROM per_cust
+)
+SELECT pct::BIGINT AS pct,
+       (SUM(CASE WHEN cum_rev * 100 < total * pct THEN 1 ELSE 0 END) + 1)::BIGINT AS n_top_customers,
+       MAX(n_cust)::BIGINT AS n_customers
+FROM ranked, (VALUES (50), (80), (95)) t(pct)
+GROUP BY pct
+"""
+
+
 for spec in [
     QuerySpec("events_gapfill", events_gapfill, _GAPFILL_ORACLE, "per-user daily spine densification + LOCF forward fill"),
     QuerySpec("funnel_signup_purchase", funnel_signup_purchase, _FUNNEL_ORACLE, "signup→purchase funnel conversion within 7 days"),
@@ -1163,5 +1265,7 @@ for spec in [
     QuerySpec("funnel_three_step", funnel_three_step, _FUNNEL3_ORACLE, "three-step sequential funnel with per-step conversion windows"),
     QuerySpec("event_transitions", event_transitions, _TRANSITIONS_ORACLE, "behavioral Markov transition matrix: per-user next-event counts + probabilities"),
     QuerySpec("rolling_active_users", rolling_active_users, _ROLLING_AU_ORACLE, "exact DAU + trailing-7-day WAU via (day,user)-grain range join"),
+    QuerySpec("orders_backlog_sweepline", orders_backlog_sweepline, _BACKLOG_ORACLE, "sweep-line interval aggregation: open-orders-per-day curve from +1/-1 deltas"),
+    QuerySpec("revenue_concentration", revenue_concentration, _CONCENTRATION_ORACLE, "Pareto revenue concentration: top-N customers to reach 50/80/95% of revenue"),
 ]:
     register(spec)
