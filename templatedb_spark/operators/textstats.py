@@ -527,6 +527,53 @@ SELECT doc_id, source, weight, key, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# UDTF-backed shingle stats — puts the Python table-function protocol (the
+# extensibility twin of the reference's TVF registry, functions/udtf.py)
+# under the correctness gate: documents LATERAL-join the registered
+# `shingles(text, 3)` UDTF and the rollup is checked against a pure-SQL
+# oracle computing the same trigrams. The UDTF is the USER escape hatch —
+# engine hot paths use the JVM explode form (dedup.shingles) — so the spec
+# deliberately runs a bounded doc subset: it proves protocol fidelity, not
+# throughput. Arrow-batched UDTF evaluation; one shuffle for the rollup.
+# ---------------------------------------------------------------------------
+_UDTF_DOC_MOD = 10
+
+
+def udtf_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _UDTF_DOC_MOD == 0
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(COUNT(DISTINCT s.sh) AS BIGINT) AS n_distinct,
+               MIN(s.sh) AS first_shingle
+        FROM _udtf_docs d, LATERAL shingles(d.text, 3) s
+        GROUP BY d.doc_id
+        """
+    )
+
+
+_UDTF_SHINGLE_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE doc_id % {_UDTF_DOC_MOD} = 0
+),
+sh AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM docs, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_shingles,
+       COUNT(DISTINCT sh)::BIGINT AS n_distinct,
+       MIN(sh) AS first_shingle
+FROM sh GROUP BY 1
+"""
+
 for spec in [
     QuerySpec("text_hash_sample", text_hash_sample, _hash_sample_oracle(), "deterministic stratified hash sampling"),
     QuerySpec("weighted_sample_docs", weighted_sample_docs, _weighted_sample_oracle(), "A-ES weighted sampling without replacement (one-pass, deterministic keys)"),
@@ -537,5 +584,6 @@ for spec in [
     QuerySpec("text_quality_score", text_quality_score, _QUALITY_ORACLE, "doc quality scoring"),
     QuerySpec("text_token_count", text_token_count, _TOKEN_COUNT_ORACLE, "whitespace + BPE-ish token counts"),
     QuerySpec("text_fingerprint", text_fingerprint, _FINGERPRINT_ORACLE, "md5 fingerprint + shard key"),
+    QuerySpec("udtf_shingle_stats", udtf_shingle_stats, _UDTF_SHINGLE_ORACLE, "Python UDTF table-function protocol under the gate: LATERAL shingles() vs pure-SQL oracle"),
 ]:
     register(spec)
