@@ -74,6 +74,10 @@ def test_suite_wide_plan_hygiene(spark):
     from templatedb_spark.plans.explain import physical_plan
 
     allowed_cartesian = {"cross_join"}
+    # udtf_shingle_stats exists to put the Python table-function PROTOCOL
+    # under the gate — its Python node is the subject, Arrow-batched, over a
+    # bounded doc subset. Everything else stays Python-free.
+    allowed_python = {"udtf_shingle_stats"}
     specs = all_specs()
     offenders = []
     for name, spec in specs.items():
@@ -81,7 +85,7 @@ def test_suite_wide_plan_hygiene(spark):
         plan = physical_plan(df)
         if "CartesianProduct" in plan and name not in allowed_cartesian:
             offenders.append((name, "CartesianProduct"))
-        if uses_python_udf(df):
+        if uses_python_udf(df) and name not in allowed_python:
             offenders.append((name, "PythonUDF"))
     assert not offenders, offenders
 
