@@ -636,6 +636,94 @@ SELECT op, COUNT(*)::BIGINT AS n_rows, CAST(SUM(ABS(pn - po)) AS DOUBLE) AS abs_
 FROM diff GROUP BY 1
 """
 
+# ---------------------------------------------------------------------------
+# Equi-DEPTH histogram (the optimizer-statistics shape, complementing the
+# equi-width histogram_event_values): ntile(10) over a total order assigns
+# each row to a same-population bucket; per-bucket bounds are what a CBO's
+# column statistics store. Total order (value, key tiebreak) makes the
+# bucketing deterministic; the global sort is over the projected column
+# only — a range shuffle at scale.
+# ---------------------------------------------------------------------------
+_EQUIDEPTH_BUCKETS = 10
+
+
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("v")
+    )
+    w = Window.orderBy(F.col("v").asc(), F.col("o_orderkey").asc())
+    bucketed = o.select("v", F.ntile(_EQUIDEPTH_BUCKETS).over(w).cast("long").alias("bucket"))
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("v").cast("double").alias("lo"),
+        F.max("v").cast("double").alias("hi"),
+    )
+
+
+_EQUIDEPTH_ORACLE = f"""
+WITH b AS (
+  SELECT o_totalprice::DECIMAL(12,2) AS v,
+         NTILE({_EQUIDEPTH_BUCKETS}) OVER (ORDER BY o_totalprice::DECIMAL(12,2) ASC, o_orderkey ASC) AS bucket
+  FROM orders
+)
+SELECT bucket::BIGINT AS bucket, COUNT(*)::BIGINT AS n_rows,
+       CAST(MIN(v) AS DOUBLE) AS lo, CAST(MAX(v) AS DOUBLE) AS hi
+FROM b GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact-sum Pearson correlation per group: every power/cross sum accumulates
+# as DECIMAL (order-independent — the only way corr() is reproducible across
+# partitionings), and the final r is one double expression over those exact
+# inputs, written identically in both dialects so the IEEE result is
+# bit-equal before the ROUND. Native corr() aggregates accumulate float
+# state in partition order and cannot be oracle'd exactly.
+# ---------------------------------------------------------------------------
+def correlation_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+    sums = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    r = (n * F.col("sxy").cast("double") - sx * sy) / F.sqrt(
+        (n * F.col("sxx").cast("double") - sx * sx)
+        * (n * F.col("syy").cast("double") - sy * sy)
+    )
+    return sums.select("l_returnflag", "n", F.round(r, 6).alias("corr_qty_price"))
+
+
+_CORR_ORACLE = """
+WITH sums AS (
+  SELECT l_returnflag,
+         COUNT(*)::BIGINT AS n,
+         SUM(l_quantity::DECIMAL(18,2)) AS sx,
+         SUM(l_extendedprice::DECIMAL(18,2)) AS sy,
+         SUM(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)) AS sxx,
+         SUM(l_extendedprice::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)) AS syy,
+         SUM(l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       ROUND((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / SQRT((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS corr_qty_price
+FROM sums
+"""
+
 for spec in [
     QuerySpec("quantile_sketch_price", quantile_sketch_price, _QSK_ORACLE, "1024-bin histogram quantile sketch (deterministic, exact oracle)"),
     QuerySpec("percentiles_price", percentiles_price, _PERCENTILES_ORACLE, "exact interpolated percentiles per group"),
@@ -648,5 +736,7 @@ for spec in [
     QuerySpec("join_skew_report", join_skew_report, _SKEW_ORACLE, "join-key skew diagnostic: hot keys, shares, skew ratio vs mean"),
     QuerySpec("data_quality_checks", data_quality_checks, _DQ_ORACLE, "declarative constraint suite: uniqueness, null, referential, range checks"),
     QuerySpec("snapshot_diff_cdc", snapshot_diff_cdc, _DIFF_ORACLE, "snapshot diff changefeed: per-op CDC summary with exact price-delta mass"),
+    QuerySpec("histogram_equidepth", histogram_equidepth, _EQUIDEPTH_ORACLE, "equi-depth (ntile) histogram — the CBO column-statistics shape"),
+    QuerySpec("correlation_quantity_price", correlation_quantity_price, _CORR_ORACLE, "exact-sum Pearson correlation per group (DECIMAL power sums, reproducible under any partitioning)"),
 ]:
     register(spec)
