@@ -1264,6 +1264,149 @@ GROUP BY r.r_name
 """
 
 
+# ---------------------------------------------------------------------------
+# A/B-test significance (the experimentation primitive): users split into
+# two deterministic variants (hash parity), conversion = did the user ever
+# purchase; the two-proportion z-statistic comes out of exact integer
+# counts, so the final z is one double expression over exact inputs —
+# identical in both engines. x1000 integer form avoids ROUND knife edges on
+# the test statistic itself.
+# ---------------------------------------------------------------------------
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    )
+    variants = per_user.select(
+        (F.col("user_id") % 2).cast("long").alias("variant"), "converted"
+    )
+    counts = variants.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    a = counts.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n1"), F.col("n_converted").alias("c1")
+    )
+    b = counts.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n2"), F.col("n_converted").alias("c2")
+    )
+    j = a.crossJoin(b)
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    p1 = F.col("c1").cast("double") / n1
+    p2 = F.col("c2").cast("double") / n2
+    p = (F.col("c1") + F.col("c2")).cast("double") / (n1 + n2)
+    z = (p1 - p2) / F.sqrt(p * (1 - p) * (1 / n1 + 1 / n2))
+    return j.select(
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        F.floor(p1 * 10000).cast("long").alias("rate1_x10000"),
+        F.floor(p2 * 10000).cast("long").alias("rate2_x10000"),
+        F.floor(z * 1000).cast("long").alias("z_x1000"),
+    )
+
+
+_ABTEST_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+counts AS (
+  SELECT (user_id % 2)::BIGINT AS variant, COUNT(*)::BIGINT AS n_users,
+         SUM(converted)::BIGINT AS n_converted
+  FROM per_user GROUP BY 1
+),
+j AS (
+  SELECT a.n_users AS n1, a.n_converted AS c1, b.n_users AS n2, b.n_converted AS c2
+  FROM (SELECT * FROM counts WHERE variant = 0) a
+  CROSS JOIN (SELECT * FROM counts WHERE variant = 1) b
+)
+SELECT n1, c1, n2, c2,
+       CAST(FLOOR(c1::DOUBLE / n1::DOUBLE * 10000) AS BIGINT) AS rate1_x10000,
+       CAST(FLOOR(c2::DOUBLE / n2::DOUBLE * 10000) AS BIGINT) AS rate2_x10000,
+       CAST(FLOOR((c1::DOUBLE / n1::DOUBLE - c2::DOUBLE / n2::DOUBLE)
+            / SQRT(((c1 + c2)::DOUBLE / (n1::DOUBLE + n2::DOUBLE))
+                   * (1 - (c1 + c2)::DOUBLE / (n1::DOUBLE + n2::DOUBLE))
+                   * (1 / n1::DOUBLE + 1 / n2::DOUBLE)) * 1000) AS BIGINT) AS z_x1000
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules over sessions: baskets are (user, day)
+# event-type sets; rules A→B get support / confidence / lift from exact
+# basket counts. Pair generation is in-row expansion of each basket's
+# sorted distinct item set (C(k,2) with k ≤ |event types| = 5), never a
+# basket×basket join. Metrics emitted ×10^4/×10^3 integer (floor of exact
+# double division).
+# ---------------------------------------------------------------------------
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    baskets = e.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    items = baskets.groupBy("user_id", "day").agg(
+        F.array_sort(F.collect_set("event_type")).alias("items")
+    )
+    n_baskets = items.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    item_counts = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    pairs = items.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) -> "
+                "transform(slice(items, i + 2, size(items)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pair_counts = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    ia = item_counts.select(F.col("event_type").alias("a"), F.col("n_item").alias("n_a"))
+    ib = item_counts.select(F.col("event_type").alias("b"), F.col("n_item").alias("n_b"))
+    scored = pair_counts.join(F.broadcast(ia), "a").join(F.broadcast(ib), "b").crossJoin(
+        F.broadcast(n_baskets)
+    )
+    nb = F.col("nb").cast("double")
+    return scored.select(
+        "a",
+        "b",
+        "n_ab",
+        F.floor(F.col("n_ab") * F.lit(10000.0) / nb).cast("long").alias("support_x10000"),
+        F.floor(F.col("n_ab") * F.lit(10000.0) / F.col("n_a")).cast("long").alias("confidence_x10000"),
+        F.floor(
+            (F.col("n_ab").cast("double") * nb)
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            * 1000
+        ).cast("long").alias("lift_x1000"),
+    )
+
+
+_BASKET_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+  FROM events WHERE user_id IS NOT NULL
+),
+nb AS (SELECT COUNT(*)::BIGINT AS nb FROM (SELECT DISTINCT user_id, day FROM baskets)),
+item_counts AS (SELECT event_type, COUNT(*)::BIGINT AS n_item FROM baskets GROUP BY 1),
+pair_counts AS (
+  SELECT x.event_type AS a, y.event_type AS b, COUNT(*)::BIGINT AS n_ab
+  FROM baskets x JOIN baskets y
+    ON x.user_id = y.user_id AND x.day = y.day AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, p.n_ab,
+       CAST(FLOOR(p.n_ab * 10000.0 / nb.nb) AS BIGINT) AS support_x10000,
+       CAST(FLOOR(p.n_ab * 10000.0 / ia.n_item) AS BIGINT) AS confidence_x10000,
+       CAST(FLOOR(p.n_ab::DOUBLE * nb.nb::DOUBLE / (ia.n_item::DOUBLE * ib.n_item::DOUBLE) * 1000) AS BIGINT) AS lift_x1000
+FROM pair_counts p
+JOIN item_counts ia ON ia.event_type = p.a
+JOIN item_counts ib ON ib.event_type = p.b
+CROSS JOIN nb
+"""
+
+
 for spec in [
     QuerySpec("events_gapfill", events_gapfill, _GAPFILL_ORACLE, "per-user daily spine densification + LOCF forward fill"),
     QuerySpec("funnel_signup_purchase", funnel_signup_purchase, _FUNNEL_ORACLE, "signup→purchase funnel conversion within 7 days"),
@@ -1297,5 +1440,7 @@ for spec in [
     QuerySpec("orders_backlog_sweepline", orders_backlog_sweepline, _BACKLOG_ORACLE, "sweep-line interval aggregation: open-orders-per-day curve from +1/-1 deltas"),
     QuerySpec("revenue_concentration", revenue_concentration, _CONCENTRATION_ORACLE, "Pareto revenue concentration: top-N customers to reach 50/80/95% of revenue"),
     QuerySpec("listagg_regions", listagg_regions, _LISTAGG_ORACLE, "ordered string aggregation (LISTAGG): partition-proof sorted rosters"),
+    QuerySpec("ab_test_zscore", ab_test_zscore, _ABTEST_ORACLE, "two-proportion A/B z-test from exact counts (experimentation tier)"),
+    QuerySpec("basket_rules", basket_rules, _BASKET_ORACLE, "market-basket association rules: support/confidence/lift via in-row pair expansion"),
 ]:
     register(spec)
