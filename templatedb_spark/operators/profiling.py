@@ -724,6 +724,70 @@ SELECT l_returnflag, n,
 FROM sums
 """
 
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns (lang × source) — the
+# feature-selection primitive. All probabilities come from exact integer
+# counts; the Σ p·ln(p_xy/(p_x·p_y)) fold runs over the cells in sorted
+# (lang, source) order via an ordered array fold, so the float sum is
+# bit-identical in both engines regardless of partitioning. Output ×10^6
+# integer. Cell count is bounded by |langs|·|sources| — the aggregation is
+# tiny no matter the corpus size.
+# ---------------------------------------------------------------------------
+def mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+    nx = cells.groupBy("lang").agg(F.sum("nxy").alias("nx"))
+    ny = cells.groupBy("source").agg(F.sum("nxy").alias("ny"))
+    total = cells.agg(F.sum("nxy").alias("n"))
+    scored = (
+        cells.join(F.broadcast(nx), "lang")
+        .join(F.broadcast(ny), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            (
+                (F.col("nxy").cast("double") / F.col("n").cast("double"))
+                * F.log(
+                    (F.col("nxy").cast("double") * F.col("n").cast("double"))
+                    / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+                )
+            ).alias("term"),
+        )
+    )
+    folded = scored.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(lang, source, term))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
+        ).alias("mi"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    return folded.select(
+        F.floor(F.col("mi") * 1000000).cast("long").alias("mi_x1000000"), "n_cells"
+    )
+
+
+_MI_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, COUNT(*)::BIGINT AS nxy FROM documents GROUP BY 1, 2
+),
+nx AS (SELECT lang, SUM(nxy) AS nx FROM cells GROUP BY 1),
+ny AS (SELECT source, SUM(nxy) AS ny FROM cells GROUP BY 1),
+total AS (SELECT SUM(nxy) AS n FROM cells),
+scored AS (
+  SELECT c.lang, c.source,
+         (c.nxy::DOUBLE / t.n::DOUBLE)
+         * ln((c.nxy::DOUBLE * t.n::DOUBLE) / (x.nx::DOUBLE * y.ny::DOUBLE)) AS term
+  FROM cells c JOIN nx x USING (lang) JOIN ny y USING (source) CROSS JOIN total t
+),
+folded AS (
+  SELECT list_reduce(list(term ORDER BY lang, source), (a, b) -> a + b) AS mi,
+         COUNT(*)::BIGINT AS n_cells
+  FROM scored
+)
+SELECT CAST(FLOOR(mi * 1000000) AS BIGINT) AS mi_x1000000, n_cells FROM folded
+"""
+
 for spec in [
     QuerySpec("quantile_sketch_price", quantile_sketch_price, _QSK_ORACLE, "1024-bin histogram quantile sketch (deterministic, exact oracle)"),
     QuerySpec("percentiles_price", percentiles_price, _PERCENTILES_ORACLE, "exact interpolated percentiles per group"),
@@ -738,5 +802,6 @@ for spec in [
     QuerySpec("snapshot_diff_cdc", snapshot_diff_cdc, _DIFF_ORACLE, "snapshot diff changefeed: per-op CDC summary with exact price-delta mass"),
     QuerySpec("histogram_equidepth", histogram_equidepth, _EQUIDEPTH_ORACLE, "equi-depth (ntile) histogram — the CBO column-statistics shape"),
     QuerySpec("correlation_quantity_price", correlation_quantity_price, _CORR_ORACLE, "exact-sum Pearson correlation per group (DECIMAL power sums, reproducible under any partitioning)"),
+    QuerySpec("mutual_info_lang_source", mutual_info_lang_source, _MI_ORACLE, "categorical mutual information from exact counts, cell-ordered fold"),
 ]:
     register(spec)
