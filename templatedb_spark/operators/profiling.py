@@ -788,6 +788,70 @@ folded AS (
 SELECT CAST(FLOOR(mi * 1000000) AS BIGINT) AS mi_x1000000, n_cells FROM folded
 """
 
+# ---------------------------------------------------------------------------
+# Chi-squared independence test (lang × source) — MI's hypothesis-testing
+# sibling over the same exact cell counts: χ² = Σ (o−e)²/e with expected
+# counts e = nx·ny/n as exact rationals evaluated in double. The fold runs
+# in sorted cell order (bit-identical sum), statistic ×10^3 integer, plus
+# the degrees of freedom the consumer needs to look up the p-value.
+# ---------------------------------------------------------------------------
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+    nx = cells.groupBy("lang").agg(F.sum("nxy").alias("nx"))
+    ny = cells.groupBy("source").agg(F.sum("nxy").alias("ny"))
+    total = cells.agg(
+        F.sum("nxy").alias("n"),
+        F.countDistinct("lang").alias("nl"),
+        F.countDistinct("source").alias("ns"),
+    )
+    e = (F.col("nx").cast("double") * F.col("ny").cast("double")) / F.col("n").cast("double")
+    scored = (
+        cells.join(F.broadcast(nx), "lang")
+        .join(F.broadcast(ny), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "nl",
+            "ns",
+            ((F.col("nxy").cast("double") - e) * (F.col("nxy").cast("double") - e) / e).alias("term"),
+        )
+    )
+    folded = scored.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(lang, source, term))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
+        ).alias("chi2"),
+        ((F.max("nl") - 1) * (F.max("ns") - 1)).cast("long").alias("dof"),
+    )
+    return folded.select(F.floor(F.col("chi2") * 1000).cast("long").alias("chi2_x1000"), "dof")
+
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, COUNT(*)::BIGINT AS nxy FROM documents GROUP BY 1, 2
+),
+nx AS (SELECT lang, SUM(nxy) AS nx FROM cells GROUP BY 1),
+ny AS (SELECT source, SUM(nxy) AS ny FROM cells GROUP BY 1),
+total AS (
+  SELECT SUM(nxy) AS n, COUNT(DISTINCT lang) AS nl, COUNT(DISTINCT source) AS ns FROM cells
+),
+scored AS (
+  SELECT c.lang, c.source, t.nl, t.ns,
+         (c.nxy::DOUBLE - (x.nx::DOUBLE * y.ny::DOUBLE / t.n::DOUBLE))
+         * (c.nxy::DOUBLE - (x.nx::DOUBLE * y.ny::DOUBLE / t.n::DOUBLE))
+         / (x.nx::DOUBLE * y.ny::DOUBLE / t.n::DOUBLE) AS term
+  FROM cells c JOIN nx x USING (lang) JOIN ny y USING (source) CROSS JOIN total t
+),
+folded AS (
+  SELECT list_reduce(list(term ORDER BY lang, source), (a, b) -> a + b) AS chi2,
+         ((MAX(nl) - 1) * (MAX(ns) - 1))::BIGINT AS dof
+  FROM scored
+)
+SELECT CAST(FLOOR(chi2 * 1000) AS BIGINT) AS chi2_x1000, dof FROM folded
+"""
+
 for spec in [
     QuerySpec("quantile_sketch_price", quantile_sketch_price, _QSK_ORACLE, "1024-bin histogram quantile sketch (deterministic, exact oracle)"),
     QuerySpec("percentiles_price", percentiles_price, _PERCENTILES_ORACLE, "exact interpolated percentiles per group"),
@@ -803,5 +867,6 @@ for spec in [
     QuerySpec("histogram_equidepth", histogram_equidepth, _EQUIDEPTH_ORACLE, "equi-depth (ntile) histogram — the CBO column-statistics shape"),
     QuerySpec("correlation_quantity_price", correlation_quantity_price, _CORR_ORACLE, "exact-sum Pearson correlation per group (DECIMAL power sums, reproducible under any partitioning)"),
     QuerySpec("mutual_info_lang_source", mutual_info_lang_source, _MI_ORACLE, "categorical mutual information from exact counts, cell-ordered fold"),
+    QuerySpec("chi2_lang_source", chi2_lang_source, _CHI2_ORACLE, "chi-squared independence test over exact cell counts (cell-ordered fold, x1000 integer)"),
 ]:
     register(spec)
