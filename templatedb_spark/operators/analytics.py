@@ -1407,6 +1407,50 @@ CROSS JOIN nb
 """
 
 
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue — the scalar inequality measure
+# behind the Pareto curve above: G = 2·Σ(i·x_(i))/(n·Σx) − (n+1)/n over
+# revenues sorted ascending. Both Σx and the rank-weighted Σ(i·x_(i))
+# accumulate as exact DECIMALs (rank from one total-ordered window), so the
+# final G is a single double expression over exact inputs — ×10^6 integer.
+# ---------------------------------------------------------------------------
+def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
+    ranked = per_cust.select(
+        "rev", F.row_number().over(w).cast("long").alias("i")
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").alias("sx"),
+        F.sum(F.col("rev") * F.col("i")).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    g = (2.0 * F.col("six").cast("double")) / (n * F.col("sx").cast("double")) - (n + 1.0) / n
+    return sums.select("n", F.floor(g * 1000000).cast("long").alias("gini_x1000000"))
+
+
+_GINI_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(o_totalprice::DECIMAL(12,2)) AS rev FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev ASC, o_custkey ASC)::BIGINT AS i
+  FROM per_cust
+),
+sums AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM(rev) AS sx, SUM(rev * i) AS six FROM ranked
+)
+SELECT n,
+       CAST(FLOOR(((2.0 * six::DOUBLE) / (n::DOUBLE * sx::DOUBLE)
+                   - (n::DOUBLE + 1.0) / n::DOUBLE) * 1000000) AS BIGINT) AS gini_x1000000
+FROM sums
+"""
+
+
 for spec in [
     QuerySpec("events_gapfill", events_gapfill, _GAPFILL_ORACLE, "per-user daily spine densification + LOCF forward fill"),
     QuerySpec("funnel_signup_purchase", funnel_signup_purchase, _FUNNEL_ORACLE, "signup→purchase funnel conversion within 7 days"),
@@ -1442,5 +1486,6 @@ for spec in [
     QuerySpec("listagg_regions", listagg_regions, _LISTAGG_ORACLE, "ordered string aggregation (LISTAGG): partition-proof sorted rosters"),
     QuerySpec("ab_test_zscore", ab_test_zscore, _ABTEST_ORACLE, "two-proportion A/B z-test from exact counts (experimentation tier)"),
     QuerySpec("basket_rules", basket_rules, _BASKET_ORACLE, "market-basket association rules: support/confidence/lift via in-row pair expansion"),
+    QuerySpec("gini_revenue", gini_revenue, _GINI_ORACLE, "exact Gini coefficient of customer revenue (rank-weighted DECIMAL sums)"),
 ]:
     register(spec)
