@@ -1265,38 +1265,46 @@ GROUP BY r.r_name
 
 
 # ---------------------------------------------------------------------------
-# A/B-test significance (the experimentation primitive): users split into
-# two deterministic variants (hash parity), conversion = did the user ever
-# purchase; the two-proportion z-statistic comes out of exact integer
-# counts, so the final z is one double expression over exact inputs —
-# identical in both engines. x1000 integer form avoids ROUND knife edges on
-# the test statistic itself.
+# A/B-test significance (the experimentation primitive): units are
+# (user, active-day) pairs split into two deterministic variants by hash
+# parity; conversion = the unit had a purchase that day. (A per-USER
+# conversion flag is degenerate on this data — every user eventually
+# purchases, p = 1, and the z denominator hits exactly zero; found by the
+# vanilla-session dress rehearsal under ANSI mode.) The two-proportion
+# z-statistic comes out of exact integer counts as one double expression,
+# GUARDED: if either variant is empty or the pooled rate is 0 or 1, z is
+# NULL in both engines rather than a division by zero.
 # ---------------------------------------------------------------------------
 def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    per_user = e.groupBy("user_id").agg(
+    units = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
     )
-    variants = per_user.select(
-        (F.col("user_id") % 2).cast("long").alias("variant"), "converted"
+    variants = units.select(
+        ((F.col("user_id") + F.dayofmonth("day")) % 2).cast("long").alias("variant"),
+        "converted",
     )
     counts = variants.groupBy("variant").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_units"),
         F.sum("converted").cast("long").alias("n_converted"),
     )
     a = counts.filter(F.col("variant") == 0).select(
-        F.col("n_users").alias("n1"), F.col("n_converted").alias("c1")
+        F.col("n_units").alias("n1"), F.col("n_converted").alias("c1")
     )
     b = counts.filter(F.col("variant") == 1).select(
-        F.col("n_users").alias("n2"), F.col("n_converted").alias("c2")
+        F.col("n_units").alias("n2"), F.col("n_converted").alias("c2")
     )
     j = a.crossJoin(b)
     n1 = F.col("n1").cast("double")
     n2 = F.col("n2").cast("double")
     p1 = F.col("c1").cast("double") / n1
     p2 = F.col("c2").cast("double") / n2
-    p = (F.col("c1") + F.col("c2")).cast("double") / (n1 + n2)
-    z = (p1 - p2) / F.sqrt(p * (1 - p) * (1 / n1 + 1 / n2))
+    pooled = (F.col("c1") + F.col("c2")).cast("double") / (n1 + n2)
+    z = (p1 - p2) / F.sqrt(pooled * (1 - pooled) * (1 / n1 + 1 / n2))
+    z_guarded = F.when(
+        (F.col("c1") + F.col("c2") > 0) & (F.col("c1") + F.col("c2") < F.col("n1") + F.col("n2")),
+        F.floor(z * 1000).cast("long"),
+    )
     return j.select(
         "n1",
         "c1",
@@ -1304,32 +1312,35 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c2",
         F.floor(p1 * 10000).cast("long").alias("rate1_x10000"),
         F.floor(p2 * 10000).cast("long").alias("rate2_x10000"),
-        F.floor(z * 1000).cast("long").alias("z_x1000"),
+        z_guarded.alias("z_x1000"),
     )
 
 
 _ABTEST_ORACLE = """
-WITH per_user AS (
-  SELECT user_id, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
-  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+WITH units AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
 ),
 counts AS (
-  SELECT (user_id % 2)::BIGINT AS variant, COUNT(*)::BIGINT AS n_users,
-         SUM(converted)::BIGINT AS n_converted
-  FROM per_user GROUP BY 1
+  SELECT ((user_id + EXTRACT(DAY FROM day)) % 2)::BIGINT AS variant,
+         COUNT(*)::BIGINT AS n_units, SUM(converted)::BIGINT AS n_converted
+  FROM units GROUP BY 1
 ),
 j AS (
-  SELECT a.n_users AS n1, a.n_converted AS c1, b.n_users AS n2, b.n_converted AS c2
+  SELECT a.n_units AS n1, a.n_converted AS c1, b.n_units AS n2, b.n_converted AS c2
   FROM (SELECT * FROM counts WHERE variant = 0) a
   CROSS JOIN (SELECT * FROM counts WHERE variant = 1) b
 )
 SELECT n1, c1, n2, c2,
        CAST(FLOOR(c1::DOUBLE / n1::DOUBLE * 10000) AS BIGINT) AS rate1_x10000,
        CAST(FLOOR(c2::DOUBLE / n2::DOUBLE * 10000) AS BIGINT) AS rate2_x10000,
-       CAST(FLOOR((c1::DOUBLE / n1::DOUBLE - c2::DOUBLE / n2::DOUBLE)
-            / SQRT(((c1 + c2)::DOUBLE / (n1::DOUBLE + n2::DOUBLE))
-                   * (1 - (c1 + c2)::DOUBLE / (n1::DOUBLE + n2::DOUBLE))
-                   * (1 / n1::DOUBLE + 1 / n2::DOUBLE)) * 1000) AS BIGINT) AS z_x1000
+       CASE WHEN c1 + c2 > 0 AND c1 + c2 < n1 + n2 THEN
+         CAST(FLOOR((c1::DOUBLE / n1::DOUBLE - c2::DOUBLE / n2::DOUBLE)
+              / SQRT(((c1 + c2)::DOUBLE / (n1::DOUBLE + n2::DOUBLE))
+                     * (1 - (c1 + c2)::DOUBLE / (n1::DOUBLE + n2::DOUBLE))
+                     * (1 / n1::DOUBLE + 1 / n2::DOUBLE)) * 1000) AS BIGINT)
+       END AS z_x1000
 FROM j
 """
 
