@@ -45,3 +45,37 @@ def test_entry_contract(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+def test_division_specs_survive_ansi_mode(spark):
+    """The driver's vanilla session runs with ANSI mode ON (Spark 4 default),
+    where a division by zero is an error, not a NULL — the engine session's
+    permissive mode must never mask a degenerate-denominator spec (the
+    ab_test_zscore p=1 incident). Run every ratio/statistic-bearing spec
+    under ANSI and require clean execution."""
+    from templatedb_spark.suite import all_specs
+
+    division_specs = [
+        "ab_test_zscore",
+        "correlation_quantity_price",
+        "mutual_info_lang_source",
+        "chi2_lang_source",
+        "gini_revenue",
+        "basket_rules",
+        "revenue_concentration",
+        "join_skew_report",
+        "dataset_profile",
+        "funnel_three_step",
+        "funnel_signup_purchase",
+        "event_transitions",
+        "rolling_active_users",
+    ]
+    specs = all_specs()
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for name in division_specs:
+            rows = specs[name].spark(spark, SF_SMALL).collect()
+            assert rows, name
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
