@@ -85,7 +85,21 @@ def all_specs() -> dict[str, QuerySpec]:
     )
 
     covered = _driver_covered_names()
-    ordered = sorted(_REGISTRY.items(), key=lambda kv: (kv[0] in covered,))
+    # The round-2 verdict singled out eleven specs that no driver round has
+    # ever audited ("close the CORRECTNESS union"); the driver caps how many
+    # entries it records per round, so those eleven outrank every other
+    # uncovered spec, which in turn outrank already-covered ones. Stable sort
+    # keeps registration order within each tier.
+    priority = {
+        "anomaly_zscore", "cdc_apply", "contamination_check",
+        "dedup_dup_clusters", "dedup_keep_policy", "graph_pagerank",
+        "pack_token_shards", "scd2_user_segments", "text_repetition_score",
+        "tfidf_top_terms", "vocab_top_tokens",
+    }
+    ordered = sorted(
+        _REGISTRY.items(),
+        key=lambda kv: (kv[0] in covered, kv[0] not in priority),
+    )
     return dict(ordered)
 
 
