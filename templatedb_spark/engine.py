@@ -10,7 +10,9 @@ that Spark does not match 1:1:
 1. **WHERE-clause alias substitution** (reference: planner/binder/expression_binder/
    column_alias_binder.rs; tests/slt/filter.slt:30-45): `SELECT v1+1 AS a ... WHERE a >= 2`
    must resolve `a` to `v1+1`. Spark resolves lateral aliases in SELECT but not WHERE;
-   we substitute the alias expression textually before planning.
+   we substitute the alias expression before planning — token-based since round 4
+   (sqlparse.py), honoring the binder's resolution order: a real column of an
+   in-scope table SHADOWS a select alias (binder/expression/mod.rs:205-224).
 2. **Strict comparison typing** (reference: function/comparison/default_comparison.rs:10-78;
    comparison_function.slt:1-8): `'abc' > 10` is a bind error in the reference while
    Spark would coerce; `strict=True` rejects literal string↔numeric comparisons.
@@ -20,22 +22,10 @@ that Spark does not match 1:1:
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame, SparkSession
 
 from templatedb_spark.catalog import register_csv_dir, register_parquet_dir
 from templatedb_spark.functions.registry import register_builtin_functions
-
-_ALIAS_RE = re.compile(
-    r"(?i)select\s+(?:distinct\s+)?(.*?)\s+from\s", re.DOTALL
-)
-# literal string compared to numeric literal, either direction
-_STRICT_CMP_RE = re.compile(
-    r"""'(?:[^'\\]|\\.)*'\s*(?:=|!=|<>|<=|>=|<|>)\s*\d+(?:\.\d+)?
-      | \d+(?:\.\d+)?\s*(?:=|!=|<>|<=|>=|<|>)\s*'(?:[^'\\]|\\.)*'""",
-    re.VERBOSE,
-)
 
 
 class StrictTypeError(ValueError):
@@ -64,29 +54,23 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
 
 
 def extract_select_aliases(sql: str) -> dict[str, str]:
-    """Map select-list alias → source expression (textual)."""
-    m = _ALIAS_RE.search(sql)
-    if not m:
-        return {}
-    aliases: dict[str, str] = {}
-    for item in _split_top_level(m.group(1)):
-        am = re.match(r"(?is)(.+?)\s+as\s+(\w+)\s*$", item)
-        if am and am.group(1).strip() != am.group(2).strip():
-            aliases[am.group(2)] = f"({am.group(1).strip()})"
-    return aliases
+    """Map select-list alias → source expression (textual).
+    Token-based (quote/paren-aware) since round 4 — see sqlparse.py."""
+    from templatedb_spark import sqlparse
+
+    return sqlparse.select_aliases(sql)
 
 
-def substitute_where_aliases(sql: str, aliases: dict[str, str]) -> str:
-    """Replace alias names with their expressions inside the WHERE clause only."""
-    if not aliases:
-        return sql
-    wm = re.search(r"(?is)\bwhere\b(.*?)(\bgroup\s+by\b|\border\s+by\b|\blimit\b|\bhaving\b|$)", sql)
-    if not wm:
-        return sql
-    where = wm.group(1)
-    for name, expr in aliases.items():
-        where = re.sub(rf"(?<![\w.]){re.escape(name)}(?![\w.])", expr, where)
-    return sql[: wm.start(1)] + where + sql[wm.end(1) :]
+def substitute_where_aliases(
+    sql: str, aliases: dict[str, str], shadowed: set[str] = frozenset()
+) -> str:
+    """Replace alias names with their expressions inside the WHERE clause only.
+    Names in `shadowed` (real columns of in-scope tables) are left alone —
+    the reference binder resolves columns BEFORE aliases
+    (binder/expression/mod.rs:205-224)."""
+    from templatedb_spark import sqlparse
+
+    return sqlparse.substitute_where_aliases(sql, aliases, shadowed)
 
 
 class Engine:
@@ -132,24 +116,29 @@ class Engine:
         The reference binds read_csv as a TVF (function/table/read_csv.rs:18-210);
         with header=>false it names columns column_1.. (table_function.slt:23-29).
         """
+        from templatedb_spark import sqlparse
         from templatedb_spark.sources.csv import read_csv
 
-        def repl(m: re.Match) -> str:
-            args = m.group(1)
-            pm = re.search(r"'([^']+)'", args)
-            if not pm:
-                return m.group(0)
-            header = not re.search(r"(?i)header\s*=>\s*false", args)
-            dm = re.search(r"(?i)delim\s*=>\s*'([^']*)'", args)
-            df = read_csv(
-                self.spark, self._resolve(pm.group(1)),
-                header=header, delim=dm.group(1) if dm else ",",
-            )
+        edits = []
+        for start, end, args in sqlparse.find_calls(query, "read_csv"):
+            path = header = delim = None
+            for arg in args:
+                if len(arg) == 1 and arg[0].kind == "str" and path is None:
+                    path = arg[0].text[1:-1].replace("''", "'")
+                elif len(arg) >= 3 and arg[1].text == "=>":
+                    key = arg[0].lower
+                    if key == "header":
+                        header = arg[2].lower != "false"
+                    elif key == "delim" and arg[2].kind == "str":
+                        delim = arg[2].text[1:-1].replace("''", "'")
+            if path is None:
+                continue
+            header = True if header is None else header
+            df = read_csv(self.spark, self._resolve(path), header=header, delim=delim or ",")
             if not header:
                 df = df.toDF(*[f"column_{i + 1}" for i in range(len(df.columns))])
-            return self._fresh_view(df, "read_csv")
-
-        return re.sub(r"(?is)\bread_csv\s*\(([^)]*)\)", repl, query)
+            edits.append((start, end, self._fresh_view(df, "read_csv")))
+        return sqlparse.apply_edits(query, edits)
 
     def _rewrite_quoted_csv(self, query: str) -> str:
         """Implicit `FROM 'file.csv' [alias]` binding (reference: read_csv.rs /
@@ -162,82 +151,77 @@ class Engine:
         """
         import os
 
+        from templatedb_spark import sqlparse
         from templatedb_spark.sources.csv import read_csv
 
-        def repl(m: re.Match) -> str:
-            kw, path, alias = m.group(1), m.group(2), m.group(3)
+        edits = []
+        for start, end, path, alias in sqlparse.find_quoted_csv_sources(query):
+            kw = query[start : start + 4]  # 'from' or 'join'
             stem = os.path.splitext(os.path.basename(path))[0]
             df = read_csv(self.spark, self._resolve(path))
             view = self._fresh_view(df, "csvfile")
-            return f"{kw} {view} AS {alias or stem}"
-
-        return re.sub(
-            r"(?is)\b(from|join)\s+'([^']+\.csv)'(?:\s+(?:as\s+)?(\w+))?",
-            repl,
-            query,
-        )
+            edits.append((start, end, f"{kw} {view} AS {alias or stem}"))
+        return sqlparse.apply_edits(query, edits)
 
     def _rewrite_introspection(self, query: str) -> str:
         """template_query_tables() / template_query_columns() TVFs
         (reference: function/table/query_tables.rs, query_columns.rs)."""
+        from templatedb_spark import sqlparse
         from templatedb_spark.functions.introspect import query_columns, query_tables
 
-        if re.search(r"(?i)template_query_tables\s*\(\s*\)", query):
-            view = self._fresh_view(query_tables(self.spark, catalog=self.catalog), "tables")
-            query = re.sub(r"(?i)template_query_tables\s*\(\s*\)", view, query)
-        if re.search(r"(?i)template_query_columns\s*\(\s*\)", query):
-            view = self._fresh_view(query_columns(self.spark, catalog=self.catalog), "columns")
-            query = re.sub(r"(?i)template_query_columns\s*\(\s*\)", view, query)
+        for fname, builder, prefix in (
+            ("template_query_tables", query_tables, "tables"),
+            ("template_query_columns", query_columns, "columns"),
+        ):
+            calls = sqlparse.find_calls(query, fname)
+            if calls:
+                view = self._fresh_view(builder(self.spark, catalog=self.catalog), prefix)
+                query = sqlparse.apply_edits(
+                    query, [(s, e, view) for s, e, _ in calls]
+                )
         return query
 
-    @staticmethod
-    def _normalize_offset_limit(query: str) -> str:
-        """The reference grammar accepts `OFFSET n LIMIT m` (order.slt:1-5);
-        Spark only parses `LIMIT m OFFSET n` — swap."""
-        return re.sub(
-            r"(?is)\boffset\s+(\d+)\s+limit\s+(\d+)", r"limit \2 offset \1", query
-        )
+    def _in_scope_columns(self, query: str) -> set[str]:
+        """Lowercased column names of every plain table in the outer FROM —
+        the shadowing set for WHERE-alias substitution (reference binder
+        checks table columns before select aliases)."""
+        from templatedb_spark import sqlparse
 
-    def _check_derived_alias(self, query: str) -> None:
-        """The reference requires FROM-subqueries to carry an alias, like
-        Postgres (tests/slt/subquery.slt:4-7); Spark would accept them."""
-        for m in re.finditer(r"(?is)\b(?:from|join)\s*\(\s*select\b", query):
-            depth, j = 0, m.end() - len("select") - 1
-            for j in range(m.start(), len(query)):
-                if query[j] == "(":
-                    depth += 1
-                elif query[j] == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
-            rest = query[j + 1 :].lstrip()
-            am = re.match(r"(?i)(?:as\s+)?([a-z_]\w*)", rest)
-            if not am or am.group(1).lower() in (
-                "where", "group", "order", "limit", "having", "on", "join",
-                "inner", "left", "right", "full", "cross", "union",
-                "intersect", "except",
-            ):
-                raise StrictTypeError(
-                    "subquery in FROM must have an alias (reference: subquery.slt:4-7)"
-                )
+        cols: set[str] = set()
+        for name in sqlparse.from_tables(query):
+            if self.catalog is not None and name in getattr(self.catalog, "tables", {}):
+                cols.update(d.name.lower() for d in self.catalog.tables[name])
+                continue
+            try:
+                cols.update(c.lower() for c in self.spark.table(name).columns)
+            except Exception:
+                pass  # unknown table: Spark will raise its own error later
+        return cols
 
     # -- query -------------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
-        if self.strict and _STRICT_CMP_RE.search(query):
-            raise StrictTypeError(
-                "comparison between string literal and numeric literal "
-                "(reference rejects at bind time: comparison_function.slt:1-8)"
-            )
+        from templatedb_spark import sqlparse
+
         if self.strict:
-            self._check_derived_alias(query)
+            frag = sqlparse.find_strict_literal_comparison(query)
+            if frag is not None:
+                raise StrictTypeError(
+                    f"comparison between string literal and numeric literal: {frag!r} "
+                    "(reference rejects at bind time: comparison_function.slt:1-8)"
+                )
+            sqlparse.check_derived_table_aliases(query)
         from templatedb_spark.functions.registry import rewrite_named_arithmetic
 
         query = rewrite_named_arithmetic(query)
         query = self._rewrite_read_csv(query)
         query = self._rewrite_quoted_csv(query)
         query = self._rewrite_introspection(query)
-        query = self._normalize_offset_limit(query)
-        query = substitute_where_aliases(query, extract_select_aliases(query))
+        query = sqlparse.normalize_offset_limit(query)
+        aliases = extract_select_aliases(query)
+        if aliases:
+            query = substitute_where_aliases(
+                query, aliases, shadowed=self._in_scope_columns(query)
+            )
         return self.spark.sql(query)
 
     def explain(self, query: str) -> str:

@@ -1,0 +1,394 @@
+"""A small quote/paren-aware SQL tokenizer and the clause-level analyses the
+Engine's reference-semantics shims need.
+
+This replaces the round-1..3 regex shims (`_ALIAS_RE`, `_STRICT_CMP_RE`, the
+CSV rewrites) with token-stream rewrites, matching the reference binder's
+identifier-resolution semantics (reference:
+src/query_engine/src/binder/expression/mod.rs:177-231):
+
+* unqualified identifiers resolve to a COLUMN of any in-scope table first;
+  a select-list ALIAS is consulted only when no column matches — i.e. a
+  column SHADOWS an alias of the same name;
+* resolution is case-insensitive (identifiers are lowercased before lookup);
+* a string literal compared to a numeric literal is a bind-time error
+  (reference: function/comparison/default_comparison.rs:10-78,
+  tests/slt/comparison_function.slt:1-8).
+
+Tokens carry source offsets so rewrites are exact slice edits on the
+original text — nothing inside string literals can ever be touched.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<comment>--[^\n]*)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<dq>"(?:[^"]|"")*")
+    | (?P<num>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+)
+    | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+    | (?P<op><>|!=|<=|>=|=>|::|\|\||[=<>+\-*/%])
+    | (?P<punct>[(),.;\[\]{}:?])
+    """,
+    re.VERBOSE,
+)
+
+_COMPARISON_OPS = {"=", "!=", "<>", "<", "<=", ">", ">="}
+
+# Words that terminate an implicit alias position (reference grammar keywords).
+_RESERVED = {
+    "select", "from", "where", "group", "order", "limit", "offset", "having",
+    "on", "using", "join", "inner", "left", "right", "full", "cross", "outer",
+    "union", "intersect", "except", "as", "and", "or", "not", "by", "asc",
+    "desc", "distinct", "values", "case", "when", "then", "else", "end",
+    "between", "in", "is", "null", "like", "exists", "all", "any",
+}
+
+
+@dataclass(frozen=True)
+class Token:
+    kind: str  # str | dq | num | ident | op | punct
+    text: str
+    start: int
+    end: int
+
+    @property
+    def lower(self) -> str:
+        return self.text.lower()
+
+
+class SqlSyntaxError(ValueError):
+    """Raised when the shim-level scanner cannot make sense of the input."""
+
+
+def tokenize(sql: str) -> list[Token]:
+    """Lex into significant tokens (whitespace/comments dropped, offsets kept)."""
+    out: list[Token] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            raise SqlSyntaxError(f"unexpected character {sql[pos]!r} at offset {pos}")
+        kind = m.lastgroup
+        if kind not in ("ws", "comment"):
+            out.append(Token(kind, m.group(), m.start(), m.end()))
+        pos = m.end()
+    return out
+
+
+def apply_edits(sql: str, edits: list[tuple[int, int, str]]) -> str:
+    """Apply (start, end, replacement) edits; later offsets first."""
+    for start, end, repl in sorted(edits, key=lambda e: e[0], reverse=True):
+        sql = sql[:start] + repl + sql[end:]
+    return sql
+
+
+def _depth_profile(tokens: list[Token]) -> list[int]:
+    """Paren depth BEFORE each token."""
+    depths, d = [], 0
+    for t in tokens:
+        if t.text == ")":
+            d -= 1
+        depths.append(d)
+        if t.text == "(":
+            d += 1
+    return depths
+
+
+def match_paren(tokens: list[Token], open_idx: int) -> int:
+    """Index of the ')' matching tokens[open_idx] == '('."""
+    depth = 0
+    for j in range(open_idx, len(tokens)):
+        if tokens[j].text == "(":
+            depth += 1
+        elif tokens[j].text == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise SqlSyntaxError("unbalanced parentheses")
+
+
+def split_top_level(tokens: list[Token], sep: str = ",") -> list[list[Token]]:
+    """Split a token run on `sep` at paren depth 0."""
+    out: list[list[Token]] = []
+    cur: list[Token] = []
+    depth = 0
+    for t in tokens:
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        if t.text == sep and depth == 0:
+            out.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    out.append(cur)
+    return out
+
+
+def top_level_clauses(tokens: list[Token]) -> dict[str, tuple[int, int]]:
+    """Map clause name -> (first token idx AFTER the keyword, end idx exclusive)
+    for the OUTERMOST query's top-level clauses. Clause names:
+    select, from, where, group, having, order, limit, offset.
+    Multi-word intros (GROUP BY / ORDER BY) skip the BY token.
+    Set operations split the text into branches; we only report the first
+    branch's clauses (the shims never rewrite across set-op branches).
+    """
+    depths = _depth_profile(tokens)
+    marks: list[tuple[str, int]] = []  # (clause, idx after intro keyword(s))
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if depths[i] == 0 and t.kind == "ident":
+            w = t.lower
+            if w in ("union", "intersect", "except"):
+                break  # later branches are out of shim scope
+            if w in ("select", "from", "where", "having", "limit", "offset"):
+                marks.append((w, i + 1))
+            elif w in ("group", "order") and i + 1 < len(tokens) and tokens[i + 1].lower == "by":
+                marks.append((w, i + 2))
+                i += 1
+        i += 1
+    clauses: dict[str, tuple[int, int]] = {}
+    for k, (name, start) in enumerate(marks):
+        # A second SELECT at depth 0 (e.g. from a malformed input) keeps the first.
+        if name in clauses:
+            continue
+        if k + 1 < len(marks):
+            nxt = marks[k + 1]
+            # nxt[1] is the idx AFTER the intro keyword(s); back up over them.
+            end = nxt[1] - (2 if nxt[0] in ("group", "order") else 1)
+        else:
+            end = len(tokens)
+        clauses[name] = (start, end)
+    return clauses
+
+
+def select_aliases(sql: str, tokens: list[Token] | None = None) -> dict[str, str]:
+    """Select-list `expr AS alias` map: alias(lowercased) -> '(expr text)'.
+
+    Quote/paren-aware: a FROM inside a subquery or string does not end the
+    select list, and only a trailing top-level `AS ident` counts.
+    Identity aliases (`v1 AS v1`) are dropped, as are aliases of a bare
+    star or of another bare identifier equal to the alias.
+    """
+    tokens = tokenize(sql) if tokens is None else tokens
+    clauses = top_level_clauses(tokens)
+    if "select" not in clauses:
+        return {}
+    s, e = clauses["select"]
+    # FROM may be absent (SELECT 1+1 AS a)
+    e = min(e, clauses.get("from", (e, e))[0] - 1) if "from" in clauses else e
+    items = split_top_level(tokens[s:e])
+    out: dict[str, str] = {}
+    for item in items:
+        if len(item) >= 3 and item[-2].lower == "as" and item[-1].kind in ("ident", "dq"):
+            expr_toks = item[:-2]
+            if expr_toks and expr_toks[0].lower == "distinct":
+                expr_toks = expr_toks[1:]
+            if not expr_toks:
+                continue
+            alias = item[-1].text.strip('"').lower()
+            expr_text = sql[expr_toks[0].start : expr_toks[-1].end].strip()
+            if expr_text.lower() == alias:
+                continue
+            out[alias] = f"({expr_text})"
+    return out
+
+
+def from_tables(sql: str, tokens: list[Token] | None = None) -> list[str]:
+    """Plain table names referenced at the top level of FROM/JOIN (lowercased).
+    Derived tables `( select ... )` contribute nothing (their alias is a new
+    scope whose columns we can't see textually — the shim then behaves
+    conservatively and keeps the alias substitution)."""
+    tokens = tokenize(sql) if tokens is None else tokens
+    clauses = top_level_clauses(tokens)
+    if "from" not in clauses:
+        return []
+    s, e = clauses["from"]
+    names: list[str] = []
+    expect_table = True
+    i = s
+    while i < e:
+        t = tokens[i]
+        if t.text == "(":
+            i = match_paren(tokens, i) + 1
+            expect_table = False
+            continue
+        if t.kind == "ident":
+            w = t.lower
+            if w == "join":
+                expect_table = True
+            elif w in ("inner", "left", "right", "full", "cross", "outer"):
+                pass  # join-type prefix: keep current expectation
+            elif w in ("on", "using"):
+                expect_table = False
+            elif expect_table and w not in _RESERVED:
+                # qualified name? consume dotted parts, keep last
+                name = w
+                while i + 2 < e and tokens[i + 1].text == "." and tokens[i + 2].kind == "ident":
+                    i += 2
+                    name = tokens[i].lower
+                names.append(name)
+                expect_table = False
+        elif t.text == ",":
+            expect_table = True
+        i += 1
+    return names
+
+
+def substitute_where_aliases(
+    sql: str, aliases: dict[str, str], shadowed: set[str] = frozenset()
+) -> str:
+    """Replace alias identifiers with their source expressions inside the
+    WHERE clause only, per the reference binder's resolution order: a name
+    in `shadowed` (i.e. a real column of an in-scope table) is left alone —
+    columns win over aliases (binder/expression/mod.rs:205-224).
+
+    Token-based: never rewrites inside string literals, never rewrites
+    qualified references (`t.a`), never rewrites function names (`a(`),
+    and never rewrites inside subqueries within WHERE (their scope differs).
+    """
+    live = {k.lower(): v for k, v in aliases.items() if k.lower() not in shadowed}
+    if not live:
+        return sql
+    tokens = tokenize(sql)
+    clauses = top_level_clauses(tokens)
+    if "where" not in clauses:
+        return sql
+    s, e = clauses["where"]
+    edits: list[tuple[int, int, str]] = []
+    # paren stack over the WHERE range: True = this group is a subquery scope
+    paren_stack: list[bool] = []
+    for i in range(s, e):
+        t = tokens[i]
+        if t.text == "(":
+            nxt = tokens[i + 1] if i + 1 < len(tokens) else None
+            paren_stack.append(nxt is not None and nxt.lower == "select")
+            continue
+        if t.text == ")":
+            if paren_stack:
+                paren_stack.pop()
+            continue
+        if t.kind == "ident" and t.lower in live:
+            prev = tokens[i - 1] if i > 0 else None
+            nxt = tokens[i + 1] if i + 1 < len(tokens) else None
+            qualified = prev is not None and prev.text == "."
+            qualifier = nxt is not None and nxt.text == "."
+            func_call = nxt is not None and nxt.text == "("
+            in_subquery = any(paren_stack)
+            if not (qualified or qualifier or func_call or in_subquery):
+                edits.append((t.start, t.end, live[t.lower]))
+    return apply_edits(sql, edits)
+
+
+def find_strict_literal_comparison(sql: str) -> str | None:
+    """Token-level scan for `'str' <cmp> num` / `num <cmp> 'str'` anywhere.
+    Returns the offending fragment, or None. A `>` INSIDE a string literal is
+    not a comparison (the round-3 regex could misfire there)."""
+    tokens = tokenize(sql)
+    for i in range(1, len(tokens) - 1):
+        op = tokens[i]
+        if op.kind == "op" and op.text in _COMPARISON_OPS:
+            a, b = tokens[i - 1], tokens[i + 1]
+            kinds = {a.kind, b.kind}
+            if kinds == {"str", "num"}:
+                return sql[a.start : b.end]
+    return None
+
+
+def normalize_offset_limit(sql: str) -> str:
+    """`OFFSET n LIMIT m` (reference grammar, order.slt:1-5) -> Spark's
+    `LIMIT m OFFSET n`, at any paren depth (each subquery normalized)."""
+    tokens = tokenize(sql)
+    edits: list[tuple[int, int, str]] = []
+    for i in range(len(tokens) - 3):
+        if (
+            tokens[i].lower == "offset"
+            and tokens[i + 1].kind == "num"
+            and tokens[i + 2].lower == "limit"
+            and tokens[i + 3].kind == "num"
+        ):
+            edits.append(
+                (
+                    tokens[i].start,
+                    tokens[i + 3].end,
+                    f"limit {tokens[i + 3].text} offset {tokens[i + 1].text}",
+                )
+            )
+    return apply_edits(sql, edits)
+
+
+def check_derived_table_aliases(sql: str) -> None:
+    """Reference requires FROM-subqueries to carry an alias
+    (tests/slt/subquery.slt:4-7). Token-based: checks every depth."""
+    tokens = tokenize(sql)
+    for i, t in enumerate(tokens):
+        if t.lower in ("from", "join") and i + 2 < len(tokens) and tokens[i + 1].text == "(":
+            j = i + 2
+            if tokens[j].lower != "select":
+                continue
+            close = match_paren(tokens, i + 1)
+            nxt = tokens[close + 1] if close + 1 < len(tokens) else None
+            if nxt is not None and nxt.lower == "as":
+                nxt = tokens[close + 2] if close + 2 < len(tokens) else None
+            if nxt is None or nxt.kind != "ident" or nxt.lower in _RESERVED:
+                raise _derived_alias_error()
+
+
+def _derived_alias_error():
+    from templatedb_spark.engine import StrictTypeError
+
+    return StrictTypeError(
+        "subquery in FROM must have an alias (reference: subquery.slt:4-7)"
+    )
+
+
+def find_calls(sql: str, func_name: str) -> list[tuple[int, int, list[list[Token]]]]:
+    """All calls `func_name( args )`: (start, end, top-level-split arg tokens)."""
+    tokens = tokenize(sql)
+    out = []
+    for i, t in enumerate(tokens):
+        if (
+            t.kind == "ident"
+            and t.lower == func_name
+            and i + 1 < len(tokens)
+            and tokens[i + 1].text == "("
+        ):
+            close = match_paren(tokens, i + 1)
+            args = split_top_level(tokens[i + 2 : close])
+            if args == [[]]:
+                args = []
+            out.append((t.start, tokens[close].end, args))
+    return out
+
+
+def find_quoted_csv_sources(sql: str) -> list[tuple[int, int, str, str | None]]:
+    """`FROM 'file.csv' [AS] alias` occurrences:
+    (start, end, path, alias_or_None). `start` covers from the FROM/JOIN
+    keyword through the alias so the caller can splice a replacement."""
+    tokens = tokenize(sql)
+    out = []
+    for i, t in enumerate(tokens):
+        if t.lower in ("from", "join") and i + 1 < len(tokens):
+            lit = tokens[i + 1]
+            if lit.kind != "str":
+                continue
+            path = lit.text[1:-1].replace("''", "'")
+            if not path.lower().endswith(".csv"):
+                continue
+            end = lit.end
+            alias = None
+            j = i + 2
+            if j < len(tokens) and tokens[j].lower == "as":
+                j += 1
+            if j < len(tokens) and tokens[j].kind == "ident" and tokens[j].lower not in _RESERVED:
+                alias = tokens[j].text
+                end = tokens[j].end
+            out.append((t.start, end, path, alias))
+    return out

@@ -199,6 +199,49 @@ def _gen_query4(rng: random.Random) -> str:
     )
 
 
+def _gen_query5(rng: random.Random) -> str:
+    """Round-4 grammar: the Engine.sql SHIM surface (sqlparse.py), not plain
+    spark.sql — WHERE references to select-list aliases (filter.slt:30-45),
+    alias names that shadow a real column (binder resolves the column first —
+    DuckDB agrees), string literals containing comparison operators (must not
+    trip the strict scanner or the substitution), `OFFSET n LIMIT m` ordering
+    (order.slt:1-5), and the named-arithmetic registry (add/subtract/...).
+    The SAME text runs through DuckDB, which shares all these semantics."""
+    k = rng.randint(1, 900)
+    shadow = rng.random() < 0.3
+    # alias either a fresh name or shadowing the real column c_nationkey
+    alias = "c_nationkey" if shadow else rng.choice(["a", "v", "scorex"])
+    fn = rng.choice(["add", "subtract", "plain"])
+    if fn == "plain":
+        expr = f"c_custkey + {k}"
+    else:
+        expr = f"{fn}(c_custkey, {k})"
+    preds = []
+    if not shadow:
+        # reference the alias in WHERE -> substitution path
+        lo = rng.randint(1, 1200)
+        preds.append(f"{alias} >= {lo}")
+    else:
+        # shadowed: WHERE must hit the real column (values 0..24)
+        preds.append(f"{alias} >= {rng.randint(0, 20)}")
+    if rng.random() < 0.5:
+        # string literal with an operator inside — must be inert
+        preds.append(f"c_mktsegment <> 'X > {rng.randint(0, 99)}'")
+    if rng.random() < 0.4:
+        preds.append(f"c_acctbal > {round(rng.uniform(-500, 5000), 2)}")
+    off, lim = rng.randint(0, 5), rng.randint(1, 30)
+    tail = (
+        f"OFFSET {off} LIMIT {lim}"
+        if rng.random() < 0.5
+        else f"LIMIT {lim} OFFSET {off}"
+    )
+    return (
+        f"SELECT c_custkey, {expr} AS {alias} FROM customer "
+        f"WHERE {' AND '.join(preds)} "
+        f"ORDER BY c_custkey {tail}"
+    )
+
+
 _NUM_CASES2 = 20
 _NUM_CASES3 = 20
 _NUM_CASES4 = 20
@@ -224,6 +267,23 @@ def _views(spark):
 @pytest.mark.parametrize("sql", _CASES)
 def test_random_query_matches_duckdb(sql, spark, duck):
     got = normalize_pdf(spark.sql(sql).toPandas())
+    want = normalize_pdf(duck.sql(sql).df())
+    assert len(got) == len(want), f"rowcount {len(got)} vs {len(want)}\n{sql}"
+    assert got == want, sql
+
+
+_NUM_CASES5 = 25
+_CASES5 = [_gen_query5(random.Random(_SEED + 4000 + i)) for i in range(_NUM_CASES5)]
+
+
+@pytest.mark.parametrize("sql", _CASES5)
+def test_engine_shim_query_matches_duckdb(sql, spark, duck):
+    """Grammar 5 routes through Engine.sql (shims active) so the round-4
+    mini-parser gets adversarial differential coverage (VERDICT r3 #10)."""
+    from templatedb_spark.engine import Engine
+
+    eng = Engine(spark)
+    got = normalize_pdf(eng.sql(sql).toPandas())
     want = normalize_pdf(duck.sql(sql).df())
     assert len(got) == len(want), f"rowcount {len(got)} vs {len(want)}\n{sql}"
     assert got == want, sql
