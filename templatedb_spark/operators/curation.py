@@ -75,17 +75,20 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same integer from the same md5
         md5_long(F.expr(f"array_join(slice(t, s, {_SUB_W}), ' ')")).alias("fp"),
     )
+    # One aggregation + one window instead of agg + agg + self-join: the
+    # (doc_id, fp) relation is this plan's fattest intermediate, and the r3
+    # join shape both re-computed it per branch and reshuffled it on fp for
+    # the join. COUNT() OVER (PARTITION BY fp) on the already-aggregated
+    # relation yields ndocs with a single fp shuffle (VERDICT r3 #3).
     per_doc_fp = wins.groupBy("doc_id", "fp").agg(F.count(F.lit(1)).alias("c"))
-    fp_docs = per_doc_fp.groupBy("fp").agg(F.count(F.lit(1)).alias("ndocs"))
-    agg = (
-        per_doc_fp.join(fp_docs, "fp")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_windows"),
-            F.sum(F.when(F.col("ndocs") > 1, F.col("c")).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("n_shared"),
-        )
+    with_ndocs = per_doc_fp.withColumn(
+        "ndocs", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
+    agg = with_ndocs.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("ndocs") > 1, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_shared"),
     )
     return agg.select(
         "doc_id",

@@ -37,6 +37,10 @@ def test_substring_dedup_is_linear(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert not uses_python_udf(df)
+    # round-4 shape: agg + window over fp + final agg — the r3 self-join
+    # (which recomputed the (doc,fp) relation per branch) must not return
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 3, plan
 
 
 def test_stratified_sample_no_join(spark):
