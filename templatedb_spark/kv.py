@@ -19,6 +19,10 @@ ordered map + atomic batch + MVCC snapshot reads — not an LSM re-implementatio
 - **compact()** = rewrite the merged state as a single base version and drop
   history — the reference's `compact_range` (db_impl/template_impl.rs:180-194).
 
+Version discovery is a MANIFEST edit log (see KVTable._load_manifest) — the
+reference's VersionSet MANIFEST (manager/version_set.rs:178) — so read-path
+metadata is one small-file read, not an O(versions) directory walk.
+
 Scale: deltas are partitioned parquet, and every version is sub-partitioned
 into `_KV_BUCKETS` key-hash buckets (crc32(key) % B — the same function
 evaluated JVM-side at write time and in Python at read time). A point `get`
@@ -31,6 +35,7 @@ bounds the number of deltas merged per read, same role it plays in the LSM.
 
 from __future__ import annotations
 
+import json
 import os
 import zlib
 from pathlib import Path
@@ -60,13 +65,84 @@ class KVTable:
         self.path = path
         os.makedirs(path, exist_ok=True)
 
+    # -- manifest ------------------------------------------------------------
+    # Version discovery is a MANIFEST file, not a directory walk (reference:
+    # manager/version_set.rs:178 keeps live versions in a MANIFEST log of
+    # VersionEdits, version_edit.rs:117). Ours is an append-only JSONL log:
+    #   {"op": "add", "v": N, "buckets": [..]}   — one line per committed batch
+    #   {"op": "drop", "v": N}                    — compaction retires a version
+    # The append IS the commit point: a batch whose delta directory was
+    # written but whose manifest line wasn't (crash window) is invisible, the
+    # same contract the LSM gets from logging the edit before publishing.
+    # Compaction rewrites the log as a one-line snapshot via tmp + atomic
+    # rename (the reference's WriteSnapshot on manifest rollover). Point
+    # reads therefore do O(manifest) metadata — one small-file read — instead
+    # of O(versions) directory stats; per-version bucket lists prune the
+    # is_dir probes too.
+
+    @property
+    def _manifest(self) -> Path:
+        return Path(self.path) / "MANIFEST"
+
+    def _load_manifest(self) -> dict[int, list[int]]:
+        """Replay the edit log → {live version: sorted bucket ids}."""
+        if not self._manifest.exists():
+            return self._recover_manifest()
+        state: dict[int, list[int]] = {}
+        with open(self._manifest, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if rec["op"] == "add":
+                    state[rec["v"]] = rec["buckets"]
+                elif rec["op"] == "drop":
+                    state.pop(rec["v"], None)
+        return state
+
+    def _recover_manifest(self) -> dict[int, list[int]]:
+        """Pre-manifest table (or lost manifest): rebuild from the directory
+        layout once, persist, and never walk again."""
+        state: dict[int, list[int]] = {}
+        for p in Path(self.path).glob("version=*"):
+            if p.is_dir():
+                v = int(p.name.split("=")[1])
+                state[v] = sorted(
+                    int(b.name.split("=")[1]) for b in p.glob("bucket=*") if b.is_dir()
+                )
+        if state:
+            self._write_manifest_snapshot(state)
+        return state
+
+    def _append_manifest(self, record: dict) -> None:
+        with open(self._manifest, "a", encoding="utf-8") as f:
+            f.write(json.dumps(record, separators=(",", ":")) + "\n")
+
+    def _write_manifest_snapshot(self, state: dict[int, list[int]]) -> None:
+        tmp = self._manifest.with_suffix(".tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for v in sorted(state):
+                f.write(
+                    json.dumps(
+                        {"op": "add", "v": v, "buckets": state[v]},
+                        separators=(",", ":"),
+                    )
+                    + "\n"
+                )
+        os.replace(tmp, self._manifest)  # atomic on POSIX
+
+    def _commit_version(self, v: int) -> None:
+        """Record a just-written delta dir in the manifest (the commit)."""
+        root = Path(f"{self.path}/version={v}")
+        buckets = sorted(
+            int(b.name.split("=")[1]) for b in root.glob("bucket=*") if b.is_dir()
+        )
+        self._append_manifest({"op": "add", "v": v, "buckets": buckets})
+
     # -- versions -----------------------------------------------------------
     def _versions(self) -> list[int]:
-        return sorted(
-            int(p.name.split("=")[1])
-            for p in Path(self.path).glob("version=*")
-            if p.is_dir()
-        )
+        return sorted(self._load_manifest())
 
     def latest_version(self) -> int:
         vs = self._versions()
@@ -93,6 +169,7 @@ class KVTable:
         df.write.mode("errorifexists").partitionBy("bucket").parquet(
             f"{self.path}/version={v}"
         )
+        self._commit_version(v)
         return v
 
     def put(self, key: str, value: str) -> int:
@@ -103,16 +180,18 @@ class KVTable:
 
     # -- reads --------------------------------------------------------------
     def _delta_paths(self, as_of: int | None = None, bucket: int | None = None) -> list[str]:
-        vs = self._versions()
+        # resolved purely from the manifest: no directory stats on the read path
+        state = self._load_manifest()
+        vs = sorted(state)
         if as_of is not None:
             vs = [v for v in vs if v <= as_of]
         out: list[str] = []
         for v in vs:
-            root = Path(f"{self.path}/version={v}")
+            root = f"{self.path}/version={v}"
             if bucket is None:
-                out.extend(sorted(str(p) for p in root.glob("bucket=*") if p.is_dir()))
-            elif (d := root / f"bucket={bucket}").is_dir():
-                out.append(str(d))
+                out.extend(f"{root}/bucket={b}" for b in state[v])
+            elif bucket in state[v]:
+                out.append(f"{root}/bucket={bucket}")
         return out
 
     def _read_deltas(self, paths: list[str]) -> DataFrame | None:
@@ -178,7 +257,14 @@ class KVTable:
 
     # -- maintenance --------------------------------------------------------
     def compact(self) -> int:
-        """Collapse history into a single base version (compact_range parity)."""
+        """Collapse history into a single base version (compact_range parity).
+
+        Manifest discipline (version_set.rs WriteSnapshot analogue): the new
+        base is published as a one-line manifest SNAPSHOT via atomic rename
+        BEFORE old directories are removed — a crash mid-cleanup leaves only
+        invisible orphan dirs, never a manifest pointing at deleted data.
+        """
+        old_versions = self._versions()
         state = self.snapshot().withColumn("op", F.lit("put"))
         v = self.latest_version() + 1
         out = state.withColumn("version", F.lit(v).cast("long")).select(
@@ -187,11 +273,16 @@ class KVTable:
         out.write.mode("errorifexists").partitionBy("bucket").parquet(
             f"{self.path}/version={v}"
         )
+        root = Path(f"{self.path}/version={v}")
+        buckets = sorted(
+            int(b.name.split("=")[1]) for b in root.glob("bucket=*") if b.is_dir()
+        )
+        self._write_manifest_snapshot({v: buckets})
         import shutil
 
-        for old in self._versions():
+        for old in old_versions:
             if old != v:
-                shutil.rmtree(f"{self.path}/version={old}")
+                shutil.rmtree(f"{self.path}/version={old}", ignore_errors=True)
         return v
 
 
@@ -207,12 +298,6 @@ class MergeKVTable(KVTable):
     scale the full-state rewrite becomes a partition-level rewrite of only the
     buckets a batch touches — the bucket layout here is exactly that unit.
     """
-
-    def _state_version(self, as_of: int | None = None) -> int | None:
-        vs = self._versions()
-        if as_of is not None:
-            vs = [v for v in vs if v <= as_of]
-        return vs[-1] if vs else None
 
     def write_batch(self, puts: dict[str, str] | None = None, deletes: list[str] | None = None) -> int:
         puts = puts or {}
@@ -240,36 +325,46 @@ class MergeKVTable(KVTable):
         out.write.mode("errorifexists").partitionBy("bucket").parquet(
             f"{self.path}/version={v}"
         )
+        self._commit_version(v)
         return v
 
     def snapshot(self, as_of: int | None = None) -> DataFrame:
-        v = self._state_version(as_of)
-        if v is None:
+        state = self._load_manifest()
+        vs = sorted(state)
+        if as_of is not None:
+            vs = [v for v in vs if v <= as_of]
+        if not vs:
             return self.spark.createDataFrame([], "key string, value string")
-        paths = sorted(
-            str(p) for p in Path(f"{self.path}/version={v}").glob("bucket=*") if p.is_dir()
+        v = vs[-1]
+        df = self._read_deltas(
+            [f"{self.path}/version={v}/bucket={b}" for b in state[v]]
         )
-        df = self._read_deltas(paths)
         if df is None:
             return self.spark.createDataFrame([], "key string, value string")
         return df.select("key", "value")
 
     def _point_read_df(self, key: str, as_of: int | None = None) -> DataFrame | None:
-        v = self._state_version(as_of)
-        if v is None:
+        state = self._load_manifest()
+        vs = sorted(v for v in state if as_of is None or v <= as_of)
+        if not vs:
             return None
-        d = Path(f"{self.path}/version={v}/bucket={bucket_of(key)}")
-        if not d.is_dir():
+        v, b = vs[-1], bucket_of(key)
+        if b not in state[v]:
             return None
-        df = self._read_deltas([str(d)])
+        df = self._read_deltas([f"{self.path}/version={v}/bucket={b}"])
         return df.filter(F.col("key") == key).select("key", "value")
 
     def compact(self) -> int:
-        """State is already merged per version — compaction just drops history."""
+        """State is already merged per version — compaction just drops history
+        (manifest snapshot first, directory cleanup after; see KVTable.compact)."""
         import shutil
 
-        v = self.latest_version()
-        for old in self._versions():
+        state = self._load_manifest()
+        if not state:
+            return -1
+        v = max(state)
+        self._write_manifest_snapshot({v: state[v]})
+        for old in state:
             if old != v:
-                shutil.rmtree(f"{self.path}/version={old}")
+                shutil.rmtree(f"{self.path}/version={old}", ignore_errors=True)
         return v
