@@ -166,9 +166,12 @@ class KVTable:
         if not rows:
             return self.latest_version()
         df = self.spark.createDataFrame(rows, _SCHEMA).withColumn("bucket", _bucket_col())
-        df.write.mode("errorifexists").partitionBy("bucket").parquet(
-            f"{self.path}/version={v}"
-        )
+        # one shuffle to co-locate buckets → exactly one file per bucket dir;
+        # without it every input slice writes its own sliver into every bucket
+        # (32 slices × 16 buckets = hundreds of tiny files per version)
+        df.repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
+            "errorifexists"
+        ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
         self._commit_version(v)
         return v
 
@@ -322,9 +325,9 @@ class MergeKVTable(KVTable):
             F.lit("put").alias("op"),
             F.lit(v).cast("long").alias("version"),
         ).withColumn("bucket", _bucket_col())
-        out.write.mode("errorifexists").partitionBy("bucket").parquet(
-            f"{self.path}/version={v}"
-        )
+        out.repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
+            "errorifexists"
+        ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
         self._commit_version(v)
         return v
 
