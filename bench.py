@@ -98,6 +98,7 @@ def main() -> None:
     # `critical` = the suite's makespan critical path (multi-stage dedup
     # self-joins); they get the top-weight scheduler pool.
     critical = [
+        "stream_cdc_kv_state",  # 3 sequential streaming triggers: longest chain
         "ann_lsh_banded_topk",
         "dedup_ngram_jaccard",
         "dedup_ngram_capped",
@@ -132,6 +133,19 @@ def main() -> None:
     errs: dict[str, str] = {}
     retried: list[str] = []
 
+    def _cpu_counters() -> tuple[int, int] | None:
+        """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line.
+        Host steal has dominated absolute spread across rounds (13.9-21.7 s
+        for near-identical suites, BASELINE.md) — persist the evidence."""
+        try:
+            with open("/proc/stat", encoding="ascii") as f:
+                parts = f.readline().split()
+            vals = [int(x) for x in parts[1:]]
+            steal = vals[7] if len(vals) > 7 else 0
+            return steal, sum(vals)
+        except Exception:
+            return None
+
     def run_one(item) -> None:
         name, spec = item
         t0 = time.time()
@@ -148,6 +162,7 @@ def main() -> None:
             print(f"BENCH ERROR {name}: {msg}", file=sys.stderr)
             times[name] = -1.0
 
+    cpu0 = _cpu_counters()
     suite_t0 = time.time()
     if mode == "seq":
         for item in items:
@@ -167,6 +182,10 @@ def main() -> None:
         total = round(sum(t for t in times.values() if t >= 0), 3)
     else:
         total = round(time.time() - suite_t0, 3)
+    cpu1 = _cpu_counters()
+    steal_pct = None
+    if cpu0 and cpu1 and cpu1[1] > cpu0[1]:
+        steal_pct = round(100.0 * (cpu1[0] - cpu0[0]) / (cpu1[1] - cpu0[1]), 2)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {
@@ -181,6 +200,8 @@ def main() -> None:
         "failed": sorted(errs),
         "retried": retried,
         "err": errs,
+        # host steal% over the timed window (None if /proc/stat unreadable)
+        "steal_pct": steal_pct,
     }
     # drop the dedup family's cached intermediates before teardown (no-op for
     # this process's lifetime, but keeps the teardown path honest for anyone
