@@ -702,9 +702,14 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv.select(
         F.count(F.lit(1)).cast("long").alias("n_signup"),
         F.count("first_purchase").cast("long").alias("n_purchased"),
-        F.sum(
-            (hours <= _FUNNEL_DAYS * 24).cast("int")
-        ).cast("long").alias("n_converted_7d"),
+        # otherwise(0), matching the oracle's ELSE 0: a signup cohort with
+        # zero conversions yields 0, not NULL (the old cast-to-int form
+        # summed only non-NULL hits — NULL on that degenerate slice; same
+        # class as the ab_test_zscore fix, ADVICE r3). An EMPTY cohort is
+        # NULL in both engines (bare SUM) — deliberately not coalesced.
+        F.sum(F.when(hours <= _FUNNEL_DAYS * 24, 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted_7d"),
         F.round(F.avg(F.when(hours <= _FUNNEL_DAYS * 24, hours)), 6).alias(
             "avg_hours_to_convert"
         ),

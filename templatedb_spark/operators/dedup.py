@@ -69,13 +69,38 @@ def clear_dedup_caches(spark: SparkSession) -> None:
     """
     from templatedb_spark.operators import pipeline, similarity
 
+    # localCheckpoint'd DataFrames pin executor blocks that clearCache()
+    # does NOT release (it only drops cached relations); without an explicit
+    # unpersist they linger until JVM GC + ContextCleaner get around to them
+    # (ADVICE r3). Release them eagerly before dropping the memo references.
+    for labels in pipeline._LABELS_MEMO.values():
+        unpersist_local_checkpoint(labels)
     pipeline._LABELS_MEMO.clear()
     similarity.clear_ann_caches()
     from templatedb_spark.operators import curation
 
     with curation._BPE_LOCK:
+        for state in curation._BPE_MEMO.values():
+            for df in state:
+                unpersist_local_checkpoint(df)
         curation._BPE_MEMO.clear()
     spark.catalog.clearCache()
+
+
+def unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Release the executor blocks behind a localCheckpoint'd DataFrame.
+
+    `Dataset.localCheckpoint` rewrites the plan to a LogicalRDD over the
+    materialized RDD; that RDD (not anything clearCache sees) holds the
+    storage. Reach it through the analyzed plan root and unpersist. A no-op
+    for non-checkpoint plans or if the JVM refuses — eviction must never
+    throw."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getSimpleName() == "LogicalRDD":
+            node.rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -641,8 +641,12 @@ FROM diff GROUP BY 1
 # equi-width histogram_event_values): ntile(10) over a total order assigns
 # each row to a same-population bucket; per-bucket bounds are what a CBO's
 # column statistics store. Total order (value, key tiebreak) makes the
-# bucketing deterministic; the global sort is over the projected column
-# only — a range shuffle at scale.
+# bucketing deterministic. Honest scale note (ADVICE r3): Spark executes an
+# un-partitioned window as ONE task holding the whole sorted relation — fine
+# at sf0.1 on a 2-column projection, a deliberate single-node tradeoff, not
+# a distributed range shuffle. The at-scale shape is approx_percentile
+# boundaries + a broadcast range join (see percentiles_price), at the cost
+# of exact same-population buckets.
 # ---------------------------------------------------------------------------
 _EQUIDEPTH_BUCKETS = 10
 

@@ -38,11 +38,28 @@ def salted_group_count(
     MapType columns — pass `salt_cols` to hash a hashable subset.
     """
     cols = salt_cols if salt_cols is not None else df.columns
+    _check_salt_entropy(cols, key)
     salted = df.withColumn(
         "_salt", (F.pmod(F.xxhash64(*cols), F.lit(salt_factor))).cast("int")
     )
     partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").cast("long").alias("n"))
+
+
+def _check_salt_entropy(cols: list[str], key: str) -> None:
+    """A content-hash salt derived ONLY from the grouping/join key gives every
+    row of a hot key the SAME salt — the skew spread silently does nothing
+    (ADVICE r3: the common failure is a frame pre-projected to just the key).
+    Refuse loudly instead; callers with genuinely key-only frames need a
+    row-distinguishing column (or a different strategy — there is no
+    deterministic way to spread identical rows)."""
+    if [c.lower() for c in cols] == [key.lower()]:
+        raise ValueError(
+            f"salt columns {cols} carry no entropy beyond the key '{key}': "
+            "every row of a hot key would get the same salt and the skew "
+            "spread would be disabled. Pass salt_cols with at least one "
+            "row-distinguishing column."
+        )
 
 
 def salted_join(
@@ -62,9 +79,11 @@ def salted_join(
     salts = big.sparkSession.range(salt_factor).select(F.col("id").cast("int").alias("_salt"))
     # content-hash salt (see salted_group_count for the determinism rationale
     # and the duplicate-row / MapType caveats)
+    cols = salt_cols if salt_cols is not None else big.columns
+    _check_salt_entropy(cols, big_key)
     big_s = big.withColumn(
         "_salt",
-        (F.pmod(F.xxhash64(*(salt_cols if salt_cols is not None else big.columns)), F.lit(salt_factor))).cast("int"),
+        (F.pmod(F.xxhash64(*cols), F.lit(salt_factor))).cast("int"),
     )
     small_s = small.crossJoin(F.broadcast(salts))
     joined = big_s.join(

@@ -221,3 +221,20 @@ def test_threshold_sweep_mass_equals_pairs(spark):
     total = sum(r.n_pairs for r in rows)
     assert total == dedup_minhash_lsh(spark, SF_SMALL).count()
     assert all(0 <= r.bin <= 10 for r in rows)
+
+
+def test_bpe_memo_eviction_unpersists_checkpoints(spark):
+    """clear_dedup_caches must release the executor blocks behind the BPE
+    memo's localCheckpoint'd state, not just drop the Python references
+    (ADVICE r3) — otherwise checkpointed RDDs accumulate over cache cycles."""
+    from templatedb_spark.operators import curation
+    from templatedb_spark.operators.dedup import clear_dedup_caches
+
+    curation._bpe_state(spark, SF_SMALL)  # populate the memo (checkpoints)
+    assert curation._BPE_MEMO
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    assert before > 0
+    clear_dedup_caches(spark)
+    assert not curation._BPE_MEMO
+    assert jsc.getPersistentRDDs().size() < before

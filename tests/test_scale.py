@@ -109,3 +109,25 @@ def test_bloom_prune_no_false_negatives(spark):
     # the bitmap reaches the fact side via broadcast, never a shuffle join
     plan = formatted_plan(bloom_semi_join(spark, SF_SMALL))
     assert "BroadcastExchange" in plan
+
+
+def test_salt_entropy_guard(spark):
+    """Key-only salt columns carry no row-distinguishing entropy — the helper
+    must refuse rather than silently disable the skew spread (ADVICE r3)."""
+    import pytest
+
+    from templatedb_spark.operators.scale import salted_group_count, salted_join
+    from templatedb_spark.suite import table
+
+    l = table(spark, SF_SMALL, "lineitem").select("l_suppkey")
+    with pytest.raises(ValueError, match="entropy"):
+        salted_group_count(l, "l_suppkey")
+    o = table(spark, SF_SMALL, "orders").select("o_custkey")
+    c = table(spark, SF_SMALL, "customer")
+    with pytest.raises(ValueError, match="entropy"):
+        salted_join(o, c, "o_custkey", "c_custkey")
+    # explicit key-only salt_cols is refused the same way
+    with pytest.raises(ValueError, match="entropy"):
+        salted_group_count(
+            table(spark, SF_SMALL, "lineitem"), "l_suppkey", salt_cols=["l_suppkey"]
+        )
