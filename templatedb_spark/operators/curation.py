@@ -1163,3 +1163,86 @@ for spec in [
     ),
 ]:
     register(spec)
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: for every VAL-split document, the fraction of its distinct
+# trigrams never seen in the TRAIN split — the memorization/novelty probe run
+# before held-out evaluation (a val doc with near-zero novelty is effectively
+# train data; complements lm_heldout_perplexity, which scores probability,
+# and source_overlap, which only compares prefix fingerprints). Same
+# deterministic doc_id hash split as train_val_split.
+#
+# Scale: trigrams explode map-side; the train trigram SET is one distinct
+# aggregation; the val-vs-train membership is a shuffle join on the trigram
+# string (at 100 TB: hash the trigram to 8 bytes first — same key discipline
+# as dedup_substring's fp).
+# ---------------------------------------------------------------------------
+_NOVELTY_N = 3
+
+
+def _trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = tokenized(spark, sf_dir).filter(F.size("t") >= _NOVELTY_N)
+    return tok.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(1, size(t) - {_NOVELTY_N} + 1)")).alias("s"),
+        "t",
+    ).select(
+        "doc_id",
+        F.expr(f"array_join(slice(t, s, {_NOVELTY_N}), ' ')").alias("tg"),
+    )
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tg = _trigrams(spark, sf_dir)
+    split = (
+        md5_long(F.concat(F.lit("split|"), F.col("doc_id").cast("string")))
+        % 100
+        < _SPLIT_TRAIN_PCT
+    )
+    tagged = tg.withColumn("is_train", split)
+    train_set = tagged.filter("is_train").select("tg").distinct()
+    val_tg = tagged.filter(~F.col("is_train")).select("doc_id", "tg").distinct()
+    flagged = val_tg.join(
+        train_set.withColumn("_seen", F.lit(1)), "tg", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+        F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+        F.round(
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty_frac"),
+    )
+
+
+_NOVELTY_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+base AS (SELECT doc_id, t FROM toks WHERE len(t) >= {_NOVELTY_N}),
+tg AS (
+  SELECT doc_id, array_to_string(t[s : s + {_NOVELTY_N} - 1], ' ') AS tg,
+         ({_SPLIT_HASH} % 100 < {_SPLIT_TRAIN_PCT}) AS is_train
+  FROM base, unnest(generate_series(1, len(t) - {_NOVELTY_N} + 1)) AS u(s)
+),
+train_set AS (SELECT DISTINCT tg FROM tg WHERE is_train),
+val_tg AS (SELECT DISTINCT doc_id, tg FROM tg WHERE NOT is_train)
+SELECT v.doc_id,
+       COUNT(*)::BIGINT AS n_ngrams,
+       SUM(CASE WHEN t.tg IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       ROUND(SUM(CASE WHEN t.tg IS NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+         AS novelty_frac
+FROM val_tg v LEFT JOIN train_set t USING (tg)
+GROUP BY v.doc_id
+"""
+
+register(
+    QuerySpec(
+        "ngram_novelty",
+        ngram_novelty,
+        _NOVELTY_ORACLE,
+        "per-val-doc fraction of trigrams unseen in the train split (memorization/novelty probe)",
+    )
+)

@@ -809,6 +809,83 @@ FROM lineitem GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery: top-3 orders per customer. The modern SQL
+# spelling of the reference's correlated-subquery machinery (binder/
+# expression/subquery.rs binds scalar subqueries; LATERAL generalizes them
+# to table-valued correlation). Catalyst decorrelates the per-customer
+# ORDER BY + LIMIT into a ranked window join — no per-row subplan executes,
+# which is what makes this shape survive 10^9 customers.
+# ---------------------------------------------------------------------------
+def q_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(f"""
+        SELECT c.c_custkey, t.o_orderkey, t.price
+        FROM parquet.`{sf_dir}/customer.parquet` c,
+        LATERAL (
+          SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+          FROM parquet.`{sf_dir}/orders.parquet` o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 3
+        ) t
+        WHERE c.c_custkey < 200
+    """)
+
+
+_LATERAL_TOPK_ORACLE = """
+SELECT c.c_custkey, t.o_orderkey, t.price
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 3
+) t
+WHERE c.c_custkey < 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH each
+# other instead of vanishing — the semantics SCD/merge pipelines need when a
+# business key is legitimately absent on both sides. Spark plans EqualNullSafe
+# as an ordinary hash-join key (coalesced internally), so this stays a
+# BroadcastHashJoin — no nested loop.
+# ---------------------------------------------------------------------------
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    ck = F.when(F.col("c_acctbal") < 0, F.lit(None).cast("long")).otherwise(
+        F.col("c_nationkey").cast("long")
+    )
+    sk = F.when(F.col("s_acctbal") < 0, F.lit(None).cast("long")).otherwise(
+        F.col("s_nationkey").cast("long")
+    )
+    a = c.select(ck.alias("k"))
+    b = s.select(sk.alias("kb"))
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("kb")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+_NULL_SAFE_JOIN_ORACLE = """
+WITH a AS (
+  SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END::BIGINT AS k
+  FROM customer
+),
+b AS (
+  SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END::BIGINT AS kb
+  FROM supplier
+)
+SELECT k, COUNT(*)::BIGINT AS n_pairs
+FROM a JOIN b ON k IS NOT DISTINCT FROM kb
+GROUP BY k
+"""
+
+
 for spec in [
     QuerySpec("modulo_buckets", q_modulo, _MODULO_ORACLE, "% modulo arithmetic (reference binds but panics: array_compute.rs:75-87)"),
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1-style group agg"),
@@ -838,5 +915,7 @@ for spec in [
     QuerySpec("topk", q_topk, _TOPK_ORACLE, "fused top-k"),
     QuerySpec("events_rollup", q_events_rollup, _EVENTS_ROLLUP_ORACLE, "tumbling-window rollup (batch twin of streaming)"),
     QuerySpec("events_hopping", q_events_hopping, _EVENTS_HOPPING_ORACLE, "hopping/sliding 60m-by-30m window rollup (overlapping-window shape)"),
+    QuerySpec("lateral_topk_orders", q_lateral_topk_orders, _LATERAL_TOPK_ORACLE, "LATERAL correlated top-3 per customer (decorrelated to ranked join)"),
+    QuerySpec("null_safe_join", q_null_safe_join, _NULL_SAFE_JOIN_ORACLE, "null-safe equality join (<=> / IS NOT DISTINCT FROM)"),
 ]:
     register(spec)

@@ -531,3 +531,59 @@ register(
         "MERGE upsert (TPC-H refresh shape): deterministic delta into the base table, per-status post-merge rollup",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned scan: hive-style partitionBy layout + a partition-key
+# filter. The scan must open ONLY the matching partition directory — at
+# 100 TB this is the difference between reading one status's files and
+# reading the table (partition pruning happens at PLANNING time from
+# directory metadata, before any I/O; tests/test_scale.py pins it via
+# inputFiles). The layout is written once per (app, sf) behind a lock and
+# reused — real warehouses pay the partitioned write once at ingest.
+# ---------------------------------------------------------------------------
+import tempfile as _tempfile
+import threading as _threading
+
+_PART_LAYOUT_MEMO: dict[tuple[str, str], str] = {}
+_PART_LAYOUT_LOCK = _threading.Lock()
+
+
+def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    from templatedb_spark.suite import table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _PART_LAYOUT_LOCK:
+        if key not in _PART_LAYOUT_MEMO:
+            out = _tempfile.mkdtemp(prefix="orders_by_status_")
+            table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+                "o_orderstatus"
+            ).parquet(out)
+            _PART_LAYOUT_MEMO[key] = out
+    return _PART_LAYOUT_MEMO[key]
+
+
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = partitioned_orders_path(spark, sf_dir)
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("sum_price"),
+    )
+
+
+_PART_PRUNED_ORACLE = """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS sum_price
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY 1
+"""
+
+register(
+    QuerySpec(
+        "partition_pruned_scan",
+        partition_pruned_scan,
+        _PART_PRUNED_ORACLE,
+        "hive-partitioned layout + partition-key filter: planning-time pruning opens one status directory",
+    )
+)

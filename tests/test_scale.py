@@ -131,3 +131,25 @@ def test_salt_entropy_guard(spark):
         salted_group_count(
             table(spark, SF_SMALL, "lineitem"), "l_suppkey", salt_cols=["l_suppkey"]
         )
+
+
+def test_partition_pruning_opens_one_directory(spark):
+    """The o_orderstatus='F' filter must prune at planning time: every file
+    the scan touches lives under the matching partition directory."""
+    from templatedb_spark.operators.scale import partition_pruned_scan
+
+    import io
+    from contextlib import redirect_stdout
+
+    df = partition_pruned_scan(spark, SF_SMALL)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the status predicate must appear as a PARTITION filter on the scan
+    # (planning-time directory pruning), not a post-scan data filter
+    assert "PartitionFilters" in plan, plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "o_orderstatus" in pf and "F" in pf, pf
