@@ -98,7 +98,8 @@ def main() -> None:
     # `critical` = the suite's makespan critical path (multi-stage dedup
     # self-joins); they get the top-weight scheduler pool.
     critical = [
-        "stream_cdc_kv_state",  # 3 sequential streaming triggers: longest chain
+        "stream_sessionize_closed",  # 3 stateful streaming triggers: longest chain
+        "stream_cdc_kv_state",  # 3 sequential streaming triggers
         "ann_lsh_banded_topk",
         "dedup_ngram_jaccard",
         "dedup_ngram_capped",

@@ -98,3 +98,82 @@ register(
         "Structured Streaming CDC (3 micro-batches, foreachBatch -> KV MVCC) vs whole-feed compaction oracle",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Second gated streaming spec: the CUSTOM STATEFUL operator
+# (applyInPandasWithState gap-sessionization, streaming/stateful.py) under
+# the same oracle discipline. The stream drains the 3-micro-batch staging
+# (state spans batch boundaries — a session opened in batch 1 closes in
+# batch 3 only if a later event arrives past the gap), emitting sessions AS
+# THEY CLOSE; each user's final session stays open in the state store. The
+# oracle is therefore the batch sessionization SQL minus every user's last
+# session — divergence in state carry-over, gap logic, or emit timing
+# hash-mismatches.
+# ---------------------------------------------------------------------------
+def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from templatedb_spark.streaming.events import read_events_stream
+    from templatedb_spark.streaming.stateful import stream_sessionize
+
+    stage = tempfile.mkdtemp(prefix="sess_stage_")
+    _stage_microbatches(sf_dir, stage)
+    name = f"gate_sessions_{os.path.basename(stage).split('_')[-1]}"
+    q = (
+        stream_sessionize(read_events_stream(spark, stage))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = spark.table(name)
+    return t.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("session_value").cast("double").alias("session_value"),
+    )
+
+
+# Batch sessionization (same text as the `sessionize` spec's oracle) minus
+# each user's final — still-open — session.
+_STREAM_SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+s AS (
+  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+),
+agg AS (
+  SELECT user_id, session_seq,
+         COUNT(*)::BIGINT AS n_events,
+         STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+         ROUND(SUM(value), 2) AS session_value
+  FROM s GROUP BY user_id, session_seq
+),
+mx AS (SELECT user_id, MAX(session_seq) AS mx FROM agg GROUP BY user_id)
+SELECT a.user_id::BIGINT AS user_id, a.session_start, a.session_end,
+       a.n_events, a.session_value::DOUBLE AS session_value
+FROM agg a JOIN mx USING (user_id)
+WHERE a.session_seq < mx.mx
+"""
+
+register(
+    QuerySpec(
+        "stream_sessionize_closed",
+        stream_sessionize_closed,
+        _STREAM_SESSIONIZE_ORACLE,
+        "applyInPandasWithState sessionization over 3 micro-batches (state spans batches) vs batch-minus-open-sessions oracle",
+    )
+)

@@ -69,6 +69,8 @@ def test_division_specs_survive_ansi_mode(spark):
         "funnel_signup_purchase",
         "event_transitions",
         "rolling_active_users",
+        "ngram_novelty",  # novelty_frac = n_novel / count (r4)
+        "dedup_substring",  # dup_frac division (r4 plan rewrite)
     ]
     specs = all_specs()
     prev = spark.conf.get("spark.sql.ansi.enabled")
