@@ -149,3 +149,45 @@ def test_engine_select_list_subquery_alias_in_where(spark, t_shadow):
     ).collect()
     assert [r.v1 for r in rows] == [1, 2, 3]
     assert all(r.mx == 3 for r in rows)
+
+
+# ------------------------------------------------------------- properties ----
+
+
+def test_tokenizer_offsets_reconstruct_source():
+    """Token offsets are exact slices of the source: applying zero edits is
+    identity, and every token's text equals its source slice."""
+    cases = [
+        "select a, 'it''s a ''test''' as s, f(g(1,2)) from t where x > 'a>b'",
+        "SELECT * FROM (SELECT v1 FROM t1) s JOIN t2 ON s.v1 = t2.v1 -- comment\nWHERE t2.a <> 1.5e3",
+        "select \"quoted col\", x::int from t offset 1 limit 2",
+    ]
+    from templatedb_spark import sqlparse as sp
+
+    for sql in cases:
+        toks = sp.tokenize(sql)
+        for t in toks:
+            assert sql[t.start : t.end] == t.text
+        assert sp.apply_edits(sql, []) == sql
+
+
+def test_random_edit_roundtrip_hypothesis():
+    """Property: for generated WHERE-alias queries, substitution never touches
+    string literals and always produces SQL that re-tokenizes cleanly."""
+    import random
+
+    from templatedb_spark import sqlparse as sp
+
+    rng = random.Random(42)
+    names = ["a", "b2", "colx"]
+    for _ in range(200):
+        alias = rng.choice(names)
+        lit = f"'{alias} > {rng.randint(0, 9)}'"
+        sql = (
+            f"select v1+{rng.randint(1, 9)} as {alias} from t1 "
+            f"where s = {lit} and {alias} >= {rng.randint(0, 5)}"
+        )
+        out = sp.substitute_where_aliases(sql, sp.select_aliases(sql))
+        assert lit in out  # literal untouched
+        assert f"(v1+" in out  # alias substituted
+        sp.tokenize(out)  # still lexes
