@@ -272,8 +272,47 @@ def test_random_query_matches_duckdb(sql, spark, duck):
     assert got == want, sql
 
 
+def _gen_query6(rng: random.Random) -> str:
+    """Round-4 grammar: the LATERAL / null-safe surfaces the round-4 specs
+    opened. LATERAL legs carry a total ORDER BY + LIMIT (deterministic);
+    null-safe legs compare CASE-derived nullable keys with IS NOT DISTINCT
+    FROM — both engines share these semantics exactly."""
+    if rng.random() < 0.5:
+        k = rng.randint(1, 4)
+        cut = rng.randint(20, 300)
+        direction = rng.choice(["DESC", "ASC"])
+        return (
+            "SELECT c.c_custkey, t.o_orderkey, t.price FROM customer c, "
+            "LATERAL (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price "
+            "FROM orders o WHERE o.o_custkey = c.c_custkey "
+            f"ORDER BY o_totalprice {direction}, o_orderkey ASC LIMIT {k}) t "
+            f"WHERE c.c_custkey < {cut}"
+        )
+    thresh_a = round(rng.uniform(-500, 2000), 2)
+    thresh_b = round(rng.uniform(-500, 2000), 2)
+    mod = rng.randint(2, 6)
+    return (
+        "WITH a AS (SELECT CASE WHEN c_acctbal < "
+        f"{thresh_a} THEN NULL ELSE c_nationkey % {mod} END AS k FROM customer), "
+        "b AS (SELECT CASE WHEN c_acctbal < "
+        f"{thresh_b} THEN NULL ELSE c_nationkey % {mod} END AS kb FROM customer "
+        "WHERE c_custkey < 300) "
+        "SELECT k, COUNT(*) AS n_pairs FROM a JOIN b ON k IS NOT DISTINCT FROM kb GROUP BY k"
+    )
+
+
 _NUM_CASES5 = 25
 _CASES5 = [_gen_query5(random.Random(_SEED + 4000 + i)) for i in range(_NUM_CASES5)]
+_NUM_CASES6 = 15
+_CASES6 = [_gen_query6(random.Random(_SEED + 5000 + i)) for i in range(_NUM_CASES6)]
+
+
+@pytest.mark.parametrize("sql", _CASES6)
+def test_lateral_nullsafe_fuzz_matches_duckdb(sql, spark, duck):
+    got = normalize_pdf(spark.sql(sql).toPandas())
+    want = normalize_pdf(duck.sql(sql).df())
+    assert len(got) == len(want), f"rowcount {len(got)} vs {len(want)}\n{sql}"
+    assert got == want, sql
 
 
 @pytest.mark.parametrize("sql", _CASES5)

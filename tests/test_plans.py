@@ -519,3 +519,40 @@ def test_quantile_sketch_accuracy_and_shape(spark):
         exact = xs[min(len(xs) - 1, max(0, math.ceil(q * len(xs)) - 1))]
         assert abs(r["est"] - exact) <= 2 * width, (q, r["est"], exact, width)
     assert not uses_python_udf(df)
+
+
+def test_lateral_decorrelates_to_ranked_join(spark):
+    """The correlated LATERAL (ORDER BY + LIMIT per customer) must NOT run a
+    per-row subplan or a cartesian product: Catalyst decorrelates it into a
+    Window (per-key ranking) over a hash join — the shape that survives 10^9
+    outer rows."""
+    import io
+    from contextlib import redirect_stdout
+
+    from templatedb_spark.suite import all_specs
+
+    df = all_specs()["lateral_topk_orders"].spark(spark, SF_SMALL)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan, plan
+    assert "Join" in plan, plan
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """EqualNullSafe keys plan as an ordinary hash join (Spark coalesces the
+    key internally) — never BroadcastNestedLoopJoin."""
+    import io
+    from contextlib import redirect_stdout
+
+    from templatedb_spark.suite import all_specs
+
+    df = all_specs()["null_safe_join"].spark(spark, SF_SMALL)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan, plan
