@@ -61,11 +61,16 @@ def stream_cdc_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from templatedb_spark.streaming.cdc import changes_from_events, stream_cdc_to_kv
     from templatedb_spark.streaming.events import read_events_stream
 
+    import shutil
+
     stage = tempfile.mkdtemp(prefix="cdc_stage_")
     _stage_microbatches(sf_dir, stage)
     kv = KVTable(spark, tempfile.mkdtemp(prefix="cdc_kv_"))
     stream = changes_from_events(read_events_stream(spark, stage))
     stream_cdc_to_kv(stream, kv, f"gate_cdc_{abs(hash(stage))}")
+    # the drain is complete and the returned DataFrame reads only the KV
+    # dir — drop the staged micro-batches so repeated runs don't litter /tmp
+    shutil.rmtree(stage, ignore_errors=True)
     snap = kv.snapshot()  # (key string, value string)
     parts = F.split(F.col("value"), r"\|", 2)
     return snap.select(
@@ -129,6 +134,9 @@ def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)  # memory sink holds the rows now
     t = spark.table(name)
     return t.select(
         F.col("user_id").cast("long").alias("user_id"),
