@@ -143,7 +143,9 @@ def main() -> None:
                 parts = f.readline().split()
             vals = [int(x) for x in parts[1:]]
             steal = vals[7] if len(vals) > 7 else 0
-            return steal, sum(vals)
+            # denominator: user..steal only — guest/guest_nice are already
+            # folded into user/nice by the kernel (double-count otherwise)
+            return steal, sum(vals[:8])
         except Exception:
             return None
 

@@ -131,6 +131,17 @@ class Engine:
                         header = arg[2].lower != "false"
                     elif key == "delim" and arg[2].kind == "str":
                         delim = arg[2].text[1:-1].replace("''", "'")
+                    elif key == "path" and arg[2].kind == "str":
+                        path = arg[2].text[1:-1].replace("''", "'")
+            if path is None:
+                # regex-era fallback: first string literal anywhere in the args
+                for arg in args:
+                    for tok in arg:
+                        if tok.kind == "str":
+                            path = tok.text[1:-1].replace("''", "'")
+                            break
+                    if path is not None:
+                        break
             if path is None:
                 continue
             header = True if header is None else header
@@ -181,14 +192,14 @@ class Engine:
                 )
         return query
 
-    def _in_scope_columns(self, query: str) -> set[str]:
+    def _in_scope_columns(self, query: str, tokens=None) -> set[str]:
         """Lowercased column names of every plain table in the outer FROM —
         the shadowing set for WHERE-alias substitution (reference binder
         checks table columns before select aliases)."""
         from templatedb_spark import sqlparse
 
         cols: set[str] = set()
-        for name in sqlparse.from_tables(query):
+        for name in sqlparse.from_tables(query, tokens):
             if self.catalog is not None and name in getattr(self.catalog, "tables", {}):
                 cols.update(d.name.lower() for d in self.catalog.tables[name])
                 continue
@@ -217,10 +228,15 @@ class Engine:
         query = self._rewrite_quoted_csv(query)
         query = self._rewrite_introspection(query)
         query = sqlparse.normalize_offset_limit(query)
-        aliases = extract_select_aliases(query)
+        # one lex shared by the three final (non-editing) analyses
+        tokens = sqlparse.tokenize(query)
+        aliases = sqlparse.select_aliases(query, tokens)
         if aliases:
-            query = substitute_where_aliases(
-                query, aliases, shadowed=self._in_scope_columns(query)
+            query = sqlparse.substitute_where_aliases(
+                query,
+                aliases,
+                shadowed=self._in_scope_columns(query, tokens),
+                tokens=tokens,
             )
         return self.spark.sql(query)
 

@@ -85,7 +85,15 @@ class KVTable:
         return Path(self.path) / "MANIFEST"
 
     def _load_manifest(self) -> dict[int, list[int]]:
-        """Replay the edit log → {live version: sorted bucket ids}."""
+        """Replay the edit log → {live version: sorted bucket ids}.
+
+        A torn record (crash mid-append) is SKIPPED: it was never a commit —
+        its version number stays unassigned (latest_version won't count it)
+        and its leftover dir is cleared when the number is reused
+        (_clear_orphan). Later lines still replay, because _append_manifest
+        repairs the missing newline before the next commit, so valid records
+        can legitimately follow a torn one.
+        """
         if not self._manifest.exists():
             return self._recover_manifest()
         state: dict[int, list[int]] = {}
@@ -94,19 +102,26 @@ class KVTable:
                 line = line.strip()
                 if not line:
                     continue
-                rec = json.loads(line)
-                if rec["op"] == "add":
-                    state[rec["v"]] = rec["buckets"]
-                elif rec["op"] == "drop":
-                    state.pop(rec["v"], None)
+                try:
+                    rec = json.loads(line)
+                    op, v = rec["op"], rec["v"]
+                except (ValueError, KeyError, TypeError):
+                    continue  # torn append: never committed, skip
+                if op == "add":
+                    state[v] = rec.get("buckets", [])
+                elif op == "drop":
+                    state.pop(v, None)
         return state
 
     def _recover_manifest(self) -> dict[int, list[int]]:
         """Pre-manifest table (or lost manifest): rebuild from the directory
-        layout once, persist, and never walk again."""
+        layout once, persist, and never walk again. Only version dirs whose
+        parquet job COMMITTED (Hadoop _SUCCESS marker) are resurrected — a
+        half-written delta must not become durable through recovery (the
+        commit-point contract survives manifest loss)."""
         state: dict[int, list[int]] = {}
         for p in Path(self.path).glob("version=*"):
-            if p.is_dir():
+            if p.is_dir() and (p / "_SUCCESS").exists():
                 v = int(p.name.split("=")[1])
                 state[v] = sorted(
                     int(b.name.split("=")[1]) for b in p.glob("bucket=*") if b.is_dir()
@@ -115,9 +130,32 @@ class KVTable:
             self._write_manifest_snapshot(state)
         return state
 
+    def _clear_orphan(self, v: int) -> None:
+        """Remove an UNCOMMITTED leftover dir for version v (written by a
+        crashed batch whose manifest line never landed). Without this the
+        next write_batch re-derives the same v from the manifest and the
+        errorifexists write fails forever — the one crash window the round-4
+        review found in the manifest design."""
+        import shutil
+
+        d = Path(f"{self.path}/version={v}")
+        if d.exists():
+            shutil.rmtree(d, ignore_errors=True)
+
     def _append_manifest(self, record: dict) -> None:
+        # If a crashed append left a torn tail WITHOUT a newline, start this
+        # record on a fresh line — otherwise the new commit glues onto the
+        # partial record and the end-of-log replay rule would discard BOTH.
+        lead = ""
+        try:
+            with open(self._manifest, "rb") as f:
+                f.seek(-1, 2)
+                if f.read(1) != b"\n":
+                    lead = "\n"
+        except OSError:
+            pass  # missing or empty file
         with open(self._manifest, "a", encoding="utf-8") as f:
-            f.write(json.dumps(record, separators=(",", ":")) + "\n")
+            f.write(lead + json.dumps(record, separators=(",", ":")) + "\n")
 
     def _write_manifest_snapshot(self, state: dict[int, list[int]]) -> None:
         tmp = self._manifest.with_suffix(".tmp")
@@ -169,6 +207,7 @@ class KVTable:
         # one shuffle to co-locate buckets → exactly one file per bucket dir;
         # without it every input slice writes its own sliver into every bucket
         # (32 slices × 16 buckets = hundreds of tiny files per version)
+        self._clear_orphan(v)
         df.repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
             "errorifexists"
         ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
@@ -273,9 +312,12 @@ class KVTable:
         out = state.withColumn("version", F.lit(v).cast("long")).select(
             "key", "value", "op", "version"
         ).withColumn("bucket", _bucket_col())
-        out.write.mode("errorifexists").partitionBy("bucket").parquet(
-            f"{self.path}/version={v}"
-        )
+        self._clear_orphan(v)
+        # same one-file-per-bucket discipline as write_batch — the compacted
+        # base is the version every subsequent read opens
+        out.repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
+            "errorifexists"
+        ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
         root = Path(f"{self.path}/version={v}")
         buckets = sorted(
             int(b.name.split("=")[1]) for b in root.glob("bucket=*") if b.is_dir()
@@ -325,6 +367,7 @@ class MergeKVTable(KVTable):
             F.lit("put").alias("op"),
             F.lit(v).cast("long").alias("version"),
         ).withColumn("bucket", _bucket_col())
+        self._clear_orphan(v)
         out.repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
             "errorifexists"
         ).partitionBy("bucket").parquet(f"{self.path}/version={v}")

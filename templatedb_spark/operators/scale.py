@@ -552,6 +552,9 @@ _PART_LAYOUT_LOCK = _threading.Lock()
 def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     from templatedb_spark.suite import table
 
+    import atexit
+    import shutil
+
     key = (spark.sparkContext.applicationId, sf_dir)
     with _PART_LAYOUT_LOCK:
         if key not in _PART_LAYOUT_MEMO:
@@ -560,6 +563,10 @@ def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
                 "o_orderstatus"
             ).parquet(out)
             _PART_LAYOUT_MEMO[key] = out
+            # the layout must outlive every lazy DataFrame built on it, so
+            # cleanup is process-exit, not eager (repeated bench runs were
+            # accumulating full orders copies in /tmp)
+            atexit.register(shutil.rmtree, out, ignore_errors=True)
     return _PART_LAYOUT_MEMO[key]
 
 

@@ -27,14 +27,17 @@ _TOKEN_RE = re.compile(
     r"""
       (?P<ws>\s+)
     | (?P<comment>--[^\n]*)
+    | (?P<bcomment>/\*.*?\*/)
     | (?P<str>'(?:[^']|'')*')
     | (?P<dq>"(?:[^"]|"")*")
+    | (?P<bq>`[^`]*`)
     | (?P<num>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+)
     | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
     | (?P<op><>|!=|<=|>=|=>|::|\|\||[=<>+\-*/%])
     | (?P<punct>[(),.;\[\]{}:?])
+    | (?P<other>.)
     """,
-    re.VERBOSE,
+    re.VERBOSE | re.DOTALL,
 )
 
 _COMPARISON_OPS = {"=", "!=", "<>", "<", "<=", ">", ">="}
@@ -66,15 +69,19 @@ class SqlSyntaxError(ValueError):
 
 
 def tokenize(sql: str) -> list[Token]:
-    """Lex into significant tokens (whitespace/comments dropped, offsets kept)."""
+    """Lex into significant tokens (whitespace/comments dropped, offsets kept).
+
+    Total: any character outside the grammar (backtick paths handled above;
+    `&`, `~`, `@`, `$`, …) lexes as an opaque `other` token rather than
+    raising — the shims only act on patterns they recognize, so unknown
+    syntax must flow through to Spark untouched (the round-4 regression a
+    review caught: Engine.sql must never be STRICTER than spark.sql)."""
     out: list[Token] = []
     pos = 0
     while pos < len(sql):
         m = _TOKEN_RE.match(sql, pos)
-        if not m:
-            raise SqlSyntaxError(f"unexpected character {sql[pos]!r} at offset {pos}")
         kind = m.lastgroup
-        if kind not in ("ws", "comment"):
+        if kind not in ("ws", "comment", "bcomment"):
             out.append(Token(kind, m.group(), m.start(), m.end()))
         pos = m.end()
     return out
@@ -243,7 +250,10 @@ def from_tables(sql: str, tokens: list[Token] | None = None) -> list[str]:
 
 
 def substitute_where_aliases(
-    sql: str, aliases: dict[str, str], shadowed: set[str] = frozenset()
+    sql: str,
+    aliases: dict[str, str],
+    shadowed: set[str] = frozenset(),
+    tokens: list[Token] | None = None,
 ) -> str:
     """Replace alias identifiers with their source expressions inside the
     WHERE clause only, per the reference binder's resolution order: a name
@@ -257,7 +267,7 @@ def substitute_where_aliases(
     live = {k.lower(): v for k, v in aliases.items() if k.lower() not in shadowed}
     if not live:
         return sql
-    tokens = tokenize(sql)
+    tokens = tokenize(sql) if tokens is None else tokens
     clauses = top_level_clauses(tokens)
     if "where" not in clauses:
         return sql

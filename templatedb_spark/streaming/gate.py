@@ -61,11 +61,15 @@ def stream_cdc_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from templatedb_spark.streaming.cdc import changes_from_events, stream_cdc_to_kv
     from templatedb_spark.streaming.events import read_events_stream
 
+    import atexit
     import shutil
 
     stage = tempfile.mkdtemp(prefix="cdc_stage_")
     _stage_microbatches(sf_dir, stage)
-    kv = KVTable(spark, tempfile.mkdtemp(prefix="cdc_kv_"))
+    kv_dir = tempfile.mkdtemp(prefix="cdc_kv_")
+    # the returned DataFrame lazily reads this dir — clean at process exit
+    atexit.register(shutil.rmtree, kv_dir, ignore_errors=True)
+    kv = KVTable(spark, kv_dir)
     stream = changes_from_events(read_events_stream(spark, stage))
     stream_cdc_to_kv(stream, kv, f"gate_cdc_{abs(hash(stage))}")
     # the drain is complete and the returned DataFrame reads only the KV
@@ -108,7 +112,11 @@ register(
 # ---------------------------------------------------------------------------
 # Second gated streaming spec: the CUSTOM STATEFUL operator
 # (applyInPandasWithState gap-sessionization, streaming/stateful.py) under
-# the same oracle discipline. The stream drains the 3-micro-batch staging
+# the same oracle discipline. (Negative result, measured r4: raising the
+# state-store partition count via a cloned session — 8→32→64 — made the
+# drain SLOWER, 4.1→4.7→5.9 s at sf0.1: per-instance state-store and task
+# overhead beats the extra python parallelism at this group count. The
+# session default stands.) The stream drains the 3-micro-batch staging
 # (state spans batch boundaries — a session opened in batch 1 closes in
 # batch 3 only if a later event arrives past the gap), emitting sessions AS
 # THEY CLOSE; each user's final session stays open in the state store. The

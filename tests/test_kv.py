@@ -217,3 +217,48 @@ def test_compact_rewrites_manifest_snapshot(kv):
     assert set(state) == {v}
     assert kv.get("b") == "2"
     assert kv.get("a") is None
+
+
+def test_orphan_version_collision_self_heals(kv):
+    """Crash window: delta dir written, manifest line not. The next batch
+    re-derives the same version number and must CLEAR the uncommitted orphan
+    instead of failing errorifexists forever (round-4 review finding)."""
+    kv.put("a", "1")
+    v_orphan = kv.latest_version() + 1
+    _raw_version(kv.path, v_orphan, [("ghost", "g", "put")])
+    v2 = kv.put("b", "2")  # reuses v_orphan's number
+    assert v2 == v_orphan
+    assert kv.get("b") == "2"
+    assert kv.get("ghost") is None  # the orphan's contents are gone
+    assert kv.get("a") == "1"
+
+
+def test_torn_manifest_tail_skipped_and_repaired(kv):
+    """A truncated final manifest line (crash mid-append) must not brick the
+    table: reads skip it, and the next commit starts on a fresh line."""
+    kv.put("a", "1")
+    with open(kv._manifest, "a", encoding="utf-8") as f:
+        f.write('{"op":"add","v":99,"buck')  # torn, no newline
+    assert kv.get("a") == "1"  # replay skips the torn record
+    assert kv.latest_version() == 0
+    kv.put("b", "2")  # append must repair the newline first
+    assert kv.get("b") == "2"
+    assert kv.get("a") == "1"
+    state = kv._load_manifest()
+    assert 99 not in state
+
+
+def test_recovery_skips_uncommitted_dirs(spark):
+    """Lost MANIFEST + a version dir without _SUCCESS (half-written batch):
+    recovery must not resurrect the torn batch."""
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d)
+        kv.put("a", "1")  # real spark write -> _SUCCESS present
+        _raw_version(d, 7, [("torn", "x", "put")])  # no _SUCCESS
+        os.remove(kv._manifest)
+        assert kv.get("a") == "1"  # recovered from _SUCCESS-marked dir
+        assert kv.get("torn") is None
+        assert 7 not in kv._load_manifest()

@@ -191,3 +191,39 @@ def test_random_edit_roundtrip_hypothesis():
         assert lit in out  # literal untouched
         assert f"(v1+" in out  # alias substituted
         sp.tokenize(out)  # still lexes
+
+
+# ----------------------------------------------------- round-4 review fixes --
+
+
+def test_tokenizer_total_on_foreign_syntax():
+    """Engine.sql must never be stricter than spark.sql: backtick paths,
+    bitwise ops, block comments, and arbitrary symbols lex as opaque tokens
+    instead of raising (review finding: tokenize() used to hard-fail)."""
+    cases = [
+        "SELECT * FROM parquet.`/tmp/x.parquet`",
+        "select 1 | 2, 3 & 1, ~4, a ^ b from t",
+        "select /* block 'quote' */ v1 from t",
+        "select a#b, $var from t",
+    ]
+    for sql in cases:
+        toks = sp.tokenize(sql)  # no raise
+        assert all(sql[t.start : t.end] == t.text for t in toks)
+
+
+def test_engine_passes_backtick_path_through(spark):
+    eng = Engine(spark)
+    rows = eng.sql(
+        "SELECT count(*) AS n FROM parquet.`/root/testdata/sf0.001/region.parquet`"
+    ).collect()
+    assert rows[0].n == 5
+
+
+def test_read_csv_named_path_arg(spark, tmp_path):
+    p = tmp_path / "named.csv"
+    p.write_text("a,b\n1,2\n3,4\n")
+    eng = Engine(spark)
+    rows = eng.sql(f"select * from read_csv(path => '{p}') order by a").collect()
+    assert [(r.a, r.b) for r in rows] == [("1", "2"), ("3", "4")] or [
+        (int(r.a), int(r.b)) for r in rows
+    ] == [(1, 2), (3, 4)]
