@@ -214,6 +214,43 @@ class KVTable:
         self._commit_version(v)
         return v
 
+    def write_batch_df(self, changes: DataFrame) -> int:
+        """Atomic batch from a DISTRIBUTED (key, value, op) DataFrame — the
+        streaming-ingest shape: no driver materialization anywhere, the
+        change set flows shuffle→write entirely on executors (the dict-based
+        write_batch is O(distinct keys) on the driver, which its docstring
+        admits is the one driver-side step; this is the 100 TB path).
+
+        Contract matches write_batch: op in ('put','del'), and at most one
+        row per key per batch — the caller's responsibility (the streaming
+        path's net-effect compaction guarantees it), exactly as the
+        reference WriteBatch expects pre-deduplicated records. Returns the
+        committed version, or the current latest for an empty batch (no
+        empty versions, same as write_batch).
+        """
+        v = self.latest_version() + 1
+        out = changes.select(
+            F.col("key").cast("string").alias("key"),
+            F.col("value").cast("string").alias("value"),
+            F.col("op").cast("string").alias("op"),
+            F.lit(v).cast("long").alias("version"),
+        ).withColumn("bucket", _bucket_col())
+        self._clear_orphan(v)
+        out.repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
+            "errorifexists"
+        ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
+        root = Path(f"{self.path}/version={v}")
+        buckets = sorted(
+            int(b.name.split("=")[1]) for b in root.glob("bucket=*") if b.is_dir()
+        )
+        if not buckets:  # empty batch: no data dirs were produced — no commit
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            return self.latest_version()
+        self._append_manifest({"op": "add", "v": v, "buckets": buckets})
+        return v
+
     def put(self, key: str, value: str) -> int:
         return self.write_batch(puts={key: value})
 
@@ -361,6 +398,36 @@ class MergeKVTable(KVTable):
             state = state.unionByName(
                 self.spark.createDataFrame(list(live.items()), "key string, value string")
             )
+        out = state.select(
+            "key",
+            "value",
+            F.lit("put").alias("op"),
+            F.lit(v).cast("long").alias("version"),
+        ).withColumn("bucket", _bucket_col())
+        self._clear_orphan(v)
+        out.repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
+            "errorifexists"
+        ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
+        self._commit_version(v)
+        return v
+
+    def write_batch_df(self, changes: DataFrame) -> int:
+        """Distributed-changes twin of write_batch (see KVTable.write_batch_df
+        for the contract): the three-branch MERGE runs entirely as a
+        DataFrame plan — anti-join drops touched keys from the previous
+        state, the batch's puts union in. No driver materialization."""
+        if changes.isEmpty():
+            return self.latest_version()
+        v = self.latest_version() + 1
+        ch = changes.select(
+            F.col("key").cast("string").alias("key"),
+            F.col("value").cast("string").alias("value"),
+            F.col("op").cast("string").alias("op"),
+        )
+        prev = self.snapshot()
+        state = prev.join(ch.select("key"), "key", "left_anti").unionByName(
+            ch.filter(F.col("op") == "put").select("key", "value")
+        )
         out = state.select(
             "key",
             "value",

@@ -262,3 +262,26 @@ def test_recovery_skips_uncommitted_dirs(spark):
         assert kv.get("a") == "1"  # recovered from _SUCCESS-marked dir
         assert kv.get("torn") is None
         assert 7 not in kv._load_manifest()
+
+
+def test_write_batch_df_distributed_contract(kv):
+    """DataFrame-native batch API (round 4): same semantics as write_batch —
+    puts land, 'del' rows tombstone, an empty batch commits no version —
+    with zero driver materialization on the write path."""
+    spark = kv.spark
+    kv.put("keep", "k0")
+    v0 = kv.latest_version()
+    changes = spark.createDataFrame(
+        [("a", "1", "put"), ("b", "2", "put"), ("keep", None, "del")],
+        "key string, value string, op string",
+    )
+    v1 = kv.write_batch_df(changes)
+    assert v1 == v0 + 1
+    assert kv.get("a") == "1"
+    assert kv.get("b") == "2"
+    assert kv.get("keep") is None
+    assert kv.get("keep", as_of=v0) == "k0"  # MVCC preserved
+    # empty batch: no new version
+    empty = spark.createDataFrame([], "key string, value string, op string")
+    assert kv.write_batch_df(empty) == v1
+    assert kv.latest_version() == v1

@@ -345,3 +345,19 @@ def test_stream_hopping_matches_batch_spec(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_event_values_format_safe():
+    """The distributed CDC write formats DOUBLE values with Spark
+    (kv_value_col) while the batch-twin comparison formats with Python str().
+    Java Double.toString and Python repr agree on shortest plain-decimal in
+    [1e-3, 1e7) but diverge outside (scientific-notation thresholds). Guard:
+    no event value may live in the divergence zone, so a data regen that
+    lands there surfaces as a clear data problem, not a silent KV-value
+    mismatch (same pattern as the documents-are-ASCII guard)."""
+    import pyarrow.parquet as pq
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        vals = pq.read_table(f"{sf}/events.parquet", columns=["value"])["value"].to_pylist()
+        bad = [v for v in vals if v is not None and v != 0 and (abs(v) < 1e-3 or abs(v) >= 1e7)]
+        assert not bad, f"{sf}: values in the Java/Python format-divergence zone: {bad[:5]}"
