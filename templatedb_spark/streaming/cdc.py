@@ -12,13 +12,13 @@ Asserted against the batch twin in tests/test_streaming.py.
 This is the foreachBatch "merge into sink" pattern from the Structured
 Streaming guide — the exactly-once recipe for CDC into stores without
 native streaming MERGE. Replayed batches overwrite the same keys with the
-same values (idempotent); the collect is bounded by one row per distinct key
-per micro-batch, never the stream volume.
+same values (idempotent).
 
-Scale: compaction is one window per batch partitioned by key; the KV write
-is the only driver-side step and is proportional to the batch's distinct-key
-count (a real deployment swaps KVTable for a Delta MERGE or RocksDB service
-with the same per-batch contract).
+Scale: compaction is one window per batch partitioned by key; since round 4
+the apply is FULLY distributed (KVTable.write_batch_df — shuffle → bucketed
+write on executors, no collect anywhere), so per-batch cost is independent
+of driver memory (a real deployment swaps KVTable for a Delta MERGE or
+RocksDB service with the same per-batch contract).
 """
 
 from __future__ import annotations
