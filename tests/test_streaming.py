@@ -358,6 +358,9 @@ def test_event_values_format_safe():
     import pyarrow.parquet as pq
 
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
-        vals = pq.read_table(f"{sf}/events.parquet", columns=["value"])["value"].to_pylist()
-        bad = [v for v in vals if v is not None and v != 0 and (abs(v) < 1e-3 or abs(v) >= 1e7)]
+        col = pq.read_table(f"{sf}/events.parquet", columns=["value"])["value"]
+        # NULLs would also diverge (Python 'etype|None' vs SQL null semantics)
+        assert col.null_count == 0, f"{sf}: NULL event values"
+        vals = col.to_pylist()
+        bad = [v for v in vals if v != 0 and (abs(v) < 1e-3 or abs(v) >= 1e7)]
         assert not bad, f"{sf}: values in the Java/Python format-divergence zone: {bad[:5]}"
