@@ -96,3 +96,31 @@ def test_orc_predicate_pushdown(spark, tmp_path):
     df = spark.read.orc(path).filter(F.col("o_totalprice") > 100000.0).select("o_orderkey")
     plan = formatted_plan(df)
     assert "PushedFilters" in plan and "o_totalprice" in plan
+
+
+def test_xml_roundtrip_matches_parquet(spark, tmp_path):
+    """Spark 4 built-in XML source: a written XML copy of a table slice must
+    read back value-identical to the parquet original (the enterprise-feed
+    interchange format the reference has no answer for). Types degrade to
+    XML's string/long/double inference, so compare on normalized values."""
+    from templatedb_spark.suite import table
+    from tests.conftest import SF_SMALL
+
+    src = (
+        table(spark, SF_SMALL, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(200)
+    )
+    out = str(tmp_path / "orders_xml")
+    src.write.format("xml").option("rowTag", "order").mode("overwrite").save(out)
+    back = spark.read.format("xml").option("rowTag", "order").load(out)
+    want = {
+        (r.o_orderkey, r.o_orderstatus, round(float(r.o_totalprice), 2))
+        for r in src.collect()
+    }
+    got = {
+        (int(r.o_orderkey), str(r.o_orderstatus), round(float(r.o_totalprice), 2))
+        for r in back.collect()
+    }
+    assert got == want
+    assert back.count() == 200
