@@ -28,6 +28,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -71,6 +72,55 @@ class KVGenDataSource(DataSource):
 
     def reader(self, schema) -> KVGenReader:
         return KVGenReader(self.options)
+
+    def streamReader(self, schema) -> "KVGenStreamReader":
+        return KVGenStreamReader(self.options)
+
+
+class KVGenStreamReader(DataSourceStreamReader):
+    """Streaming twin of KVGenReader — the reference's table-function
+    protocol (bind → execute) extended to micro-batch streaming, the shape
+    of a Kafka-like source expressed through the Python DataSource API:
+
+    - offsets are dicts `{"offset": N}`; `latestOffset` advances by
+      `rowsPerBatch` per trigger until the `numRows` cap (a bounded
+      backlog — availableNow-style draining without special-casing);
+    - `partitions(start, end)` declares the batch's parallel split;
+      `read(partition)` runs on executors and derives every value from the
+      key via md5 — identical bytes to the batch source, so exactly-once
+      across arbitrary retry/batch boundaries is testable by set equality
+      with the batch output;
+    - `commit(end)` is a no-op: the generator is stateless, replay-safe by
+      construction (what a real source does here is trim its WAL).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.num_rows = int(options.get("numrows", 1000))
+        self.rows_per_batch = int(options.get("rowsperbatch", 100))
+        self.num_partitions = int(options.get("numpartitions", 4))
+        self.num_buckets = int(options.get("numbuckets", 16))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(self.num_rows, self._latest + self.rows_per_batch)
+        return {"offset": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = start["offset"], end["offset"]
+        p = max(1, self.num_partitions)
+        step = max(1, (e - s + p - 1) // p)
+        return [_Range(i, min(i + step, e)) for i in range(s, e, step)]
+
+    def read(self, partition: _Range):
+        for key in range(partition.start, partition.end):
+            digest = hashlib.md5(f"k{key}".encode()).hexdigest()
+            yield (key, key % self.num_buckets, digest[:12])
+
+    def commit(self, end: dict) -> None:
+        pass  # stateless generator: nothing to trim
 
 
 # ---------------------------------------------------------------------------

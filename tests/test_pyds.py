@@ -68,3 +68,42 @@ def test_jsondir_write_read_roundtrip(spark, tmp_path):
     with open(os.path.join(path, "part-orphan.jsonl"), "w") as f:
         f.write('[9999, "ghost", 0]\n')
     assert spark.read.format("jsondir").option("path", path).load().count() == 500
+
+
+def test_kvgen_stream_reader_exactly_once(spark):
+    """The Python STREAMING data source (table-function protocol extended to
+    micro-batches): draining the bounded backlog through readStream must
+    produce exactly the batch source's rows — same keys, same md5-derived
+    values, no dups, no gaps — across multiple genuine micro-batches."""
+    register_python_sources(spark)
+    n, per_batch = 500, 120
+    stream = (
+        spark.readStream.format("kvgen")
+        .option("numRows", n)
+        .option("rowsPerBatch", per_batch)
+        .option("numPartitions", 4)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("kvgen_stream_t")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        q.processAllAvailable()
+        if spark.table("kvgen_stream_t").count() >= n:
+            break
+    q.stop()
+    got = {(r.key, r.bucket, r.value) for r in spark.table("kvgen_stream_t").collect()}
+    want = {
+        (r.key, r.bucket, r.value)
+        for r in spark.read.format("kvgen").option("numRows", n).load().collect()
+    }
+    assert got == want  # exactly-once, bit-identical to the batch twin
+    # multiple genuine micro-batches happened (ceil(500/120) = 5)
+    assert q.lastProgress["batchId"] >= 3
