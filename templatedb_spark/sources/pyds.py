@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -217,6 +218,63 @@ class JsonDirDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonDirWriter:
         return JsonDirWriter(dict(self.options), schema.json())
+
+    def streamWriter(self, schema, overwrite: bool) -> "JsonDirStreamWriter":
+        return JsonDirStreamWriter(dict(self.options), schema.json())
+
+
+class JsonDirStreamWriter(DataSourceStreamWriter):
+    """Streaming sink twin of JsonDirWriter: the SAME two-phase-commit
+    contract per EPOCH. Executors write uniquely-named part files tagged
+    with their batch id; the driver's commit(messages, batchId) appends the
+    epoch's file list to the manifest ATOMICALLY (tmp + rename). Exactly-once
+    follows from the combination: a replayed epoch's task files get fresh
+    unique names, but only the files named by a committed epoch record are
+    readable, and an epoch id can commit at most once (idempotent append —
+    a re-committed batchId is dropped). abort() removes the epoch's parts.
+    """
+
+    def __init__(self, options: dict, schema_json: str) -> None:
+        self.path = options["path"]
+        self.schema_json = schema_json
+
+    def write(self, rows) -> _PartFile:
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in rows:
+                f.write(json.dumps(list(row)) + "\n")
+                n += 1
+        return _PartFile(name, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        mpath = os.path.join(self.path, _MANIFEST)
+        manifest = {"schema": self.schema_json, "files": [], "epochs": []}
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+        if batchId in manifest.get("epochs", []):
+            return  # epoch already committed: replay is a no-op
+        manifest.setdefault("epochs", []).append(batchId)
+        manifest["files"].extend(
+            {"name": m.filename, "rows": m.rows, "epoch": batchId}
+            for m in messages
+            if m is not None
+        )
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)  # atomic publish per epoch
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
 
 
 def register_python_sources(spark: SparkSession) -> None:

@@ -107,3 +107,50 @@ def test_kvgen_stream_reader_exactly_once(spark):
     assert got == want  # exactly-once, bit-identical to the batch twin
     # multiple genuine micro-batches happened (ceil(500/120) = 5)
     assert q.lastProgress["batchId"] >= 3
+
+
+def test_kvgen_stream_to_jsondir_stream_sink(spark, tmp_path):
+    """End-to-end PYTHON streaming pipeline: Python stream source -> Python
+    stream sink, both through the DataSource API. The sink commits a
+    manifest record per epoch (tmp+rename atomic), so the committed view is
+    exactly-once: reading the jsondir back must equal the batch kvgen rows,
+    with parts spread across multiple epochs."""
+    import json
+    import os
+
+    register_python_sources(spark)
+    out = str(tmp_path / "stream_out")
+    n = 400
+    stream = (
+        spark.readStream.format("kvgen")
+        .option("numRows", n)
+        .option("rowsPerBatch", 150)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("jsondir")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        q.processAllAvailable()
+        with open(os.path.join(out, "_MANIFEST.json")) as f:
+            if sum(fl["rows"] for fl in json.load(f)["files"]) >= n:
+                break
+    q.stop()
+    back = spark.read.format("jsondir").option("path", out).load()
+    got = {(r.key, r.bucket, r.value) for r in back.collect()}
+    want = {
+        (r.key, r.bucket, r.value)
+        for r in spark.read.format("kvgen").option("numRows", n).load().collect()
+    }
+    assert got == want
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert len(manifest["epochs"]) >= 3  # ceil(400/150) = 3 epochs
