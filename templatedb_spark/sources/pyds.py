@@ -286,3 +286,49 @@ def register_python_sources(spark: SparkSession) -> None:
 def expected_kv_value(key: int) -> str:
     """The oracle twin of KVGenReader.read's value derivation."""
     return hashlib.md5(f"k{key}".encode()).hexdigest()[:12]
+
+
+# ---------------------------------------------------------------------------
+# Driver-gated spec: the Python DataSource protocol under the correctness
+# oracle. kvgen's executor-side value derivation (md5 of "k{key}") is
+# DuckDB-expressible, so the whole bind → partition → per-partition execute
+# chain is hash-compared against SQL — protocol bugs (lost partitions,
+# double reads, value drift) become oracle mismatches. numRows is fixed:
+# the source is input-free by design (ExpressionScan parity), sf_dir unused
+# like the values_scan spec.
+# ---------------------------------------------------------------------------
+_KVGEN_SPEC_ROWS = 2000
+
+
+def pyds_kvgen_scan(spark: SparkSession, sf_dir: str):
+    register_python_sources(spark)
+    return (
+        spark.read.format("kvgen")
+        .option("numRows", _KVGEN_SPEC_ROWS)
+        .option("numPartitions", 8)
+        .load()
+    )
+
+
+_KVGEN_ORACLE = f"""
+SELECT range::BIGINT AS key,
+       (range % 16)::INT AS bucket,
+       substr(md5('k' || range), 1, 12) AS value
+FROM range({_KVGEN_SPEC_ROWS})
+"""
+
+
+def _register_spec() -> None:
+    from templatedb_spark.suite import QuerySpec, register
+
+    register(
+        QuerySpec(
+            "pyds_kvgen_scan",
+            pyds_kvgen_scan,
+            _KVGEN_ORACLE,
+            "Python DataSource protocol (bind/partitions/execute) vs SQL oracle",
+        )
+    )
+
+
+_register_spec()
