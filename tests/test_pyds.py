@@ -154,3 +154,60 @@ def test_kvgen_stream_to_jsondir_stream_sink(spark, tmp_path):
     with open(os.path.join(out, "_MANIFEST.json")) as f:
         manifest = json.load(f)
     assert len(manifest["epochs"]) >= 3  # ceil(400/150) = 3 epochs
+
+
+def test_kvgen_stream_restart_exactly_once_with_offset_dir(spark, tmp_path):
+    """Checkpoint restart: Spark restores committed offsets but builds a
+    FRESH reader, so an in-memory backlog clock regresses below the
+    committed start and duplicates rows (measured: 800 rows for a 600-row
+    backlog). With offsetDir the clock persists across reader instances —
+    the external-system monotonicity a real source has — and a mid-backlog
+    stop/restart drains with NO duplicates."""
+    import json
+    import os
+    import time
+
+    register_python_sources(spark)
+    out, ckpt, odir = (
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "clock"),
+    )
+
+    def start():
+        return (
+            spark.readStream.format("kvgen")
+            .option("numRows", 600)
+            .option("rowsPerBatch", 100)
+            .option("offsetDir", odir)
+            .load()
+            .writeStream.format("jsondir")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def total():
+        try:
+            with open(os.path.join(out, "_MANIFEST.json")) as f:
+                return sum(x["rows"] for x in json.load(f)["files"])
+        except FileNotFoundError:
+            return 0
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline and total() < 200:  # partial drain
+        time.sleep(0.5)
+    q.stop()
+    assert 0 < total() < 600  # genuinely mid-backlog
+
+    q2 = start()
+    deadline = time.time() + 60
+    while time.time() < deadline and total() < 600:
+        q2.processAllAvailable()
+    q2.stop()
+    back = spark.read.format("jsondir").option("path", out).load()
+    keys = [r.key for r in back.collect()]
+    assert sorted(keys) == list(range(600))  # no dups, no gaps, post-restart
