@@ -211,3 +211,64 @@ def test_kvgen_stream_restart_exactly_once_with_offset_dir(spark, tmp_path):
     back = spark.read.format("jsondir").option("path", out).load()
     keys = [r.key for r in back.collect()]
     assert sorted(keys) == list(range(600))  # no dups, no gaps, post-restart
+
+
+def test_jsondir_stream_sink_failed_epoch_invisible(spark, tmp_path):
+    """Atomic epoch visibility: if an epoch's tasks die mid-write, its part
+    files must never become readable — the manifest lists only committed
+    epochs, so readers see exactly the prefix of successful epochs."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    register_python_sources(spark)
+    out, ckpt, odir = (
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "clock"),
+    )
+    src = (
+        spark.readStream.format("kvgen")
+        .option("numRows", 300)
+        .option("rowsPerBatch", 100)
+        .option("offsetDir", odir)
+        .load()
+    )
+    # poison keys >= 100: epoch 0 (rows 0..99) commits, epoch 1 dies mid-write
+    @F.udf("bigint")
+    def poison(k):
+        if k >= 100:
+            raise ValueError("poisoned row")
+        return k
+
+    q = (
+        src.withColumn("key", poison("key"))
+        .writeStream.format("jsondir")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 90
+    failed = False
+    while time.time() < deadline:
+        try:
+            q.processAllAvailable()
+            time.sleep(0.3)
+        except Exception:
+            failed = True
+            break
+        if q.exception() is not None:
+            failed = True
+            break
+    assert failed, "the poisoned epoch should have killed the query"
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    committed_rows = sum(x["rows"] for x in manifest["files"])
+    assert committed_rows == 100  # only epoch 0
+    back = spark.read.format("jsondir").option("path", out).load()
+    keys = sorted(r.key for r in back.collect())
+    assert keys == list(range(100))  # the dead epoch's parts are invisible
