@@ -83,6 +83,7 @@ def all_specs() -> dict[str, QuerySpec]:
         curation,
         scale,
     )
+    from templatedb_spark.functions import grouped  # noqa: F401
     from templatedb_spark.sources import pyds  # noqa: F401
     from templatedb_spark.streaming import gate  # noqa: F401
 
