@@ -367,3 +367,62 @@ def _register_spec() -> None:
 
 
 _register_spec()
+
+
+# ---------------------------------------------------------------------------
+# Second gated spec: the full Python DataSource WRITE protocol. The spec
+# pipes a deterministic slice of orders through the jsondir sink (unique
+# part names, driver-side manifest commit) and reads it back through the
+# jsondir reader (manifest-driven partitions), then aggregates; the oracle
+# aggregates the same slice straight off the parquet. A lost part file, a
+# double-committed task, or a manifest/visibility bug all hash-mismatch.
+# ---------------------------------------------------------------------------
+def pyds_jsondir_roundtrip(spark: SparkSession, sf_dir: str):
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from templatedb_spark.suite import table
+
+    register_python_sources(spark)
+    out = tempfile.mkdtemp(prefix="jsondir_spec_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double").alias("price")
+    ).filter(F.col("o_orderkey") % 5 == 0)
+    src.write.format("jsondir").option("path", out).mode("append").save()
+    back = spark.read.format("jsondir").option("path", out).load()
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("price").cast("decimal(12,2)")).cast("double").alias("sum_price"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+
+
+_JSONDIR_ORACLE = """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+       CAST(SUM(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey)::BIGINT AS min_key,
+       MAX(o_orderkey)::BIGINT AS max_key
+FROM orders WHERE o_orderkey % 5 = 0
+GROUP BY 1
+"""
+
+
+def _register_jsondir_spec() -> None:
+    from templatedb_spark.suite import QuerySpec, register
+
+    register(
+        QuerySpec(
+            "pyds_jsondir_roundtrip",
+            pyds_jsondir_roundtrip,
+            _JSONDIR_ORACLE,
+            "Python DataSource WRITE protocol (2PC manifest sink -> manifest reader) vs direct-parquet oracle",
+        )
+    )
+
+
+_register_jsondir_spec()
