@@ -312,10 +312,25 @@ class JsonDirStreamWriter(DataSourceStreamWriter):
                 pass
 
 
+_REGISTERED_SESSIONS = __import__("weakref").WeakSet()
+_REGISTER_LOCK = __import__("threading").Lock()
+
+
 def register_python_sources(spark: SparkSession) -> None:
-    """Register all Python DataSources on the session (idempotent)."""
-    spark.dataSource.register(KVGenDataSource)
-    spark.dataSource.register(JsonDirDataSource)
+    """Register all Python DataSources on the session ONCE, behind a lock.
+
+    Re-registration is not merely wasteful — it races: Spark's Python
+    DataSourceManager replaces an existing entry non-atomically w.r.t.
+    concurrent lookups, so a 16-thread bench calling register per spec
+    invocation intermittently threw DATA_SOURCE_NOT_FOUND for a source that
+    was registered the whole time (reproduced 12/24 under stress; the
+    first-session registration alone never fails)."""
+    with _REGISTER_LOCK:
+        if spark in _REGISTERED_SESSIONS:
+            return
+        spark.dataSource.register(KVGenDataSource)
+        spark.dataSource.register(JsonDirDataSource)
+        _REGISTERED_SESSIONS.add(spark)
 
 
 def expected_kv_value(key: int) -> str:
@@ -387,6 +402,16 @@ def pyds_jsondir_roundtrip(spark: SparkSession, sf_dir: str):
     from templatedb_spark.suite import table
 
     register_python_sources(spark)
+    # Python-DataSource WRITE resolution goes through the JVM thread-local
+    # ACTIVE session, which is unset on fresh py4j threads — a worker-thread
+    # caller (the bench pool, the driver harness) got DATA_SOURCE_NOT_FOUND
+    # for a source registered the whole time. Pin the active session for
+    # this thread before writing (measured: main-thread ok, worker-thread
+    # 100% failure without this).
+    try:
+        spark._jsparkSession.setActiveSession(spark._jsparkSession)
+    except Exception:
+        pass  # private-API drift: the write then only works main-thread
     out = tempfile.mkdtemp(prefix="jsondir_spec_")
     atexit.register(shutil.rmtree, out, ignore_errors=True)
     src = table(spark, sf_dir, "orders").select(
