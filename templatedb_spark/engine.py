@@ -193,13 +193,18 @@ class Engine:
         return query
 
     def _in_scope_columns(self, query: str, tokens=None) -> set[str]:
-        """Lowercased column names of every plain table in the outer FROM —
-        the shadowing set for WHERE-alias substitution (reference binder
-        checks table columns before select aliases)."""
+        """Lowercased column names of every relation in the outer FROM —
+        plain tables, CTEs, and aliased derived tables — the shadowing set
+        for WHERE-alias substitution (reference binder checks the columns of
+        every in-scope relation before select aliases,
+        binder/expression/mod.rs:205-224)."""
         from templatedb_spark import sqlparse
 
         cols: set[str] = set()
+        subqueries = sqlparse.named_subqueries(query, tokens)
         for name in sqlparse.from_tables(query, tokens):
+            if name in subqueries:
+                continue  # resolved below from the subquery body
             if self.catalog is not None and name in getattr(self.catalog, "tables", {}):
                 cols.update(d.name.lower() for d in self.catalog.tables[name])
                 continue
@@ -207,6 +212,24 @@ class Engine:
                 cols.update(c.lower() for c in self.spark.table(name).columns)
             except Exception:
                 pass  # unknown table: Spark will raise its own error later
+        # CTE / derived-table output columns: plan (never execute) the body.
+        # A body that references an earlier CTE won't plan standalone — fall
+        # back to its textual select aliases so common shapes still shadow.
+        for body in subqueries.values():
+            try:
+                cols.update(c.lower() for c in self.spark.sql(body).columns)
+            except Exception:
+                try:
+                    body_tokens = sqlparse.tokenize(body)
+                    clauses = sqlparse.top_level_clauses(body_tokens)
+                    if "select" in clauses:
+                        s, e = clauses["select"]
+                        e = min(e, clauses["from"][0] - 1) if "from" in clauses else e
+                        for item in sqlparse.split_top_level(body_tokens[s:e]):
+                            if item and item[-1].kind in ("ident", "dq"):
+                                cols.add(item[-1].text.strip('"').lower())
+                except Exception:
+                    pass  # unparseable body: behave as before (no shadow)
         return cols
 
     # -- query -------------------------------------------------------------

@@ -84,6 +84,35 @@ class KVTable:
     def _manifest(self) -> Path:
         return Path(self.path) / "MANIFEST"
 
+    @property
+    def _committed_marker(self) -> Path:
+        return Path(self.path) / "COMMITTED"
+
+    def _bump_committed_marker(self, v: int) -> None:
+        """Record the highest committed version in a secondary marker
+        (tmp + atomic rename), updated AFTER every manifest commit. The
+        marker exists solely for _recover_manifest: with the MANIFEST lost,
+        a version dir whose parquet job finished (_SUCCESS) but whose
+        manifest append never landed is indistinguishable from a committed
+        one by directory state alone — the marker keeps the commit-point
+        contract (such a dir is uncommitted and must stay invisible) across
+        manifest loss. The marker may lag by the one in-flight commit
+        (crash between append and bump), which only matters under the
+        double failure manifest-loss + same-instant crash; recovery then
+        restores a consistent prefix."""
+        cur = self._read_committed_marker()
+        if cur is not None and cur >= v:
+            return
+        tmp = self._committed_marker.with_suffix(".tmp")
+        tmp.write_text(str(v), encoding="utf-8")
+        os.replace(tmp, self._committed_marker)
+
+    def _read_committed_marker(self) -> int | None:
+        try:
+            return int(self._committed_marker.read_text(encoding="utf-8").strip())
+        except (OSError, ValueError):
+            return None
+
     def _load_manifest(self) -> dict[int, list[int]]:
         """Replay the edit log → {live version: sorted bucket ids}.
 
@@ -116,16 +145,32 @@ class KVTable:
     def _recover_manifest(self) -> dict[int, list[int]]:
         """Pre-manifest table (or lost manifest): rebuild from the directory
         layout once, persist, and never walk again. Only version dirs whose
-        parquet job COMMITTED (Hadoop _SUCCESS marker) are resurrected — a
-        half-written delta must not become durable through recovery (the
-        commit-point contract survives manifest loss)."""
+        parquet job COMMITTED (Hadoop _SUCCESS marker) are considered, and —
+        when the COMMITTED marker survives — only versions at or below the
+        marker are resurrected: a batch whose parquet job finished but which
+        crashed BEFORE its manifest append was never committed, and losing
+        the MANIFEST must not make it durable (it could resurrect a value
+        that was correctly invisible, and collide with the version number's
+        reuse). Such dirs are deleted as orphans, same as _clear_orphan.
+        Without a marker (legacy layout) every _SUCCESS dir is trusted —
+        the pre-marker behavior, documented best-effort."""
+        high = self._read_committed_marker()
         state: dict[int, list[int]] = {}
+        orphans: list[Path] = []
         for p in Path(self.path).glob("version=*"):
             if p.is_dir() and (p / "_SUCCESS").exists():
                 v = int(p.name.split("=")[1])
+                if high is not None and v > high:
+                    orphans.append(p)
+                    continue
                 state[v] = sorted(
                     int(b.name.split("=")[1]) for b in p.glob("bucket=*") if b.is_dir()
                 )
+        if orphans:
+            import shutil
+
+            for p in orphans:
+                shutil.rmtree(p, ignore_errors=True)
         if state:
             self._write_manifest_snapshot(state)
         return state
@@ -156,6 +201,8 @@ class KVTable:
             pass  # missing or empty file
         with open(self._manifest, "a", encoding="utf-8") as f:
             f.write(lead + json.dumps(record, separators=(",", ":")) + "\n")
+        if record.get("op") == "add":
+            self._bump_committed_marker(record["v"])
 
     def _write_manifest_snapshot(self, state: dict[int, list[int]]) -> None:
         tmp = self._manifest.with_suffix(".tmp")
@@ -169,6 +216,8 @@ class KVTable:
                     + "\n"
                 )
         os.replace(tmp, self._manifest)  # atomic on POSIX
+        if state:
+            self._bump_committed_marker(max(state))
 
     def _commit_version(self, v: int) -> None:
         """Record a just-written delta dir in the manifest (the commit)."""

@@ -290,7 +290,18 @@ class JsonDirStreamWriter(DataSourceStreamWriter):
             with open(mpath) as f:
                 manifest = json.load(f)
         if batchId in manifest.get("epochs", []):
-            return  # epoch already committed: replay is a no-op
+            # Replayed epoch: the commit is a no-op, but THIS replay's tasks
+            # already wrote fresh uniquely-named part files — invisible to
+            # the manifest reader yet real bytes on disk. Remove them, or
+            # retries leak unbounded orphans in the sink directory.
+            for m in messages:
+                if m is None:
+                    continue
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+            return
         manifest.setdefault("epochs", []).append(batchId)
         manifest["files"].extend(
             {"name": m.filename, "rows": m.rows, "epoch": batchId}

@@ -28,7 +28,7 @@ _TOKEN_RE = re.compile(
       (?P<ws>\s+)
     | (?P<comment>--[^\n]*)
     | (?P<bcomment>/\*.*?\*/)
-    | (?P<str>'(?:[^']|'')*')
+    | (?P<str>'(?:[^'\\]|''|\\.)*')
     | (?P<dq>"(?:[^"]|"")*")
     | (?P<bq>`[^`]*`)
     | (?P<num>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+)
@@ -297,18 +297,62 @@ def substitute_where_aliases(
     return apply_edits(sql, edits)
 
 
+def _literal_kind_left(tokens: list[Token], i: int) -> tuple[str | None, int]:
+    """Classify the operand ENDING at index i (exclusive of the comparison op):
+    returns (kind, start_token_idx) where kind is 'str'/'num'/None. Handles a
+    parenthesized single literal `('abc')` by looking inside the parens."""
+    t = tokens[i]
+    if t.kind in ("str", "num"):
+        return t.kind, i
+    if t.text == ")" and i >= 2 and tokens[i - 2].text == "(":
+        inner = tokens[i - 1]
+        if inner.kind in ("str", "num"):
+            return inner.kind, i - 2
+    return None, i
+
+
+def _literal_kind_right(tokens: list[Token], i: int) -> tuple[str | None, int]:
+    """Classify the operand STARTING at index i: returns (kind, end_token_idx).
+    A unary +/- immediately before a numeric literal is part of the literal
+    (`'abc' > -5` must still be a string↔numeric comparison — the reference
+    binder sees the folded constant, default_comparison.rs). Parenthesized
+    single literals `(-5)` / `('x')` are looked through."""
+    t = tokens[i]
+    if t.kind in ("str", "num"):
+        return t.kind, i
+    if t.text in ("+", "-") and i + 1 < len(tokens) and tokens[i + 1].kind == "num":
+        return "num", i + 1
+    if t.text == "(" and i + 2 < len(tokens):
+        if tokens[i + 1].kind in ("str", "num") and tokens[i + 2].text == ")":
+            return tokens[i + 1].kind, i + 2
+        if (
+            tokens[i + 1].text in ("+", "-")
+            and i + 3 < len(tokens)
+            and tokens[i + 2].kind == "num"
+            and tokens[i + 3].text == ")"
+        ):
+            return "num", i + 3
+    return None, i
+
+
 def find_strict_literal_comparison(sql: str) -> str | None:
     """Token-level scan for `'str' <cmp> num` / `num <cmp> 'str'` anywhere.
     Returns the offending fragment, or None. A `>` INSIDE a string literal is
-    not a comparison (the round-3 regex could misfire there)."""
+    not a comparison (the round-3 regex could misfire there). Signed numerics
+    (`'abc' > -5`) and parenthesized single literals are classified as their
+    underlying literal kind, matching the reference binder's bind-time error
+    on the folded constants (default_comparison.rs:10-78)."""
     tokens = tokenize(sql)
     for i in range(1, len(tokens) - 1):
         op = tokens[i]
         if op.kind == "op" and op.text in _COMPARISON_OPS:
-            a, b = tokens[i - 1], tokens[i + 1]
-            kinds = {a.kind, b.kind}
-            if kinds == {"str", "num"}:
-                return sql[a.start : b.end]
+            # a unary sign right after the op belongs to the RIGHT operand,
+            # but `1 - 5 > 'x'` must not treat `- 5` as the left operand's
+            # sign — _literal_kind_left only ever sees complete tokens.
+            lk, ls = _literal_kind_left(tokens, i - 1)
+            rk, re_ = _literal_kind_right(tokens, i + 1)
+            if lk is not None and rk is not None and {lk, rk} == {"str", "num"}:
+                return sql[tokens[ls].start : tokens[re_].end]
     return None
 
 
@@ -357,6 +401,73 @@ def _derived_alias_error():
     return StrictTypeError(
         "subquery in FROM must have an alias (reference: subquery.slt:4-7)"
     )
+
+
+def named_subqueries(sql: str, tokens: list[Token] | None = None) -> dict[str, str]:
+    """Map name -> body text for (a) top-level CTEs (`WITH name AS (body)`)
+    and (b) aliased derived tables in the outer FROM (`FROM (body) [AS] t`).
+
+    Used by the engine to make the columns of WITH/subquery sources visible
+    to the WHERE-alias shadowing set (reference binder resolves columns of
+    ANY in-scope relation before select aliases, binder/expression/mod.rs:
+    205-224 — including CTE and subquery relations). Body text is returned
+    verbatim so the caller can plan it (`spark.sql(body).columns`); a body
+    that references an earlier CTE won't plan standalone and the caller must
+    tolerate that."""
+    tokens = tokenize(sql) if tokens is None else tokens
+    out: dict[str, str] = {}
+    # -- CTEs: WITH a AS ( ... ) [, b AS ( ... )] ...
+    if tokens and tokens[0].lower == "with":
+        i = 1
+        while i + 2 < len(tokens):
+            name_t = tokens[i]
+            if name_t.kind not in ("ident", "dq"):
+                break
+            j = i + 1
+            # optional (col, ...) column alias list before AS
+            if tokens[j].text == "(":
+                j = match_paren(tokens, j) + 1
+            if j + 1 >= len(tokens) or tokens[j].lower != "as" or tokens[j + 1].text != "(":
+                break
+            close = match_paren(tokens, j + 1)
+            body = sql[tokens[j + 2].start : tokens[close - 1].end] if close > j + 2 else ""
+            out[name_t.text.strip('"').lower()] = body
+            if close + 1 < len(tokens) and tokens[close + 1].text == ",":
+                i = close + 2
+            else:
+                break
+    # -- aliased derived tables in the OUTER query's FROM only: columns of
+    # inner-scope subqueries are NOT in scope for the outer WHERE and must
+    # not over-shadow (skipping a substitution Spark can't resolve itself
+    # would turn a working reference query into an analysis error).
+    clauses = top_level_clauses(tokens)
+    if "from" in clauses:
+        depths = _depth_profile(tokens)
+        s, e = clauses["from"]
+        # positions where a table expression can start: clause start, after a
+        # depth-0 comma, after JOIN
+        starts = [s] + [
+            i + 1
+            for i in range(s, e)
+            if depths[i] == 0 and (tokens[i].text == "," or tokens[i].lower == "join")
+        ]
+        for j in starts:
+            if j >= e or tokens[j].text != "(":
+                continue
+            if j + 1 >= len(tokens) or tokens[j + 1].lower not in ("select", "with"):
+                continue
+            close = match_paren(tokens, j)
+            k = close + 1
+            if k < len(tokens) and tokens[k].lower == "as":
+                k += 1
+            if (
+                k < len(tokens)
+                and tokens[k].kind in ("ident", "dq")
+                and tokens[k].lower not in _RESERVED
+            ):
+                body = sql[tokens[j + 1].start : tokens[close - 1].end]
+                out[tokens[k].text.strip('"').lower()] = body
+    return out
 
 
 def find_calls(sql: str, func_name: str) -> list[tuple[int, int, list[list[Token]]]]:

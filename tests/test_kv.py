@@ -285,3 +285,58 @@ def test_write_batch_df_distributed_contract(kv):
     empty = spark.createDataFrame([], "key string, value string, op string")
     assert kv.write_batch_df(empty) == v1
     assert kv.latest_version() == v1
+
+
+def test_recovery_skips_success_only_dirs_above_committed_marker(spark):
+    """The r5 ADVICE crash window: a batch whose parquet job FINISHED
+    (_SUCCESS present) but which crashed before its manifest append is
+    uncommitted — and must STAY invisible even when the MANIFEST itself is
+    lost. The COMMITTED high-water marker (bumped after every manifest
+    commit) lets recovery tell committed dirs from merely-written ones;
+    the orphan is deleted so its version number can be reused cleanly."""
+    import os
+    import tempfile
+
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d)
+        kv.put("a", "1")  # committed: manifest line + marker
+        v_orphan = kv.latest_version() + 1
+        _raw_version(d, v_orphan, [("ghost", "g", "put")])
+        # simulate the Hadoop commit finishing: _SUCCESS lands, manifest not
+        Path(f"{d}/version={v_orphan}/_SUCCESS").touch()
+        os.remove(kv._manifest)  # lose the manifest AFTER the crash
+        assert kv.get("a") == "1"  # consistent prefix restored
+        assert kv.get("ghost") is None  # uncommitted batch stays invisible
+        assert v_orphan not in kv._load_manifest()
+        assert not Path(f"{d}/version={v_orphan}").exists()  # orphan removed
+        # the number is reusable: the next real commit takes it over
+        v2 = kv.put("b", "2")
+        assert v2 == v_orphan
+        assert kv.get("b") == "2"
+
+
+def test_recovery_without_marker_keeps_legacy_behavior(spark):
+    """Pre-marker tables (no COMMITTED file): recovery still trusts every
+    _SUCCESS dir — the documented best-effort legacy path."""
+    import os
+    import tempfile
+
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d)
+        kv.put("a", "1")
+        os.remove(kv._manifest)
+        os.remove(kv._committed_marker)  # legacy layout
+        assert kv.get("a") == "1"
+
+
+def test_committed_marker_is_monotone(kv):
+    kv.put("a", "1")
+    kv.put("b", "2")
+    m1 = kv._read_committed_marker()
+    assert m1 == kv.latest_version()
+    kv.compact()
+    assert kv._read_committed_marker() >= m1

@@ -272,3 +272,34 @@ def test_jsondir_stream_sink_failed_epoch_invisible(spark, tmp_path):
     back = spark.read.format("jsondir").option("path", out).load()
     keys = sorted(r.key for r in back.collect())
     assert keys == list(range(100))  # the dead epoch's parts are invisible
+
+
+def test_jsondir_stream_sink_replayed_epoch_removes_orphan_parts(tmp_path):
+    """r5 ADVICE (low): a replayed epoch's commit is an idempotent no-op for
+    the manifest, but the replay's tasks already wrote fresh uniquely-named
+    part files — they must be deleted, not leaked (unbounded disk growth
+    under retries). Driver-side unit test: exercises the writer protocol
+    directly, no streaming query needed."""
+    import json
+    import os
+
+    from templatedb_spark.sources.pyds import JsonDirStreamWriter, _PartFile
+
+    path = str(tmp_path / "sink")
+    w = JsonDirStreamWriter({"path": path}, '{"type":"struct","fields":[]}')
+    # epoch 0 commits normally
+    m0 = w.write(iter([(1, "a"), (2, "b")]))
+    w.commit([m0], 0)
+    manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert [f["name"] for f in manifest["files"]] == [m0.filename]
+    # epoch 0 REPLAYS: new unique part written, then the duplicate commit
+    m0r = w.write(iter([(1, "a"), (2, "b")]))
+    assert os.path.exists(os.path.join(path, m0r.filename))
+    w.commit([m0r], 0)
+    manifest2 = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert manifest2 == manifest  # manifest unchanged (idempotent)
+    assert not os.path.exists(os.path.join(path, m0r.filename))  # orphan gone
+    assert os.path.exists(os.path.join(path, m0.filename))  # committed stays
+    # disk state == committed manifest + manifest file only
+    parts = [p for p in os.listdir(path) if p.startswith("part-")]
+    assert parts == [m0.filename]

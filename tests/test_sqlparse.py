@@ -227,3 +227,94 @@ def test_read_csv_named_path_arg(spark, tmp_path):
     assert [(r.a, r.b) for r in rows] == [("1", "2"), ("3", "4")] or [
         (int(r.a), int(r.b)) for r in rows
     ] == [(1, 2), (3, 4)]
+
+
+# -------------------------------------------------------- r5 ADVICE fixes ----
+
+
+def test_tokenizer_handles_backslash_escaped_quote():
+    """Spark's default lexer (escapedStringLiterals=false) honors backslash
+    escapes, so `'it\\'s'` is ONE literal — the r4 token pattern closed it at
+    the escaped quote, letting strict mode / alias substitution read (or
+    splice into) string content (r5 ADVICE, medium)."""
+    toks = sp.tokenize(r"select 'it\'s' as s from t where x > 5")
+    strs = [t for t in toks if t.kind == "str"]
+    assert strs[0].text == r"'it\'s'"
+    # double-backslash then quote ends the literal: '\\' is a complete literal
+    toks2 = sp.tokenize(r"select '\\' as s")
+    assert [t.text for t in toks2 if t.kind == "str"] == [r"'\\'"]
+
+
+def test_strict_not_fooled_by_backslash_escape(spark):
+    eng = Engine(spark, strict=True)
+    # the `> 5` lives INSIDE the literal once escapes are honored; before the
+    # fix the literal closed early and strict mode saw 'str' > num
+    df = eng.sql(r"select 'it\'s > 5' as s")
+    assert df.collect()[0].s == "it's > 5"
+
+
+def test_alias_substitution_never_edits_escaped_string_content(spark, t_shadow):
+    eng = Engine(spark)
+    rows = eng.sql(
+        r"select v1+1 as b, 'b\'s value: b' as lit from shadow_t where b >= 3 order by b"
+    ).collect()
+    assert [r.b for r in rows] == [3, 4]
+    assert all(r.lit == "b's value: b" for r in rows)
+
+
+def test_strict_catches_signed_and_parenthesized_literals():
+    # r5 ADVICE (low): unary sign / single parens around a literal operand
+    assert sp.find_strict_literal_comparison("select 'abc' > -5") == "'abc' > -5"
+    assert sp.find_strict_literal_comparison("select 'abc' >= +1.5") == "'abc' >= +1.5"
+    assert sp.find_strict_literal_comparison("select ('abc') > 5") == "('abc') > 5"
+    assert sp.find_strict_literal_comparison("select 'abc' > (-5)") == "'abc' > (-5)"
+    # still no false positives: sign inside arithmetic, strings vs strings,
+    # comparison text inside a literal
+    assert sp.find_strict_literal_comparison("select 1 - 5 > x") is None
+    assert sp.find_strict_literal_comparison("select 'a' > 'b'") is None
+    assert sp.find_strict_literal_comparison("select '> -5' as s") is None
+
+
+def test_cte_columns_shadow_select_aliases(spark):
+    """r5 ADVICE (low): a CTE's output columns are in scope for the outer
+    WHERE, so an alias colliding with one must NOT be substituted (columns
+    shadow aliases, binder/expression/mod.rs:205-224)."""
+    eng = Engine(spark)
+    rows = eng.sql(
+        "with src as (select 1 as v1, 10 as a union all select 2, 20 union all select 3, 30) "
+        "select v1+1 as a from src where a >= 20 order by a"
+    ).collect()
+    assert [r.a for r in rows] == [3, 4]
+
+
+def test_derived_table_columns_shadow_select_aliases(spark):
+    eng = Engine(spark)
+    rows = eng.sql(
+        "select v1+1 as a from (select 1 as v1, 10 as a union all select 2, 20 "
+        "union all select 3, 30) t where a >= 20 order by a"
+    ).collect()
+    assert [r.a for r in rows] == [3, 4]
+
+
+def test_cte_alias_substitution_still_works_when_no_collision(spark):
+    eng = Engine(spark)
+    rows = eng.sql(
+        "with src as (select 1 as v1 union all select 2 union all select 3) "
+        "select v1+1 as b from src where b >= 3 order by b"
+    ).collect()
+    assert [r.b for r in rows] == [3, 4]
+
+
+def test_named_subqueries_extraction():
+    got = sp.named_subqueries(
+        "with a as (select 1 as x), b as (select 2 as y) "
+        "select * from a join (select 3 as z) as d on a.x = d.z"
+    )
+    assert got["a"] == "select 1 as x"
+    assert got["b"] == "select 2 as y"
+    assert got["d"] == "select 3 as z"
+    # inner-scope subqueries (not in the outer FROM) are excluded
+    got2 = sp.named_subqueries(
+        "select v1+1 as a from t1 where exists (select 1 as a from t2) and a > 2"
+    )
+    assert got2 == {}
