@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from templatedb_spark.operators.dedup import _TOKENS_SQL, tokenized
-from templatedb_spark.suite import QuerySpec, register, table
+from templatedb_spark.suite import QuerySpec, fused_topk, register, table
 
 
 # ---------------------------------------------------------------------------
@@ -1107,10 +1107,11 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(1, len(_BM25_QUERY)):
         total = total + F.col(f"s{i}")
     ranked = per_tok.select("doc_id", F.round(total, 6).alias("score"))
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return ranked.select(
-        "doc_id", "score", F.row_number().over(w).cast("long").alias("rank")
-    ).filter(F.col("rank") <= _BM25_K)
+    # top-k via TakeOrderedAndProject prefilter, NOT a global row_number
+    # window (which would single-task-sort the whole per-doc score relation)
+    return fused_topk(
+        ranked, [F.col("score").desc(), F.col("doc_id").asc()], _BM25_K, "rank"
+    )
 
 
 def _bm25_oracle() -> str:
@@ -1190,12 +1191,9 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    wa = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    ann = (
-        scored.select("vec_id", F.row_number().over(wa).cast("long").alias("ann_rank"))
-        .filter(F.col("ann_rank") <= _RRF_POOL)
-        .select(F.col("vec_id").alias("id"), "ann_rank")
-    )
+    ann = fused_topk(
+        scored, [F.col("cos").desc(), F.col("vec_id").asc()], _RRF_POOL, "ann_rank"
+    ).select(F.col("vec_id").alias("id"), "ann_rank")
     fused = bm.join(ann, "id", "full_outer").select(
         F.col("id").alias("doc_id"),
         "bm25_rank",
@@ -1206,11 +1204,12 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rrf_score"),
     )
-    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
-    return fused.select(
-        "doc_id", "bm25_rank", "ann_rank", "rrf_score",
-        F.row_number().over(wf).cast("long").alias("fused_rank"),
-    ).filter(F.col("fused_rank") <= _RRF_OUT)
+    return fused_topk(
+        fused,
+        [F.col("rrf_score").desc(), F.col("doc_id").asc()],
+        _RRF_OUT,
+        "fused_rank",
+    )
 
 
 def _rrf_oracle() -> str:

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from templatedb_spark.functions.hashing import h32, h32_sql, md5_long, md5_long_sql
 from templatedb_spark.operators.dedup import _TOKENS_SQL
-from templatedb_spark.suite import QuerySpec, register, table
+from templatedb_spark.suite import QuerySpec, fused_topk, register, table
 
 # Stopword regexes per language — the n-gram-heuristic language classifier.
 # (documents.text is synthetic word soup; what matters is that the classifier
@@ -489,8 +489,6 @@ _WS_U_MOD = 1_000_000
 
 
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = table(spark, sf_dir, "documents")
     w = (1 + F.substring("source", 4, 8).cast("int") % 8).cast("long").alias("weight")
     h = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))) % _WS_U_MOD
@@ -498,11 +496,11 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log((h + 1).cast("double") / float(_WS_U_MOD + 1)) / F.col("weight"), 6
     ).alias("key")
     scored = d.select("doc_id", "source", w).select("doc_id", "source", "weight", key)
-    win = Window.orderBy(F.col("key").desc(), F.col("doc_id").asc())
-    return scored.select(
-        "doc_id", "source", "weight", "key",
-        F.row_number().over(win).cast("long").alias("rank"),
-    ).filter(F.col("rank") <= _WS_K)
+    # top-k via TakeOrderedAndProject prefilter (per-partition heaps), not a
+    # global row_number window — the sampler stays one map pass + TakeOrdered
+    return fused_topk(
+        scored, [F.col("key").desc(), F.col("doc_id").asc()], _WS_K, "rank"
+    )
 
 
 def _weighted_sample_oracle() -> str:

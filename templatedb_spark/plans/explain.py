@@ -67,3 +67,37 @@ def uses_python_udf(df: DataFrame) -> bool:
 
 def codegen_stage_count(df: DataFrame) -> int:
     return formatted_plan(df).count("WholeStageCodegen")
+
+
+def global_sort_window_lines(plan: str) -> list[str]:
+    """Plan lines of ordered-but-UNPARTITIONED Window nodes whose input is not
+    a TakeOrderedAndProject prefilter — the top-k scale-killer detector.
+
+    `row_number() OVER (ORDER BY ...)` with no PARTITION BY forces the whole
+    input relation into one task (full global sort, single partition). The
+    sanctioned shape is `suite.fused_topk`: orderBy().limit(k) fuses to
+    TakeOrderedAndProject (distributed per-partition heaps) and the window
+    then only numbers the ≤k survivors. Detection: in the physical plan a
+    windowspecdefinition lists partition columns first (bare refs), then
+    order columns (carrying ASC/DESC NULLS) — so a FIRST argument with a
+    sort direction means no partition spec. A node whose direct child is
+    TakeOrderedAndProject is the fused shape and is not reported.
+    """
+    import re
+
+    lines = plan.splitlines()
+    out: list[str] = []
+    for i, line in enumerate(lines):
+        if not re.search(r"\bWindow \[", line):
+            continue
+        m = re.search(r"windowspecdefinition\(([^)]*)", line)
+        if not m:
+            continue
+        first_arg = m.group(1).split(", ")[0]
+        if not re.search(r"(ASC|DESC) NULLS", first_arg):
+            continue  # partitioned window: parallel by key, fine
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if "TakeOrderedAndProject" in child:
+            continue  # fused_topk shape: window sees ≤k rows
+        out.append(line.strip()[:120])
+    return out

@@ -121,6 +121,30 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def fused_topk(df: DataFrame, order, k: int, rank_col: str) -> DataFrame:
+    """Distributed deterministic top-k with rank numbers 1..k.
+
+    `row_number() OVER (ORDER BY ...)` with no PARTITION BY is the classic
+    scale-killer: Spark executes the unpartitioned window as a full global
+    sort into ONE task, so the whole scored relation (billions of rows at
+    100 TB) funnels through a single executor. Instead: `orderBy(...).
+    limit(k)` first — Catalyst fuses that to TakeOrderedAndProject
+    (per-partition size-k heaps, then a k·numPartitions merge) — and only
+    then number the ≤k survivors with the window. `order` must be a TOTAL
+    order (include a tiebreaker column) so the prefilter keeps exactly the
+    rows the window would rank 1..k; with that, results are bit-identical
+    to the naive global window and the oracles stay unchanged.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    order = list(order)
+    pruned = df.orderBy(*order).limit(k)
+    return pruned.withColumn(
+        rank_col, F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Tolerate TIMESTAMP(NANOS) variants of the file (see normalize_events_ts).

@@ -66,18 +66,35 @@ def test_no_python_udf_in_relational_suite(spark):
 
 def test_suite_wide_plan_hygiene(spark):
     """Global gate over EVERY registered spec: no CartesianProduct (except the
-    spec whose purpose is a cross join) and no row-at-a-time PythonUDF
-    anywhere (Arrow-batched pandas UDFs are the sanctioned Python path).
+    spec whose purpose is a cross join), no row-at-a-time PythonUDF anywhere
+    (Arrow-batched pandas UDFs are the sanctioned Python path), and no
+    unpartitioned global-sort row_number window over unbounded input (the
+    top-k scale-killer — suite.fused_topk is the sanctioned shape).
     The targeted plan pins elsewhere check stronger per-operator properties;
-    this sweep guarantees no future spec regresses the two anti-patterns that
+    this sweep guarantees no future spec regresses the anti-patterns that
     are always wrong at 100 TB."""
-    from templatedb_spark.plans.explain import physical_plan
+    from templatedb_spark.plans.explain import global_sort_window_lines, physical_plan
 
     allowed_cartesian = {"cross_join"}
     # udtf_shingle_stats exists to put the Python table-function PROTOCOL
     # under the gate — its Python node is the subject, Arrow-batched, over a
     # bounded doc subset. Everything else stays Python-free.
     allowed_python = {"udtf_shingle_stats"}
+    # Unpartitioned ordered windows allowed ONLY where the input is bounded
+    # by construction or the single-task tradeoff is documented in-source:
+    # - orders_backlog_sweepline / quantile_sketch_price: cumulative sweep
+    #   over post-aggregate rows keyed by day / bin — domain-bounded input.
+    # - histogram_equidepth / gini_revenue / revenue_concentration: exact
+    #   rank statistics; the at-scale alternative (approx_percentile +
+    #   broadcast range join) is named in their docstrings.
+    # New specs must use suite.fused_topk or join this list consciously.
+    allowed_global_window = {
+        "orders_backlog_sweepline",
+        "quantile_sketch_price",
+        "histogram_equidepth",
+        "gini_revenue",
+        "revenue_concentration",
+    }
     specs = all_specs()
     offenders = []
     for name, spec in specs.items():
@@ -87,6 +104,9 @@ def test_suite_wide_plan_hygiene(spark):
             offenders.append((name, "CartesianProduct"))
         if uses_python_udf(df) and name not in allowed_python:
             offenders.append((name, "PythonUDF"))
+        bad_windows = global_sort_window_lines(plan)
+        if bad_windows and name not in allowed_global_window:
+            offenders.append((name, "GlobalSortWindow", bad_windows[0]))
     assert not offenders, offenders
 
 
@@ -97,6 +117,22 @@ def test_topk_fuses_to_take_ordered(spark):
     specs = all_specs()
     plan = formatted_plan(specs["topk"].spark(spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ranked_topk_specs_fuse_to_take_ordered(spark):
+    """The r4 verdict's #1 scale finding: bm25_topk / rrf_fusion /
+    weighted_sample_docs ranked with an unpartitioned row_number window —
+    a full global sort into ONE task. Pin the rewritten shape: every
+    ranking is a TakeOrderedAndProject prefilter (distributed per-partition
+    heaps) and any remaining unpartitioned window sits directly on top of
+    it (≤k input rows)."""
+    from templatedb_spark.plans.explain import global_sort_window_lines, physical_plan
+
+    specs = all_specs()
+    for name in ("bm25_topk", "rrf_fusion", "weighted_sample_docs"):
+        plan = physical_plan(specs[name].spark(spark, SF_SMALL))
+        assert "TakeOrderedAndProject" in plan, name
+        assert global_sort_window_lines(plan) == [], name
 
 
 def test_bloom_filter_join_pruning(spark):
