@@ -344,16 +344,36 @@ WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBL
 
 
 # ---------------------------------------------------------------------------
-# approx_count_distinct (HLL) — algorithms differ across engines, so the
-# contract is rows-only + a tolerance test against the exact count
-# (tests/test_analytics.py); no value oracle.
+# approx_count_distinct (HLL) — sketch values differ across engines, so the
+# spec emits a tolerance VERDICT instead of the raw estimate: exact_users is
+# real SQL on both sides, and within_tol (1/0) is computed from the actual
+# HLL estimate vs the exact count. The oracle asserts within_tol = 1, so a
+# sketch drifting outside |approx-exact| <= max(2, 5%·exact) (2.5σ at
+# rsd=0.02) hash-mismatches and FAILS the gate — a deterministic check on an
+# approximate operator.
 # ---------------------------------------------------------------------------
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+    tol = F.greatest(F.lit(2.0), F.lit(0.05) * F.col("exact_users"))
+    return agg.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.when(F.abs(F.col("approx_users") - F.col("exact_users")) <= tol, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("within_tol"),
+    )
+
+
+_APPROX_DISTINCT_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+       1::BIGINT AS within_tol
+FROM events GROUP BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1488,7 +1508,7 @@ for spec in [
     QuerySpec("events_pivot_unpivot", events_pivot_unpivot, _PIVOT_UNPIVOT_ORACLE, "native pivot()/unpivot() roundtrip"),
     QuerySpec("stats_moments", stats_moments, _STATS_ORACLE, "exact avg/stddev from decimal power sums"),
     QuerySpec("correlated_scalar", correlated_scalar_above_nation_avg, _CORRELATED_ORACLE, "correlated scalar subquery (decorrelated form)"),
-    QuerySpec("approx_distinct_users", approx_distinct_users, None, "HLL approx distinct (rows-only + tolerance test)"),
+    QuerySpec("approx_distinct_users", approx_distinct_users, _APPROX_DISTINCT_ORACLE, "HLL approx distinct under a tolerance-verdict oracle (exact count + within_tol)"),
     QuerySpec("groupmap_regression", groupmap_regression, _GROUPMAP_ORACLE, "applyInPandas per-group OLS fit"),
     QuerySpec("q3_shipping_priority", q3_shipping_priority, _Q3_ORACLE, "TPC-H Q3 shape"),
     QuerySpec("q6_forecast_revenue", q6_forecast_revenue, _Q6_ORACLE, "TPC-H Q6 shape"),
