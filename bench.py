@@ -190,6 +190,27 @@ def main() -> None:
     if cpu0 and cpu1 and cpu1[1] > cpu0[1]:
         steal_pct = round(100.0 * (cpu1[0] - cpu0[0]) / (cpu1[1] - cpu0[1]), 2)
 
+    # Solo-warm audit of the slowest contended specs: rerun the 10 slowest
+    # one-at-a-time in the same warm session, OUTSIDE the timed makespan.
+    # Contended time − solo-warm time separates scheduler queueing (expected
+    # under 16-thread FAIR submission) from a real per-query regression —
+    # the ambiguity that round-4 movers like graph_pagerank left open.
+    solo_warm: dict[str, float] = {}
+    if mode != "seq" and os.environ.get("SPARK_GRAFT_BENCH_SOLO", "on") != "off":
+        slowest = [
+            n for n, t in sorted(times.items(), key=lambda kv: -kv[1]) if t >= 0
+        ][:10]
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+        for name in slowest:
+            t0 = time.time()
+            try:
+                specs[name].spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                solo_warm[name] = round(time.time() - t0, 3)
+            except Exception:
+                solo_warm[name] = -1.0
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {
         "metric": "suite_total_wall",
@@ -205,6 +226,8 @@ def main() -> None:
         "err": errs,
         # host steal% over the timed window (None if /proc/stat unreadable)
         "steal_pct": steal_pct,
+        # contended-vs-solo accounting for the 10 slowest (see above)
+        "solo_warm": solo_warm,
     }
     # drop the dedup family's cached intermediates before teardown (no-op for
     # this process's lifetime, but keeps the teardown path honest for anyone
@@ -220,6 +243,41 @@ def main() -> None:
     spark.stop()
     out_dir = Path(__file__).resolve().parent / "bench_results"
     out_dir.mkdir(exist_ok=True)
+    # Same-window DuckDB concurrent baseline (the honest comparison is a
+    # persisted same-suite artifact refreshed alongside every Spark run, not
+    # a stale prose number). Runs after spark.stop() so neither engine's
+    # window contaminates the other; records its own steal_pct.
+    if os.environ.get("SPARK_GRAFT_BENCH_BASELINE", "on") != "off":
+        import subprocess
+
+        try:
+            cpu0d = _cpu_counters()
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    str(Path(__file__).resolve().parent / "tools" / "bench_baseline.py"),
+                    sf_dir,
+                    "--concurrent",
+                    str(workers),
+                ],
+                capture_output=True,
+                text=True,
+                timeout=900,
+            )
+            cpu1d = _cpu_counters()
+            duck = json.loads(proc.stdout.strip().splitlines()[-1])
+            if cpu0d and cpu1d and cpu1d[1] > cpu0d[1]:
+                duck["steal_pct"] = round(
+                    100.0 * (cpu1d[0] - cpu0d[0]) / (cpu1d[1] - cpu0d[1]), 2
+                )
+            (out_dir / "duckdb_conc_latest.json").write_text(
+                json.dumps(duck, indent=2) + "\n"
+            )
+            result["duckdb_conc_total"] = duck.get("total_sec")
+            result["duckdb_conc_steal_pct"] = duck.get("steal_pct")
+        except Exception as e:
+            print(f"BASELINE RUN FAILED: {e}", file=sys.stderr)
+            result["duckdb_conc_total"] = None
     (out_dir / "latest.json").write_text(json.dumps(result, indent=2) + "\n")
     sys.stderr.flush()
     # The driver stores only a bounded (~2000-char) tail of stdout and parses
@@ -230,7 +288,9 @@ def main() -> None:
     # bench_results/latest.json.
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1750:
-        compact = {k: v for k, v in result.items() if k not in ("queries", "err")}
+        compact = {
+            k: v for k, v in result.items() if k not in ("queries", "err", "solo_warm")
+        }
         # failed/retried are unbounded in a mass-failure run (a dead gateway
         # fails all 116 queries → >5 KB of names); the compact line keeps
         # counts + a bounded sample, full lists stay in latest.json

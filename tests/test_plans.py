@@ -283,13 +283,17 @@ def test_modulo_partial_aggregation(spark):
 def test_approx_percentile_single_shuffle(spark):
     """The sketch path must keep the one-shuffle partial/final shape (mergeable
     partial_approx_percentile buffers) — the property that makes it the
-    unbounded-cardinality answer."""
+    unbounded-cardinality answer. The rank-check verdict pass adds exactly
+    one more map-side-partial aggregation fed through a broadcast join of
+    the (tiny) sketch row — never a sort-merge join or per-group sort."""
     from templatedb_spark.plans.explain import physical_plan
 
     specs = all_specs()
     plan = physical_plan(specs["approx_percentiles_price"].spark(spark, SF_SMALL))
-    assert plan.count("Exchange") == 1
-    assert plan.count("ObjectHashAggregate") == 2
+    assert plan.count("ObjectHashAggregate") == 2  # partial+final sketch agg
+    assert plan.count("Exchange hashpartitioning") == 2  # sketch agg + verdict agg
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_tpch_completion_plan_shapes(spark):
