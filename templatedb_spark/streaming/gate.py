@@ -32,7 +32,17 @@ from pyspark.sql import functions as F
 from templatedb_spark.streaming.cdc import CDC_KEY_OFFSET
 from templatedb_spark.suite import QuerySpec, register
 
-_N_MICROBATCHES = 3
+# Trigger-count lever (measured r5, BASELINE.md): each extra micro-batch
+# costs ~1.1-1.3 s/trigger solo. 2 is the semantic minimum (state/versioning
+# must span at least one batch boundary: a session opened in batch 1 must
+# close in batch 2; the KV MVCC chain must apply >1 atomic version).
+# Default stays 3 — two distinct boundaries exercise carry-over →
+# carry-over → close chains, and the adjacent-pair benches showed NO
+# makespan win at 2 (17.1 s vs 18.2 s, steal-clean): the 16-worker pool
+# packs the suite around the streaming chain.
+import os as _os
+
+_N_MICROBATCHES = max(2, int(_os.environ.get("SPARK_GRAFT_STREAM_TRIGGERS", "3")))
 
 
 def _stage_microbatches(sf_dir: str, out_dir: str) -> None:
