@@ -503,8 +503,21 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, restrict: DataFrame | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) LSH near-dup pairs.
+
+    `restrict` (optional, a (doc_id) relation) limits BOTH sides of the band
+    join to that doc set via a semi-join on the shared cached signature
+    relation. This is the funnel entry point: signature computation is linear
+    and stays corpus-wide (cached once for the whole suite), but the
+    QUADRATIC stage — banding candidates among k exact copies growing
+    C(k,2) per dup group — only ever sees the restricted set.
+    """
     sig_wide = minhash_signatures_wide(spark, sf_dir).cache()
+    if restrict is not None:
+        sig_wide = sig_wide.join(restrict.select("doc_id"), "doc_id", "left_semi")
     stack_expr = ", ".join(f"{i}, mh_{i}" for i in range(_MINHASH_K))
     sig = sig_wide.selectExpr("doc_id", f"stack({_MINHASH_K}, {stack_expr}) AS (i, mh)")
     s1 = sig.alias("s1")

@@ -570,6 +570,95 @@ WHERE c_custkey BETWEEN {_CDC_VIEW_LO} AND {_CDC_VIEW_HI} - 1
 _CLUSTER_MAX_ROUNDS = 20
 
 
+_FUNNEL_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def funnel_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (doc_a, doc_b) edge list of the dup graph, built through the
+    exact-dedup-first FUNNEL — the default pair-graph feed for the graph tier
+    (cluster_labels / pagerank / BFS) since round 5.
+
+    The raw LSH pair graph grows C(k,2) edges per group of k exact copies
+    (496× per group at k=32 replication — the measured single-JVM heap
+    ceiling at x16, SCALE.md). The funnel collapses each exact-fingerprint
+    group to its min-doc_id survivor BEFORE the quadratic banding stage:
+
+      1. fingerprint = md5(lower(text) with whitespace collapsed); one
+         shuffle; keep_id = min doc_id per fingerprint;
+      2. LSH band join restricted to survivors (semi-join on the shared
+         cached signature relation — signatures stay linear, corpus-wide);
+      3. STAR edges keep_id—copy re-attach every exact copy, so connected
+         components are provably IDENTICAL to the raw graph's: fingerprint-
+         equal docs have identical token streams (the tokenizer lowercases
+         and is whitespace-insensitive), hence identical minhash signatures,
+         hence every raw pair (a,b) maps to a survivor pair (s(a),s(b)) or
+         a star path — and back. cluster_labels' oracle is therefore
+         UNCHANGED; pagerank/BFS oracles compute the same funnel graph in
+         SQL (degrees/hop counts differ from the raw graph by design).
+
+    Memoized + checkpointed: three specs consume it; edges are one row per
+    dup relation (tiny relative to the corpus).
+    """
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _FUNNEL_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+    from templatedb_spark.operators.dedup import dedup_minhash_lsh
+
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    fp = d.select("doc_id", F.md5(norm).alias("fingerprint"))
+    keep = fp.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("fingerprint")).alias("keep_id"),
+    )
+    surv = keep.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir, restrict=surv).select("doc_a", "doc_b")
+    stars = keep.filter(F.col("doc_id") != F.col("keep_id")).select(
+        F.col("keep_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    und = pairs.unionAll(stars)
+    edges = (
+        und.unionAll(und.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    _FUNNEL_MEMO[memo_key] = edges
+    return edges
+
+
+_FUNNEL_EDGES_SQL_KEEP = r"""
+fpg AS (
+  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+),
+keepg AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id FROM fpg
+),
+spairs AS (
+  SELECT DISTINCT LEAST(ka.keep_id, kb.keep_id) AS doc_a,
+                  GREATEST(ka.keep_id, kb.keep_id) AS doc_b
+  FROM pairs p
+  JOIN keepg ka ON p.doc_a = ka.doc_id
+  JOIN keepg kb ON p.doc_b = kb.doc_id
+  WHERE ka.keep_id <> kb.keep_id
+),
+stars AS (SELECT keep_id AS doc_a, doc_id AS doc_b FROM keepg WHERE doc_id <> keep_id),
+und AS (SELECT doc_a, doc_b FROM spairs UNION SELECT doc_a, doc_b FROM stars),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM und UNION SELECT doc_b, doc_a FROM und)
+"""
+
+
+def _funnel_edges_ctes() -> str:
+    """SQL twin of funnel_pair_graph: raw pairs mapped through keep_id +
+    star edges (DuckDB can afford the quadratic raw-pair route at oracle
+    scale; equality with the Spark survivor-restricted banding follows from
+    fingerprint-equal ⇒ signature-equal, see funnel_pair_graph)."""
+    from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
+
+    return f"{_MINHASH_CTES},\npairs AS MATERIALIZED ({_MINHASH_SELECT}),{_FUNNEL_EDGES_SQL_KEEP}"
+
+
 _LABELS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -586,16 +675,10 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _LABELS_MEMO.get(memo_key)
     if cached is not None:
         return cached
-    from templatedb_spark.operators.dedup import dedup_minhash_lsh
-
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.unionAll(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # pair generation runs once, not per round
-    )
+    # funnel feed (round 5): connected components over the funnel graph are
+    # provably identical to the raw pair graph's — the oracle is unchanged —
+    # while the quadratic banding stage only ever sees exact-dedup survivors
+    edges = funnel_pair_graph(spark, sf_dir)
     labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("label")
     )
@@ -721,16 +804,11 @@ _PR_DAMP = 0.85
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from templatedb_spark.operators.dedup import dedup_minhash_lsh
-
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.unionAll(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # funnel feed (round 5): ranks are computed over the exact-dedup-first
+    # funnel graph (survivor LSH pairs + star edges) — the graph a production
+    # pipeline actually ranks, and the one that stays within memory when dup
+    # groups grow quadratically; the oracle unrolls the same funnel edges
+    edges = funnel_pair_graph(spark, sf_dir)
     deg = edges.groupBy(F.col("doc_a").alias("v")).agg(F.count(F.lit(1)).alias("outdeg"))
     n_nodes = deg.count()
     ranks = deg.select("v", F.round(F.lit(1.0) / n_nodes, 9).alias("r"))
@@ -748,8 +826,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_oracle() -> str:
-    from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
-
     steps = []
     prev = "pr0"
     for i in range(1, _PR_ITERS + 1):
@@ -764,13 +840,7 @@ def _pagerank_oracle() -> str:
         prev = f"pr{i}"
     chain = ",\n".join(steps)
     return f"""
-WITH RECURSIVE {_MINHASH_CTES},
-pairs AS ({_MINHASH_SELECT}),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
+WITH {_funnel_edges_ctes()},
 deg AS (SELECT src AS v, COUNT(*) AS outdeg FROM edges GROUP BY src),
 nn AS (SELECT COUNT(*) AS n FROM deg),
 pr0 AS (SELECT v, ROUND(1.0 / (SELECT n FROM nn), 9) AS r FROM deg),
@@ -924,13 +994,11 @@ _BFS_DEPTH = 3
 
 
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from templatedb_spark.operators.dedup import dedup_minhash_lsh
-
-    # cached: the frontier loop references the edge list once per hop — without
-    # this the whole minhash/banding pipeline re-executes K+1 times
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
-    sym = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
-        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    # funnel feed (round 5): hops are measured on the exact-dedup-first
+    # funnel graph (already checkpointed — the frontier loop references the
+    # edge list once per hop without re-running the banding pipeline)
+    sym = funnel_pair_graph(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     # seed: the highest-degree node (ties → lowest id) — the hub whose
     # neighborhood actually exercises multi-hop expansion
@@ -963,15 +1031,12 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bfs_oracle() -> str:
-    from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
-
     # MATERIALIZED: DuckDB inlines plain CTEs per reference — sym feeds the
     # degree seed plus every BFS level, which would re-run the whole minhash
     # chain 4+ times (measured 112 s → ~2 s at sf0.1).
     parts = [
-        f"{_MINHASH_CTES}",
-        f"pairs AS MATERIALIZED ({_MINHASH_SELECT})",
-        "sym AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        _funnel_edges_ctes(),
+        "sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges)",
         "deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u)",
         "l0 AS (SELECT u AS doc_id, 0::BIGINT AS hops FROM deg ORDER BY d DESC, u ASC LIMIT 1)",
     ]
