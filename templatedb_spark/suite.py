@@ -88,6 +88,16 @@ def all_specs() -> dict[str, QuerySpec]:
     from templatedb_spark.streaming import gate  # noqa: F401
 
     covered = _driver_covered_names()
+    # Specs whose semantics, output schema, or oracle changed in round 5:
+    # prior-round audit rows no longer vouch for them, so they re-enter the
+    # front of the driver's capped audit window as if never covered.
+    changed_r5 = {
+        "bm25_topk", "rrf_fusion", "weighted_sample_docs",          # fused top-k rewrite
+        "approx_distinct_users", "approx_percentiles_price",        # tolerance-verdict oracles
+        "graph_pagerank", "graph_bfs_hops",                          # funnel graph feed (new oracles)
+        "dedup_dup_clusters", "dedup_keep_policy",                   # funnel feed (same results)
+    }
+    covered -= changed_r5
     # The round-2 verdict singled out eleven specs that no driver round has
     # ever audited ("close the CORRECTNESS union"); the driver caps how many
     # entries it records per round, so those eleven outrank every other
