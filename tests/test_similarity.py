@@ -214,6 +214,58 @@ def test_png_crc_corruption_detected():
         decode_png(bytes(png))
 
 
+def test_png_rgb_roundtrip_all_filters():
+    """Truecolor (color type 2): the filter predictors step by 3 bytes, so a
+    decoder that reuses the grayscale left/up-left offsets corrupts every
+    Sub/Average/Paeth scanline. Roundtrip must be exact."""
+    from templatedb_spark.operators.multimodal import decode_png, encode_png
+
+    w = h = 8
+    pixels = bytes((r * 53 + c * 17) % 256 for r in range(h) for c in range(w * 3))
+    png = encode_png(pixels, w, h, channels=3)
+    px = decode_png(png)
+    assert len(px) == h and all(len(row) == w * 3 for row in px)
+    assert bytes(v for row in px for v in row) == pixels
+
+
+def test_png_rgb_crc_corruption_detected():
+    from templatedb_spark.operators.multimodal import decode_png, encode_png
+    import pytest as _pytest
+
+    png = bytearray(encode_png(bytes(range(48)), 4, 4, channels=3))
+    png[40] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_png(bytes(png))
+
+
+def test_png_unsupported_formats_refused():
+    """16-bit / palette / interlaced stay documented refusals, not wrong
+    answers: flipping IHDR fields must raise NotImplementedError (and the
+    CRC must be re-stamped, or the corruption check fires first)."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from templatedb_spark.operators.multimodal import decode_png, encode_png
+
+    def with_ihdr(png: bytes, **patch) -> bytes:
+        ihdr = list(struct.unpack(">IIBBBBB", png[16:29]))
+        fields = ["w", "h", "depth", "color", "comp", "filt", "interlace"]
+        for k, v in patch.items():
+            ihdr[fields.index(k)] = v
+        data = struct.pack(">IIBBBBB", *ihdr)
+        crc = struct.pack(">I", zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF)
+        return png[:16] + data + crc + png[33:]
+
+    png = encode_png(bytes(range(16)), 4, 4)
+    for patch in ({"depth": 16}, {"color": 3}, {"interlace": 1}):
+        with _pytest.raises(NotImplementedError):
+            decode_png(with_ihdr(png, **patch))
+    with _pytest.raises(NotImplementedError):
+        encode_png(bytes(range(32)), 4, 4, channels=2)
+
+
 def test_decode_image_dispatches_png():
     from templatedb_spark.operators.multimodal import decode_image, encode_png
 
