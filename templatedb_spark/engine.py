@@ -251,6 +251,9 @@ class Engine:
         query = self._rewrite_quoted_csv(query)
         query = self._rewrite_introspection(query)
         query = sqlparse.normalize_offset_limit(query)
+        # QUALIFY (DuckDB/Snowflake window filter; no Spark-native form) →
+        # derived-table rewrite, before the alias shims see the final shape
+        query = sqlparse.rewrite_qualify(query)
         # one lex shared by the three final (non-editing) analyses
         tokens = sqlparse.tokenize(query)
         aliases = sqlparse.select_aliases(query, tokens)

@@ -155,7 +155,7 @@ def top_level_clauses(tokens: list[Token]) -> dict[str, tuple[int, int]]:
             w = t.lower
             if w in ("union", "intersect", "except"):
                 break  # later branches are out of shim scope
-            if w in ("select", "from", "where", "having", "limit", "offset"):
+            if w in ("select", "from", "where", "having", "qualify", "limit", "offset"):
                 marks.append((w, i + 1))
             elif w in ("group", "order") and i + 1 < len(tokens) and tokens[i + 1].lower == "by":
                 marks.append((w, i + 2))
@@ -468,6 +468,130 @@ def named_subqueries(sql: str, tokens: list[Token] | None = None) -> dict[str, s
                 body = sql[tokens[j + 1].start : tokens[close - 1].end]
                 out[tokens[k].text.strip('"').lower()] = body
     return out
+
+
+def _select_output_names(sql: str, tokens: list[Token], clauses: dict) -> list[str]:
+    """Output column names of the top-level select list: trailing `AS ident`
+    alias, a bare (possibly qualified) column reference's last identifier, or
+    an error — QUALIFY rewriting needs nameable outer projections."""
+    s, e = clauses["select"]
+    if "from" in clauses:
+        e = min(e, clauses["from"][0] - 1)
+    names: list[str] = []
+    for item in split_top_level(tokens[s:e]):
+        if not item:
+            continue
+        if len(item) >= 2 and item[-2].lower == "as" and item[-1].kind in ("ident", "dq"):
+            names.append(item[-1].text)
+            continue
+        if item[-1].kind in ("ident", "dq") and (
+            len(item) == 1 or item[-2].text == "."
+        ):
+            names.append(item[-1].text)
+            continue
+        raise ValueError(
+            "QUALIFY rewrite requires every select item to be a column "
+            f"reference or carry an explicit alias; got: "
+            f"{sql[item[0].start : item[-1].end]!r}"
+        )
+    return names
+
+
+def rewrite_qualify(sql: str, tokens: list[Token] | None = None) -> str:
+    """Rewrite a top-level QUALIFY clause (filter on window results — DuckDB/
+    Snowflake/BigQuery syntax the reference era's users expect; Spark has no
+    native QUALIFY) into the standard derived-table form:
+
+        SELECT <sel> FROM ... QUALIFY <pred> [ORDER BY ...] [LIMIT ...]
+      →
+        SELECT <outnames> FROM (
+          SELECT <sel>[, <winexpr_i> AS __q{i}...] FROM ...
+        ) __qualify_t WHERE <pred with winexprs → __q{i}> [ORDER BY/LIMIT]
+
+    Window-function calls appearing literally in the predicate are hoisted
+    into the inner select under generated aliases; predicate references to
+    select-list aliases resolve naturally through the derived table. The
+    rewrite is pure text surgery on token offsets — expressions are never
+    re-rendered, so quoting/spacing inside them is preserved.
+    """
+    tokens = tokenize(sql) if tokens is None else tokens
+    clauses = top_level_clauses(tokens)
+    if "qualify" not in clauses or "select" not in clauses or "from" not in clauses:
+        return sql
+    ps, pe = clauses["qualify"]
+    # the predicate ends where ORDER/LIMIT/OFFSET begins (clause ranges
+    # already account for that); the tail keeps the trailing clauses
+    pred_tokens = tokens[ps:pe]
+    if not pred_tokens:
+        return sql
+    out_names = _select_output_names(sql, tokens, clauses)
+
+    # hoist literal window calls:  fn ( args ) OVER ( spec )
+    depths = _depth_profile(tokens)
+    hoisted: list[tuple[int, int, str]] = []  # (tok_start, tok_end_incl, alias)
+    i = ps
+    while i < pe:
+        t = tokens[i]
+        if (
+            t.lower == "over"
+            and depths[i] == 0
+            and i + 1 < pe
+            and tokens[i + 1].text == "("
+            and i >= 1
+            and tokens[i - 1].text == ")"
+        ):
+            over_close = match_paren(tokens, i + 1)
+            arg_open = i - 1
+            # walk back over the function's ( args )
+            depth = 0
+            j = i - 1
+            while j >= ps:
+                if tokens[j].text == ")":
+                    depth += 1
+                elif tokens[j].text == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            fn_idx = j - 1
+            if fn_idx < ps or tokens[fn_idx].kind != "ident":
+                i += 1
+                continue
+            hoisted.append((fn_idx, over_close, f"__q{len(hoisted)}"))
+            i = over_close + 1
+            continue
+        i += 1
+
+    # inner query: original text select..to..qualify-keyword, select list
+    # augmented with hoisted window expressions
+    sel_e = min(clauses["select"][1], clauses["from"][0] - 1)
+    qualify_kw_start = tokens[ps - 1].start  # the QUALIFY keyword token
+    extra = "".join(
+        f", {sql[tokens[a].start : tokens[b].end]} AS {alias}"
+        for a, b, alias in hoisted
+    )
+    inner = (
+        sql[: tokens[sel_e - 1].end]
+        + extra
+        + sql[tokens[sel_e - 1].end : qualify_kw_start]
+    )
+
+    # predicate with hoisted spans replaced by their aliases
+    pred_parts: list[str] = []
+    cursor = tokens[ps].start
+    for a, b, alias in hoisted:
+        pred_parts.append(sql[cursor : tokens[a].start])
+        pred_parts.append(alias)
+        cursor = tokens[b].end
+    pred_parts.append(sql[cursor : tokens[pe - 1].end])
+    pred_text = "".join(pred_parts)
+
+    tail = sql[tokens[pe].start :] if pe < len(tokens) else ""
+    out = ", ".join(out_names)
+    return (
+        f"SELECT {out} FROM ({inner.strip()}) __qualify_t "
+        f"WHERE {pred_text.strip()}" + (f" {tail}" if tail else "")
+    )
 
 
 def find_calls(sql: str, func_name: str) -> list[tuple[int, int, list[list[Token]]]]:

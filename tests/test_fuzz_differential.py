@@ -273,11 +273,14 @@ def test_random_query_matches_duckdb(sql, spark, duck):
 
 
 def _gen_query6(rng: random.Random) -> str:
-    """Round-4 grammar: the LATERAL / null-safe surfaces the round-4 specs
-    opened. LATERAL legs carry a total ORDER BY + LIMIT (deterministic);
-    null-safe legs compare CASE-derived nullable keys with IS NOT DISTINCT
-    FROM — both engines share these semantics exactly."""
-    if rng.random() < 0.5:
+    """Round-4/5 grammar: LATERAL, null-safe joins, and QUALIFY — routed
+    through Engine.sql (VERDICT r4 #10) so the shim surface, including the
+    round-5 QUALIFY → derived-table rewrite, gets adversarial differential
+    coverage. DuckDB runs the SAME text natively (it ships QUALIFY; LATERAL
+    legs carry a total ORDER BY + LIMIT; null-safe legs compare CASE-derived
+    nullable keys with IS NOT DISTINCT FROM)."""
+    shape = rng.choice(["lateral", "nullsafe", "qualify_fn", "qualify_alias"])
+    if shape == "lateral":
         k = rng.randint(1, 4)
         cut = rng.randint(20, 300)
         direction = rng.choice(["DESC", "ASC"])
@@ -288,28 +291,59 @@ def _gen_query6(rng: random.Random) -> str:
             f"ORDER BY o_totalprice {direction}, o_orderkey ASC LIMIT {k}) t "
             f"WHERE c.c_custkey < {cut}"
         )
-    thresh_a = round(rng.uniform(-500, 2000), 2)
-    thresh_b = round(rng.uniform(-500, 2000), 2)
-    mod = rng.randint(2, 6)
+    if shape == "nullsafe":
+        thresh_a = round(rng.uniform(-500, 2000), 2)
+        thresh_b = round(rng.uniform(-500, 2000), 2)
+        mod = rng.randint(2, 6)
+        return (
+            "WITH a AS (SELECT CASE WHEN c_acctbal < "
+            f"{thresh_a} THEN NULL ELSE c_nationkey % {mod} END AS k FROM customer), "
+            "b AS (SELECT CASE WHEN c_acctbal < "
+            f"{thresh_b} THEN NULL ELSE c_nationkey % {mod} END AS kb FROM customer "
+            "WHERE c_custkey < 300) "
+            "SELECT k, COUNT(*) AS n_pairs FROM a JOIN b ON k IS NOT DISTINCT FROM kb GROUP BY k"
+        )
+    if shape == "qualify_fn":
+        # window call literally in the QUALIFY predicate → hoist path
+        n = rng.randint(1, 4)
+        direction = rng.choice(["DESC", "ASC"])
+        fn = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+        where = (
+            f"WHERE c_acctbal > {round(rng.uniform(-500, 3000), 2)} "
+            if rng.random() < 0.5
+            else ""
+        )
+        return (
+            "SELECT c_custkey, c_nationkey FROM customer "
+            + where
+            + f"QUALIFY {fn} OVER (PARTITION BY c_nationkey "
+            f"ORDER BY c_acctbal {direction}, c_custkey) <= {n} "
+            "ORDER BY c_nationkey, c_custkey"
+        )
+    # qualify_alias: predicate references a select-list window alias
+    n = rng.randint(1, 6)
+    direction = rng.choice(["DESC", "ASC"])
     return (
-        "WITH a AS (SELECT CASE WHEN c_acctbal < "
-        f"{thresh_a} THEN NULL ELSE c_nationkey % {mod} END AS k FROM customer), "
-        "b AS (SELECT CASE WHEN c_acctbal < "
-        f"{thresh_b} THEN NULL ELSE c_nationkey % {mod} END AS kb FROM customer "
-        "WHERE c_custkey < 300) "
-        "SELECT k, COUNT(*) AS n_pairs FROM a JOIN b ON k IS NOT DISTINCT FROM kb GROUP BY k"
+        "SELECT c_custkey, RANK() OVER "
+        f"(ORDER BY c_acctbal {direction}, c_custkey) AS r FROM customer "
+        f"QUALIFY r <= {n} ORDER BY r, c_custkey"
     )
 
 
 _NUM_CASES5 = 25
 _CASES5 = [_gen_query5(random.Random(_SEED + 4000 + i)) for i in range(_NUM_CASES5)]
-_NUM_CASES6 = 15
+_NUM_CASES6 = 24
 _CASES6 = [_gen_query6(random.Random(_SEED + 5000 + i)) for i in range(_NUM_CASES6)]
 
 
 @pytest.mark.parametrize("sql", _CASES6)
-def test_lateral_nullsafe_fuzz_matches_duckdb(sql, spark, duck):
-    got = normalize_pdf(spark.sql(sql).toPandas())
+def test_lateral_nullsafe_qualify_fuzz_matches_duckdb(sql, spark, duck):
+    """Grammar 6 routes through Engine.sql (QUALIFY rewrite + shims active);
+    DuckDB executes the identical text natively."""
+    from templatedb_spark.engine import Engine
+
+    eng = Engine(spark)
+    got = normalize_pdf(eng.sql(sql).toPandas())
     want = normalize_pdf(duck.sql(sql).df())
     assert len(got) == len(want), f"rowcount {len(got)} vs {len(want)}\n{sql}"
     assert got == want, sql

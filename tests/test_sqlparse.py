@@ -318,3 +318,42 @@ def test_named_subqueries_extraction():
         "select v1+1 as a from t1 where exists (select 1 as a from t2) and a > 2"
     )
     assert got2 == {}
+
+
+def test_rewrite_qualify_hoists_window_call():
+    got = sp.rewrite_qualify(
+        "SELECT a, b FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) <= 2 ORDER BY a"
+    )
+    assert got == (
+        "SELECT a, b FROM (SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) "
+        "AS __q0 FROM t) __qualify_t WHERE __q0 <= 2 ORDER BY a"
+    )
+
+
+def test_rewrite_qualify_alias_predicate_and_passthrough():
+    got = sp.rewrite_qualify(
+        "SELECT a, RANK() OVER (ORDER BY b) AS r FROM t QUALIFY r <= 3"
+    )
+    assert got == (
+        "SELECT a, r FROM (SELECT a, RANK() OVER (ORDER BY b) AS r FROM t) "
+        "__qualify_t WHERE r <= 3"
+    )
+    # no QUALIFY → byte-identical passthrough
+    q = "SELECT a FROM t WHERE 'qualify' = s"
+    assert sp.rewrite_qualify(q) == q
+
+
+def test_rewrite_qualify_requires_nameable_select_items():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sp.rewrite_qualify("SELECT a + 1 FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1")
+
+
+def test_engine_qualify_end_to_end(spark):
+    eng = Engine(spark)
+    rows = eng.sql(
+        "SELECT v1 FROM (SELECT 1 AS v1 UNION ALL SELECT 2 UNION ALL SELECT 3) t "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY v1 DESC) <= 2 ORDER BY v1"
+    ).collect()
+    assert [r.v1 for r in rows] == [2, 3]
