@@ -100,6 +100,7 @@ def main() -> None:
     critical = [
         "stream_sessionize_closed",  # 3 stateful streaming triggers: longest chain
         "stream_cdc_kv_state",  # 3 sequential streaming triggers
+        "stream_interval_join_clicks",  # 3-trigger stream-stream join chain
         "ann_lsh_banded_topk",
         "dedup_ngram_jaccard",
         "dedup_ngram_capped",

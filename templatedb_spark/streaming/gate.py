@@ -203,3 +203,65 @@ register(
         "applyInPandasWithState sessionization over 3 micro-batches (state spans batches) vs batch-minus-open-sessions oracle",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Third gated streaming spec (round 5): STREAM-STREAM interval join under
+# the oracle — the join-state machinery (both-side watermarks, cross-batch
+# state retention, interval condition pruning) the first two gates don't
+# touch. Clicks and errors drain from the same 3-batch ts-ordered staging;
+# a click in batch 1 matching an error in batch 2 exercises exactly the
+# state carry-over a real funnel join depends on. Determinism argument:
+# inner-join matches emit immediately; a click needed by a future error
+# satisfies click_ts >= err_ts - 30min > watermark (1 h delay > the 30 min
+# lookback, and batches are ts-ordered), so no needed state is ever evicted
+# — the drained result provably equals the batch interval join, which is
+# the oracle. The final per-error rollup runs as BATCH over the sink table
+# (chaining a streaming agg after a stream-stream join is deliberately
+# avoided; the join is the audited subject).
+# ---------------------------------------------------------------------------
+def stream_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from templatedb_spark.streaming.events import (
+        read_events_stream,
+        stream_stream_interval_join,
+    )
+
+    stage = tempfile.mkdtemp(prefix="ssj_stage_")
+    _stage_microbatches(sf_dir, stage)
+    name = f"gate_ssjoin_{os.path.basename(stage).split('_')[-1]}"
+    q = (
+        stream_stream_interval_join(read_events_stream(spark, stage))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)  # memory sink holds the rows now
+    return (
+        spark.table(name)
+        .groupBy(F.col("e_user").alias("user_id"), "error_id")
+        .agg(F.count(F.lit(1)).alias("n_recent_clicks"))
+    )
+
+
+_STREAM_INTERVAL_JOIN_ORACLE = """
+SELECT a.user_id, a.event_id AS error_id, COUNT(*) AS n_recent_clicks
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.event_type = 'click' AND a.event_type = 'error'
+ AND b.ts >= a.ts - INTERVAL 30 MINUTE AND b.ts <= a.ts
+GROUP BY a.user_id, a.event_id
+"""
+
+register(
+    QuerySpec(
+        "stream_interval_join_clicks",
+        stream_interval_join_clicks,
+        _STREAM_INTERVAL_JOIN_ORACLE,
+        "stream-stream interval join (both-side watermarks, 3 micro-batches, cross-batch join state) vs batch range-join oracle",
+    )
+)
