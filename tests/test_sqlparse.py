@@ -357,3 +357,18 @@ def test_engine_qualify_end_to_end(spark):
         "QUALIFY ROW_NUMBER() OVER (ORDER BY v1 DESC) <= 2 ORDER BY v1"
     ).collect()
     assert [r.v1 for r in rows] == [2, 3]
+
+
+def test_chained_cte_columns_shadow_via_textual_fallback(spark):
+    """A CTE whose body references an EARLIER CTE won't plan standalone —
+    the engine falls back to the body's textual select aliases for the
+    shadow set, so the collision with the outer alias still suppresses
+    substitution (columns shadow aliases)."""
+    eng = Engine(spark)
+    rows = eng.sql(
+        "with base as (select 1 as v1, 10 as raw union all select 2, 20 "
+        "union all select 3, 30), "
+        "src as (select v1, raw as a from base) "
+        "select v1+1 as a from src where a >= 20 order by a"
+    ).collect()
+    assert [r.a for r in rows] == [3, 4]
