@@ -123,3 +123,70 @@ def test_scd2_asof_one_row_per_covered_user(spark):
     assert len(users) == len(set(users))
     for r in rows:
         assert r.valid_from <= _ASOF_T
+
+
+def test_funnel_components_equal_raw_pair_graph(spark, tmp_path):
+    """The round-5 funnel feed's load-bearing claim, tested adversarially:
+    connected components over funnel_pair_graph (survivor LSH pairs + star
+    edges) must equal components over the RAW LSH pair graph, including
+    node sets and min-doc_id labels — on a corpus salted with exact copies
+    that differ only in case/whitespace (the exact surface the
+    fingerprint-equal ⇒ signature-equal argument rests on)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    doc_id = 0
+    for _ in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(5, 12))]
+        t = " ".join(words)
+        docs.append((doc_id, t)); doc_id += 1
+        for _ in range(rng.randint(0, 2)):  # exact copies modulo case/ws
+            variant = t.upper() if rng.random() < 0.5 else t.replace(" ", "   ")
+            docs.append((doc_id, variant)); doc_id += 1
+        if rng.random() < 0.3:  # near-dup: one extra word
+            docs.append((doc_id, t + " " + rng.choice(vocab))); doc_id += 1
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": [d[1] for d in docs],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf_dir = str(tmp_path)
+
+    from templatedb_spark.operators.dedup import dedup_minhash_lsh
+    from templatedb_spark.operators.pipeline import cluster_labels
+
+    raw_pairs = [
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    ]
+    assert raw_pairs  # the salted corpus must actually produce dup structure
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw_pairs:
+        parent[find(a)] = find(b)
+    raw_label = {}
+    for n in parent:
+        raw_label.setdefault(find(n), []).append(n)
+    want = {}
+    for members in raw_label.values():
+        m = min(members)
+        for n in members:
+            want[n] = m
+
+    got = {r.doc_id: r.label for r in cluster_labels(spark, sf_dir).collect()}
+    assert got == want

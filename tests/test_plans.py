@@ -596,3 +596,28 @@ def test_null_safe_join_is_hash_join(spark):
     plan = buf.getvalue()
     assert "NestedLoop" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_fused_topk_equals_naive_global_window(spark):
+    """fused_topk's equivalence claim: for a TOTAL order, prefilter+window
+    must be row-identical to the naive unpartitioned row_number window —
+    checked over seeded random data with heavy ties on the score column."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from templatedb_spark.suite import fused_topk
+
+    rng = random.Random(42)
+    rows = [(i, rng.randint(0, 9) / 2.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    order = [F.col("score").desc(), F.col("id").asc()]
+    for k in (1, 7, 50):
+        got = fused_topk(df, order, k, "rank").collect()
+        w = Window.orderBy(*order)
+        want = (
+            df.select("id", "score", F.row_number().over(w).cast("long").alias("rank"))
+            .filter(F.col("rank") <= k)
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want)), k
