@@ -263,7 +263,9 @@ def main() -> None:
                 ],
                 capture_output=True,
                 text=True,
-                timeout=900,
+                # bounded so a hung baseline can never stall the bench run:
+                # the concurrent DuckDB suite takes 20-70 s at sf0.1
+                timeout=300,
             )
             cpu1d = _cpu_counters()
             duck = json.loads(proc.stdout.strip().splitlines()[-1])
