@@ -924,9 +924,12 @@ SELECT user_id, ts, value, n_prior, z FROM z WHERE ABS(z) >= {_Z_THRESHOLD}
 
 
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from templatedb_spark.operators.dedup import dedup_minhash_lsh
-
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
+    # funnel feed (late round 5, closing the graph tier): triangles are
+    # counted on the same funnel graph as clustering/pagerank/BFS, so the
+    # C(k,2) exact-copy blow-up cannot reach the triangle join either; the
+    # oracle computes the identical funnel graph (its `und` CTE IS the
+    # canonical a<b pair set — stars are keep_id<copy by construction)
+    pairs = funnel_pair_graph(spark, sf_dir).filter(F.col("doc_a") < F.col("doc_b"))
     p1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     p2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
     p3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
@@ -957,19 +960,17 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _triangles_oracle() -> str:
-    from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
-
     return f"""
-WITH {_MINHASH_CTES},
-pairs AS ({_MINHASH_SELECT}),
+WITH {_funnel_edges_ctes()},
+fpairs AS (SELECT doc_a, doc_b FROM und),
 tri AS (SELECT COUNT(*)::BIGINT AS n_triangles
-        FROM pairs p1
-        JOIN pairs p2 ON p1.doc_b = p2.doc_a
-        JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
-sym AS (SELECT doc_a AS u FROM pairs UNION ALL SELECT doc_b FROM pairs),
+        FROM fpairs p1
+        JOIN fpairs p2 ON p1.doc_b = p2.doc_a
+        JOIN fpairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+sym AS (SELECT doc_a AS u FROM fpairs UNION ALL SELECT doc_b FROM fpairs),
 deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
 triads AS (SELECT COALESCE(SUM((d * (d - 1)) // 2), 0)::BIGINT AS n_triads FROM deg),
-ecnt AS (SELECT COUNT(*)::BIGINT AS n_edges FROM pairs)
+ecnt AS (SELECT COUNT(*)::BIGINT AS n_edges FROM fpairs)
 SELECT n_triangles, n_triads, n_edges,
        CASE WHEN n_triads > 0 THEN ROUND(3.0 * n_triangles / n_triads, 6) ELSE 0.0 END AS clustering_coeff
 FROM tri CROSS JOIN triads CROSS JOIN ecnt

@@ -94,7 +94,7 @@ def all_specs() -> dict[str, QuerySpec]:
     changed_r5 = {
         "bm25_topk", "rrf_fusion", "weighted_sample_docs",          # fused top-k rewrite
         "approx_distinct_users", "approx_percentiles_price",        # tolerance-verdict oracles
-        "graph_pagerank", "graph_bfs_hops",                          # funnel graph feed (new oracles)
+        "graph_pagerank", "graph_bfs_hops", "graph_triangles",       # funnel graph feed (new oracles)
         "dedup_dup_clusters", "dedup_keep_policy",                   # funnel feed (same results)
     }
     covered -= changed_r5
