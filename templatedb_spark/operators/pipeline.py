@@ -1335,19 +1335,15 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = d.select("doc_id", F.md5(norm).alias("fingerprint"))
     wfp = Window.partitionBy("fingerprint")
     ex = fp.select("doc_id", F.min("doc_id").over(wfp).alias("keep_id"))
-    surv = ex.filter(F.col("doc_id") == F.col("keep_id")).select(
-        F.col("doc_id").alias("s_id")
-    )
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    near = (
-        pairs.join(F.broadcast(surv), pairs["doc_a"] == F.col("s_id"), "left_semi")
-        .join(
-            F.broadcast(surv.select(F.col("s_id").alias("s_id2"))),
-            pairs["doc_b"] == F.col("s_id2"),
-            "left_semi",
-        )
-        .groupBy(F.col("doc_b").alias("n_id"))
-        .agg(F.min("doc_a").alias("n_partner"))
+    surv = ex.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id")
+    # r5: the LSH band join itself is RESTRICTED to exact survivors (banding
+    # and verification are pairwise, so survivor-restricted pairs are exactly
+    # the raw pairs with both endpoints surviving — the post-hoc semi-join
+    # filter this replaced computed the same set AFTER paying the C(k,2)
+    # candidate cost over exact-copy groups; now that cost never exists)
+    pairs = dedup_minhash_lsh(spark, sf_dir, restrict=surv).select("doc_a", "doc_b")
+    near = pairs.groupBy(F.col("doc_b").alias("n_id")).agg(
+        F.min("doc_a").alias("n_partner")
     )
     return (
         ex.join(F.broadcast(near), ex["doc_id"] == near["n_id"], "left")

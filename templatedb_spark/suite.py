@@ -95,7 +95,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "bm25_topk", "rrf_fusion", "weighted_sample_docs",          # fused top-k rewrite
         "approx_distinct_users", "approx_percentiles_price",        # tolerance-verdict oracles
         "graph_pagerank", "graph_bfs_hops", "graph_triangles",       # funnel graph feed (new oracles)
-        "dedup_dup_clusters", "dedup_keep_policy",                   # funnel feed (same results)
+        "dedup_dup_clusters", "dedup_keep_policy", "dedup_cascade",  # funnel feed (same results)
     }
     covered -= changed_r5
     # The round-2 verdict singled out eleven specs that no driver round has
