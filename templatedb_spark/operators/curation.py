@@ -1046,7 +1046,9 @@ FROM per_doc
 # histogram of estimated-Jaccard mass over the candidate pairs, by 0.1 bins.
 # Answers "where should the dedup threshold sit for THIS corpus?" from work
 # the suite already computes (the memoized LSH pair relation); one ≤10-row
-# rollup on top.
+# rollup on top. Deliberately RAW pairs (not the funnel feed): the sweep
+# characterizes the candidate distribution the dedup pass itself must
+# enumerate — exact-copy pair mass in the 1.0 bin is part of the answer.
 # ---------------------------------------------------------------------------
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from templatedb_spark.operators.dedup import dedup_minhash_lsh
