@@ -94,43 +94,49 @@ def main() -> None:
 
     # Longest-processing-time-first submission: start the known-heavy queries
     # at t=0 so the many sub-second queries pack in behind them instead of the
-    # heavies forming a serial tail. Names not listed keep registry order.
-    # `critical` = the suite's makespan critical path (multi-stage dedup
-    # self-joins); they get the top-weight scheduler pool.
+    # heavies forming a serial tail. The heavy set is DERIVED from the last
+    # run's contended profile (bench_results/latest.json) so the LPT seed
+    # tracks the suite as it evolves; the streaming trigger chains are always
+    # first (serial by construction — the true critical path), and specs with
+    # no prior measurement schedule early (unknown = assume heavy). The
+    # static list is only the cold-start fallback for a fresh checkout.
     critical = [
         "stream_sessionize_closed",  # 3 stateful streaming triggers: longest chain
-        "stream_cdc_kv_state",  # 3 sequential streaming triggers
         "stream_interval_join_clicks",  # 3-trigger stream-stream join chain
+        "stream_cdc_kv_state",  # 3 sequential streaming triggers
         "ann_lsh_banded_topk",
+        "dedup_ngram_prefix",
         "dedup_ngram_jaccard",
         "dedup_ngram_capped",
         "dedup_simhash",
         "dedup_minhash_lsh",
     ]
-    heavy = critical + [
-        "ann_lsh_topk",
-        "multimodal_decode_png",
-        "dedup_embedding_cosine",
-        "multimodal_features",
-        "ann_ivf_topk",
-        "multi_join_revenue",
-        "q1_pricing_summary",
-        "sessionize",
-        "string_functions",
-        "dedup_levenshtein",
-        "approx_distinct_users",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "q7_nation_volume",
-        "q18_large_orders",
-        "percentiles_price",
-        "vocab_top_tokens",
-        "tfidf_top_terms",
-        "dedup_dup_clusters",
-    ]
-    order = {n: i for i, n in enumerate(heavy)}
-    items = sorted(specs.items(), key=lambda kv: order.get(kv[0], len(heavy)))
-    pool_of = {n: ("critical" if n in critical else "heavy") for n in heavy}
+    prev_times: dict[str, float] = {}
+    try:
+        prev_art = json.loads(
+            (Path(__file__).resolve().parent / "bench_results" / "latest.json").read_text()
+        )
+        prev_times = {
+            k: v for k, v in prev_art.get("queries", {}).items() if isinstance(v, (int, float)) and v > 0
+        }
+    except Exception:
+        pass  # cold start: static seed only
+
+    def lpt_key(name: str):
+        if name in critical:
+            return (0, critical.index(name))
+        t = prev_times.get(name)
+        return (1, -1e9) if t is None else (1, -t)
+
+    items = sorted(specs.items(), key=lambda kv: lpt_key(kv[0]))
+    # pools: streaming chains get the top-weight pool; the measured top-25
+    # contended (plus unknowns) get "heavy"; the rest "light"
+    heavy_names = {n for n, _ in sorted(prev_times.items(), key=lambda kv: -kv[1])[:25]}
+    heavy_names |= {n for n, _ in items if n not in prev_times}
+    pool_of = {
+        n: ("critical" if n in critical else "heavy")
+        for n in (set(critical) | heavy_names)
+    }
 
     errs: dict[str, str] = {}
     retried: list[str] = []
