@@ -372,3 +372,24 @@ def test_chained_cte_columns_shadow_via_textual_fallback(spark):
         "select v1+1 as a from src where a >= 20 order by a"
     ).collect()
     assert [r.a for r in rows] == [3, 4]
+
+
+def test_engine_qualify_with_group_by(spark, duck):
+    """QUALIFY over an aggregated query: the hoisted window (containing an
+    aggregate) lands in the inner select list where it is valid alongside
+    GROUP BY — differentially checked against DuckDB's native QUALIFY."""
+    from tests.conftest import SF_SMALL, normalize_pdf
+    from templatedb_spark.suite import table
+
+    table(spark, SF_SMALL, "customer").createOrReplaceTempView("customer")
+    q = (
+        "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM customer "
+        "GROUP BY c_nationkey "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, c_nationkey ASC) <= 5 "
+        "ORDER BY n DESC, c_nationkey"
+    )
+    eng = Engine(spark)
+    got = normalize_pdf(eng.sql(q).toPandas())
+    want = normalize_pdf(duck.sql(q).df())
+    assert got == want
+    spark.catalog.dropTempView("customer")
