@@ -360,3 +360,74 @@ def test_engine_shim_query_matches_duckdb(sql, spark, duck):
     want = normalize_pdf(duck.sql(sql).df())
     assert len(got) == len(want), f"rowcount {len(got)} vs {len(want)}\n{sql}"
     assert got == want, sql
+
+
+def _gen_query7(rng: random.Random) -> str:
+    """Round-5 grammar: the §2.8 scalar surface — date/interval arithmetic,
+    date parts, and string functions — in the shared ANSI dialect (identical
+    text, both engines). Dates render via CAST(.. AS VARCHAR) (ISO in both);
+    rounding only touches 2-decimal source values (exact in both)."""
+    shape = rng.choice(["date_arith", "date_part", "string_fn", "like_filter"])
+    d = "CAST(o_orderdate AS DATE)"
+    if shape == "date_arith":
+        n = rng.randint(1, 400)
+        unit = rng.choice(["DAY", "MONTH"])
+        sign = rng.choice(["+", "-"])
+        lim = rng.randint(5, 40)
+        # cast the result back to DATE before rendering: Spark keeps
+        # DATE ± month/day intervals as DATE while DuckDB promotes to
+        # TIMESTAMP; the DATE values themselves agree exactly
+        return (
+            f"SELECT o_orderkey, CAST(CAST({d} {sign} INTERVAL {n} {unit} AS DATE) AS STRING) AS shifted "
+            f"FROM orders WHERE o_orderkey < 500 "
+            f"ORDER BY o_orderkey LIMIT {lim}"
+        )
+    if shape == "date_part":
+        part = rng.choice(["YEAR", "MONTH", "DAY"])
+        return (
+            f"SELECT CAST(EXTRACT({part} FROM {d}) AS BIGINT) AS p, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS s "
+            "FROM orders GROUP BY p ORDER BY p"
+        )
+    if shape == "string_fn":
+        i = rng.randint(1, 6)
+        ln = rng.randint(1, 8)
+        fn = rng.choice(
+            [
+                f"UPPER(SUBSTR(c_name, {i}, {ln}))",
+                f"LOWER(SUBSTR(c_mktsegment, {i}, {ln}))",
+                "CAST(LENGTH(c_name) AS BIGINT)",
+                "CONCAT(c_mktsegment, '-', CAST(c_nationkey AS STRING))",
+                "TRIM(CONCAT('  ', c_mktsegment, ' '))",
+                "REPLACE(c_mktsegment, 'A', '@')",
+            ]
+        )
+        lim = rng.randint(5, 50)
+        return (
+            f"SELECT c_custkey, {fn} AS v FROM customer "
+            f"ORDER BY c_custkey LIMIT {lim}"
+        )
+    pat = rng.choice(["%UILD%", "AUTO%", "%RY", "%OUSE%", "F%"])
+    neg = "NOT " if rng.random() < 0.3 else ""
+    return (
+        f"SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n FROM customer "
+        f"WHERE c_mktsegment {neg}LIKE '{pat}' "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
+
+
+_NUM_CASES7 = 28
+_CASES7 = [_gen_query7(random.Random(_SEED + 6000 + i)) for i in range(_NUM_CASES7)]
+
+
+@pytest.mark.parametrize("sql", _CASES7)
+def test_scalar_surface_fuzz_matches_duckdb(sql, spark, duck):
+    """Grammar 7 routes through Engine.sql; DuckDB executes identical text."""
+    from templatedb_spark.engine import Engine
+
+    eng = Engine(spark)
+    got = normalize_pdf(eng.sql(sql).toPandas())
+    want = normalize_pdf(duck.sql(sql).df())
+    assert len(got) == len(want), f"rowcount {len(got)} vs {len(want)}\n{sql}"
+    assert got == want, sql
