@@ -431,3 +431,68 @@ def test_scalar_surface_fuzz_matches_duckdb(sql, spark, duck):
     want = normalize_pdf(duck.sql(sql).df())
     assert len(got) == len(want), f"rowcount {len(got)} vs {len(want)}\n{sql}"
     assert got == want, sql
+
+
+def _gen_ddl_script(rng: random.Random, tname: str) -> tuple[list[str], str]:
+    """Grammar 8: the DDL/DML surface — typed CREATE TABLE, full-row VALUES,
+    column-subset inserts (permutation + NULL fill), INSERT..SELECT — as a
+    statement script both engines execute verbatim, compared on the final
+    order-insensitive SELECT *."""
+    types = ["int", "bigint", "varchar", "double"]
+    ncols = rng.randint(2, 4)
+    cols = [(f"c{i}", rng.choice(types)) for i in range(ncols)]
+
+    def val(t: str) -> str:
+        if rng.random() < 0.15:
+            return "NULL"
+        if t == "int":
+            return str(rng.randint(-1000, 1000))
+        if t == "bigint":
+            return str(rng.randint(-10**12, 10**12))
+        if t == "double":
+            return str(round(rng.uniform(-500, 500), 2))
+        return f"'s{rng.randint(0, 99)}'"
+
+    stmts = [f"CREATE TABLE {tname} ({', '.join(f'{n} {t}' for n, t in cols)})"]
+    for _ in range(rng.randint(2, 6)):
+        if rng.random() < 0.4:
+            rows = ", ".join(
+                "(" + ", ".join(val(t) for _, t in cols) + ")"
+                for _ in range(rng.randint(1, 3))
+            )
+            stmts.append(f"INSERT INTO {tname} VALUES {rows}")
+        else:
+            k = rng.randint(1, ncols)
+            subset = rng.sample(cols, k)
+            names = ", ".join(n for n, _ in subset)
+            vals = ", ".join(val(t) for _, t in subset)
+            stmts.append(f"INSERT INTO {tname} ({names}) VALUES ({vals})")
+    if rng.random() < 0.5:
+        stmts.append(f"INSERT INTO {tname} SELECT * FROM {tname} WHERE c0 IS NOT NULL")
+    return stmts, f"SELECT * FROM {tname}"
+
+
+_NUM_CASES8 = 15
+_CASES8 = list(range(_NUM_CASES8))
+
+
+@pytest.mark.parametrize("case", _CASES8)
+def test_ddl_insert_fuzz_matches_duckdb(case, spark, duck):
+    """Grammar 8 drives the slt-session dispatcher (Catalog typed DDL +
+    Engine) and DuckDB with identical statement scripts."""
+    from templatedb_spark.slt import SltSession
+
+    rng = random.Random(_SEED + 7000 + case)
+    tname = f"t8_{case}"
+    stmts, query = _gen_ddl_script(rng, tname)
+    sess = SltSession(spark, base_dir=".", strict=False)
+    for s in stmts:
+        sess.run(s)
+    duck.sql(f"DROP TABLE IF EXISTS {tname}")
+    for s in stmts:
+        duck.sql(s)
+    got = normalize_pdf(sess.run(query).toPandas())
+    want = normalize_pdf(duck.sql(query).df())
+    duck.sql(f"DROP TABLE IF EXISTS {tname}")
+    spark.catalog.dropTempView(tname)
+    assert got == want, "\n".join(stmts)
