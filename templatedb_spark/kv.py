@@ -35,8 +35,10 @@ bounds the number of deltas merged per read, same role it plays in the LSM.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
+import threading
 import zlib
 from pathlib import Path
 
@@ -46,6 +48,22 @@ from pyspark.sql.window import Window
 
 _SCHEMA = "key string, value string, op string, version long"
 _KV_BUCKETS = 16
+
+
+def _locked(fn):
+    """Serialize mutators on one table handle (version allocation, the
+    delta write, and the manifest append must be one atomic step — two
+    unsynchronized writers would allocate the same version and
+    _clear_orphan each other's in-flight directory). Same contract as a
+    RocksDB handle: the HANDLE is thread-safe; cross-process single-writer
+    discipline remains the caller's job, as in the reference."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **k):
+        with self._write_lock:
+            return fn(self, *a, **k)
+
+    return wrapper
 
 
 def bucket_of(key: str) -> int:
@@ -63,6 +81,7 @@ class KVTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        self._write_lock = threading.RLock()  # see _locked
         os.makedirs(path, exist_ok=True)
 
     # -- manifest ------------------------------------------------------------
@@ -236,6 +255,7 @@ class KVTable:
         return vs[-1] if vs else -1
 
     # -- writes (each call is one atomic batch == one new version) ----------
+    @_locked
     def write_batch(self, puts: dict[str, str] | None = None, deletes: list[str] | None = None) -> int:
         """Atomic batch of puts+deletes (reference WriteBatch, batch.rs:42).
 
@@ -263,6 +283,7 @@ class KVTable:
         self._commit_version(v)
         return v
 
+    @_locked
     def write_batch_df(self, changes: DataFrame) -> int:
         """Atomic batch from a DISTRIBUTED (key, value, op) DataFrame — the
         streaming-ingest shape: no driver materialization anywhere, the
@@ -384,6 +405,7 @@ class KVTable:
         return self.scan(start, end).count()
 
     # -- maintenance --------------------------------------------------------
+    @_locked
     def compact(self) -> int:
         """Collapse history into a single base version (compact_range parity).
 
@@ -430,6 +452,7 @@ class MergeKVTable(KVTable):
     buckets a batch touches — the bucket layout here is exactly that unit.
     """
 
+    @_locked
     def write_batch(self, puts: dict[str, str] | None = None, deletes: list[str] | None = None) -> int:
         puts = puts or {}
         deletes = deletes or []
@@ -460,6 +483,7 @@ class MergeKVTable(KVTable):
         self._commit_version(v)
         return v
 
+    @_locked
     def write_batch_df(self, changes: DataFrame) -> int:
         """Distributed-changes twin of write_batch (see KVTable.write_batch_df
         for the contract): the three-branch MERGE runs entirely as a
@@ -516,6 +540,7 @@ class MergeKVTable(KVTable):
         df = self._read_deltas([f"{self.path}/version={v}/bucket={b}"])
         return df.filter(F.col("key") == key).select("key", "value")
 
+    @_locked
     def compact(self) -> int:
         """State is already merged per version — compaction just drops history
         (manifest snapshot first, directory cleanup after; see KVTable.compact)."""

@@ -340,3 +340,22 @@ def test_committed_marker_is_monotone(kv):
     assert m1 == kv.latest_version()
     kv.compact()
     assert kv._read_committed_marker() >= m1
+
+
+def test_concurrent_puts_on_one_handle_are_serialized(spark):
+    """A KVTable handle is thread-safe (RocksDB-handle contract): concurrent
+    put()s must allocate distinct versions and lose no write — without the
+    write lock two threads allocate the same version and _clear_orphan each
+    other's in-flight delta directory."""
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d)
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            versions = list(
+                pool.map(lambda i: kv.put(f"k{i}", f"v{i}"), range(16))
+            )
+        assert sorted(versions) == list(range(versions and min(versions), min(versions) + 16))  # distinct, gap-free
+        for i in range(16):
+            assert kv.get(f"k{i}") == f"v{i}"
