@@ -102,7 +102,7 @@ def main() -> None:
     # static list is only the cold-start fallback for a fresh checkout.
     critical = [
         "stream_sessionize_closed",  # 3 stateful streaming triggers: longest chain
-        "stream_interval_join_clicks",  # 3-trigger stream-stream join chain
+        "stream_interval_join_clicks",  # 2-trigger stream-stream join chain
         "stream_cdc_kv_state",  # 3 sequential streaming triggers
         "ann_lsh_banded_topk",
         "dedup_ngram_prefix",

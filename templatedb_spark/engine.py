@@ -201,8 +201,15 @@ class Engine:
         from templatedb_spark import sqlparse
 
         cols: set[str] = set()
-        subqueries = sqlparse.named_subqueries(query, tokens)
-        for name in sqlparse.from_tables(query, tokens):
+        ctes, derived = sqlparse.named_subqueries_split(query, tokens)
+        from_names = set(sqlparse.from_tables(query, tokens))
+        # only relations the outer FROM actually references are in scope: a
+        # DECLARED but unreferenced CTE must not shadow (the reference binder
+        # resolves columns of referenced relations only) — derived tables are
+        # outer-FROM members by construction
+        subqueries = {n: b for n, b in ctes.items() if n in from_names}
+        subqueries.update(derived)
+        for name in from_names:
             if name in subqueries:
                 continue  # resolved below from the subquery body
             if self.catalog is not None and name in getattr(self.catalog, "tables", {}):

@@ -571,6 +571,37 @@ _CLUSTER_MAX_ROUNDS = 20
 
 
 _FUNNEL_MEMO: dict[tuple[str, str], DataFrame] = {}
+_FUNNEL_PARTS_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _funnel_parts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(keep, pairs): the funnel's two shared intermediates, memoized once per
+    (application, sf_dir) — `keep` = (doc_id, keep_id) exact-fingerprint
+    assignment (lazy: one cheap window, recomputed per consumer action) and
+    `pairs` = survivor-restricted LSH pairs (checkpointed: the one expensive
+    stage, computed once for funnel_pair_graph AND dedup_cascade instead of
+    twice per suite run)."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _FUNNEL_PARTS_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+    from templatedb_spark.operators.dedup import dedup_minhash_lsh
+
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    fp = d.select("doc_id", F.md5(norm).alias("fingerprint"))
+    keep = fp.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("fingerprint")).alias("keep_id"),
+    )
+    surv = keep.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id")
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir, restrict=surv)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    _FUNNEL_PARTS_MEMO[memo_key] = (keep, pairs)
+    return keep, pairs
 
 
 def funnel_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,17 +634,7 @@ def funnel_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _FUNNEL_MEMO.get(memo_key)
     if cached is not None:
         return cached
-    from templatedb_spark.operators.dedup import dedup_minhash_lsh
-
-    d = table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-    fp = d.select("doc_id", F.md5(norm).alias("fingerprint"))
-    keep = fp.select(
-        "doc_id",
-        F.min("doc_id").over(Window.partitionBy("fingerprint")).alias("keep_id"),
-    )
-    surv = keep.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id")
-    pairs = dedup_minhash_lsh(spark, sf_dir, restrict=surv).select("doc_a", "doc_b")
+    keep, pairs = _funnel_parts(spark, sf_dir)
     stars = keep.filter(F.col("doc_id") != F.col("keep_id")).select(
         F.col("keep_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
@@ -1328,20 +1349,15 @@ SELECT doc_id, bm25_rank, ann_rank, rrf_score, fused_rank FROM (
 # expensive stage's input small.
 # ---------------------------------------------------------------------------
 def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from templatedb_spark.operators.dedup import dedup_minhash_lsh
-
-    d = table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-    fp = d.select("doc_id", F.md5(norm).alias("fingerprint"))
-    wfp = Window.partitionBy("fingerprint")
-    ex = fp.select("doc_id", F.min("doc_id").over(wfp).alias("keep_id"))
-    surv = ex.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id")
-    # r5: the LSH band join itself is RESTRICTED to exact survivors (banding
-    # and verification are pairwise, so survivor-restricted pairs are exactly
-    # the raw pairs with both endpoints surviving — the post-hoc semi-join
+    # r5: the exact-fingerprint assignment and the survivor-restricted band
+    # join are the SHARED funnel intermediates (_funnel_parts, memoized +
+    # checkpointed) — the graph tier and the cascade consume one computation
+    # of the expensive stage instead of each rebuilding it. (Banding and
+    # verification are pairwise, so survivor-restricted pairs are exactly
+    # the raw pairs with both endpoints surviving; the post-hoc semi-join
     # filter this replaced computed the same set AFTER paying the C(k,2)
-    # candidate cost over exact-copy groups; now that cost never exists)
-    pairs = dedup_minhash_lsh(spark, sf_dir, restrict=surv).select("doc_a", "doc_b")
+    # candidate cost over exact-copy groups.)
+    ex, pairs = _funnel_parts(spark, sf_dir)
     near = pairs.groupBy(F.col("doc_b").alias("n_id")).agg(
         F.min("doc_a").alias("n_partner")
     )

@@ -155,7 +155,32 @@ def top_level_clauses(tokens: list[Token]) -> dict[str, tuple[int, int]]:
             w = t.lower
             if w in ("union", "intersect", "except"):
                 break  # later branches are out of shim scope
-            if w in ("select", "from", "where", "having", "qualify", "limit", "offset"):
+            if w == "qualify":
+                # QUALIFY is NOT reserved in Spark, so a column/alias named
+                # qualify is legal — only mark a clause when the context
+                # reads as one: the previous token ends an expression or
+                # relation (bare name / literal / close-paren, not a
+                # keyword, comma, dot, or operator) AND the next token can
+                # start a predicate (not a clause keyword, comma, or EOF).
+                prev = tokens[i - 1] if i > 0 else None
+                nxt = tokens[i + 1] if i + 1 < len(tokens) else None
+                prev_ok = prev is not None and (
+                    (prev.kind in ("ident", "dq") and prev.lower not in _RESERVED)
+                    or prev.kind in ("num", "str")
+                    or prev.text == ")"
+                )
+                _clause_words = {
+                    "where", "group", "order", "limit", "offset", "union",
+                    "intersect", "except", "from", "join", "on", "as", "having",
+                }
+                next_ok = nxt is not None and (
+                    nxt.kind in ("num", "str", "dq")
+                    or nxt.text in ("(", "+", "-")
+                    or (nxt.kind == "ident" and nxt.lower not in _clause_words)
+                )
+                if prev_ok and next_ok:
+                    marks.append((w, i + 1))
+            elif w in ("select", "from", "where", "having", "limit", "offset"):
                 marks.append((w, i + 1))
             elif w in ("group", "order") and i + 1 < len(tokens) and tokens[i + 1].lower == "by":
                 marks.append((w, i + 2))
@@ -300,11 +325,19 @@ def substitute_where_aliases(
 def _literal_kind_left(tokens: list[Token], i: int) -> tuple[str | None, int]:
     """Classify the operand ENDING at index i (exclusive of the comparison op):
     returns (kind, start_token_idx) where kind is 'str'/'num'/None. Handles a
-    parenthesized single literal `('abc')` by looking inside the parens."""
+    parenthesized single literal `('abc')` by looking inside the parens —
+    but NOT a function call `chr(65)`: a preceding identifier (or another
+    call/index result) makes the parens an argument list, whose value kind
+    is unknown and must not trip strict mode."""
     t = tokens[i]
     if t.kind in ("str", "num"):
         return t.kind, i
     if t.text == ")" and i >= 2 and tokens[i - 2].text == "(":
+        if i >= 3 and (
+            (tokens[i - 3].kind in ("ident", "dq") and tokens[i - 3].lower not in _RESERVED)
+            or tokens[i - 3].text in (")", "]")
+        ):
+            return None, i  # fn( lit ) — a call, not a bare literal
         inner = tokens[i - 1]
         if inner.kind in ("str", "num"):
             return inner.kind, i - 2
@@ -404,13 +437,23 @@ def _derived_alias_error():
 
 
 def named_subqueries(sql: str, tokens: list[Token] | None = None) -> dict[str, str]:
-    """Map name -> body text for (a) top-level CTEs (`WITH name AS (body)`)
-    and (b) aliased derived tables in the outer FROM (`FROM (body) [AS] t`).
+    """Merged view of named_subqueries_split (kept for callers that don't
+    care whether a name is a CTE or a derived table)."""
+    ctes, derived = named_subqueries_split(sql, tokens)
+    return {**ctes, **derived}
 
-    Used by the engine to make the columns of WITH/subquery sources visible
-    to the WHERE-alias shadowing set (reference binder resolves columns of
-    ANY in-scope relation before select aliases, binder/expression/mod.rs:
-    205-224 — including CTE and subquery relations). Body text is returned
+
+def named_subqueries_split(
+    sql: str, tokens: list[Token] | None = None
+) -> tuple[dict[str, str], dict[str, str]]:
+    """(ctes, derived): name -> body text for (a) top-level CTEs
+    (`WITH name AS (body)`) and (b) aliased derived tables in the outer FROM
+    (`FROM (body) [AS] t`), returned separately because their SCOPE differs:
+    a derived table is in the outer FROM by construction, while a declared
+    CTE only enters the outer scope if the outer FROM actually references it
+    (the engine must not shadow WHERE aliases with columns of an
+    unreferenced CTE — the reference binder resolves only referenced
+    relations, binder/expression/mod.rs:205-224). Body text is returned
     verbatim so the caller can plan it (`spark.sql(body).columns`); a body
     that references an earlier CTE won't plan standalone and the caller must
     tolerate that."""
@@ -436,6 +479,7 @@ def named_subqueries(sql: str, tokens: list[Token] | None = None) -> dict[str, s
                 i = close + 2
             else:
                 break
+    ctes, out = out, {}
     # -- aliased derived tables in the OUTER query's FROM only: columns of
     # inner-scope subqueries are NOT in scope for the outer WHERE and must
     # not over-shadow (skipping a substitution Spark can't resolve itself
@@ -467,7 +511,7 @@ def named_subqueries(sql: str, tokens: list[Token] | None = None) -> dict[str, s
             ):
                 body = sql[tokens[j + 1].start : tokens[close - 1].end]
                 out[tokens[k].text.strip('"').lower()] = body
-    return out
+    return ctes, out
 
 
 def _select_output_names(sql: str, tokens: list[Token], clauses: dict) -> list[str]:
@@ -526,15 +570,26 @@ def rewrite_qualify(sql: str, tokens: list[Token] | None = None) -> str:
         return sql
     out_names = _select_output_names(sql, tokens, clauses)
 
-    # hoist literal window calls:  fn ( args ) OVER ( spec )
-    depths = _depth_profile(tokens)
+    # hoist literal window calls:  fn ( args ) OVER ( spec ) — at ANY paren
+    # depth in the predicate (e.g. `(ROW_NUMBER() OVER (...)) = 1`, CASE/NOT
+    # wrappers), EXCEPT inside a nested subquery, whose window is valid where
+    # it is and may be correlated (hoisting it would change semantics)
+    in_subquery = []
+    stack: list[bool] = []
+    for j, tok in enumerate(tokens):
+        if tok.text == ")" and stack:
+            stack.pop()
+        in_subquery.append(any(stack))
+        if tok.text == "(":
+            nxt = tokens[j + 1].lower if j + 1 < len(tokens) else ""
+            stack.append(nxt in ("select", "with"))
     hoisted: list[tuple[int, int, str]] = []  # (tok_start, tok_end_incl, alias)
     i = ps
     while i < pe:
         t = tokens[i]
         if (
             t.lower == "over"
-            and depths[i] == 0
+            and not in_subquery[i]
             and i + 1 < pe
             and tokens[i + 1].text == "("
             and i >= 1

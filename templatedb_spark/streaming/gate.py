@@ -269,6 +269,6 @@ register(
         "stream_interval_join_clicks",
         stream_interval_join_clicks,
         _STREAM_INTERVAL_JOIN_ORACLE,
-        "stream-stream interval join (both-side watermarks, 3 micro-batches, cross-batch join state) vs batch range-join oracle",
+        "stream-stream interval join (both-side watermarks, 2 micro-batches, cross-batch join state) vs batch range-join oracle",
     )
 )

@@ -393,3 +393,57 @@ def test_engine_qualify_with_group_by(spark, duck):
     want = normalize_pdf(duck.sql(q).df())
     assert got == want
     spark.catalog.dropTempView("customer")
+
+
+# ------------------------------------------------- r5 self-review fixes ----
+
+
+def test_unreferenced_cte_does_not_shadow(spark):
+    """A declared-but-unreferenced CTE's columns are NOT in the outer scope:
+    the alias must still substitute (self-review finding: the shadow set
+    previously swept in every CTE, turning this working query into an
+    unresolved-column error)."""
+    eng = Engine(spark)
+    rows = eng.sql(
+        "with a as (select 1 as x union all select 2), b as (select 9 as y) "
+        "select x+1 as y from a where y > 2 order by y"
+    ).collect()
+    assert [r.y for r in rows] == [3]
+
+
+def test_strict_ignores_single_literal_function_args(spark):
+    # chr(65) = 'A'; comparing it to a string is legal — the parenthesized
+    # literal lookthrough must not treat an argument list as a bare literal
+    assert sp.find_strict_literal_comparison("select * from t where chr(65) > 'x'") is None
+    # bare parens still flagged; WHERE ('abc') > 5 too (keyword before paren)
+    assert sp.find_strict_literal_comparison("select ('abc') > 5") is not None
+    assert sp.find_strict_literal_comparison("select * from t where ('abc') > 5") is not None
+    eng = Engine(spark, strict=True)
+    assert eng.sql("select char(65) as c").collect()[0].c == "A"
+
+
+def test_qualify_as_identifier_passes_through(spark):
+    """qualify is not reserved in Spark: a column/alias named qualify must
+    not trigger the clause rewrite."""
+    q = "SELECT a, qualify AS q FROM t"
+    assert sp.rewrite_qualify(q) == q
+    q2 = "SELECT a FROM t WHERE qualify > 5"
+    assert sp.rewrite_qualify(q2) == q2
+    eng = Engine(spark)
+    rows = eng.sql("select 1 as a, 2 as qualify").collect()
+    assert (rows[0].a, rows[0].qualify) == (1, 2)
+
+
+def test_qualify_hoists_nested_window(spark):
+    """Windows wrapped in parens/NOT inside the predicate hoist too; windows
+    inside a nested subquery stay put (they may be correlated)."""
+    got = sp.rewrite_qualify(
+        "SELECT a FROM t QUALIFY (ROW_NUMBER() OVER (ORDER BY a)) = 1"
+    )
+    assert "__q0 FROM t" in got and "WHERE (__q0) = 1" in got
+    eng = Engine(spark)
+    rows = eng.sql(
+        "SELECT v1 FROM (SELECT 1 AS v1 UNION ALL SELECT 2) t "
+        "QUALIFY NOT (ROW_NUMBER() OVER (ORDER BY v1) > 1)"
+    ).collect()
+    assert [r.v1 for r in rows] == [1]

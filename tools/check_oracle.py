@@ -52,6 +52,9 @@ def main() -> int:
     jobs = 1
     if "--jobs" in argv:
         i = argv.index("--jobs")
+        if i + 1 >= len(argv) or not argv[i + 1].isdigit():
+            print("usage: check_oracle.py [--jobs N] [sf_dir] [name ...]")
+            return 2
         jobs = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
