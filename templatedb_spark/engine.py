@@ -207,10 +207,9 @@ class Engine:
         # DECLARED but unreferenced CTE must not shadow (the reference binder
         # resolves columns of referenced relations only) — derived tables are
         # outer-FROM members by construction
-        subqueries = {n: b for n, b in ctes.items() if n in from_names}
-        subqueries.update(derived)
+        subquery_names = {n for n in ctes if n in from_names} | set(derived)
         for name in from_names:
-            if name in subqueries:
+            if name in subquery_names:
                 continue  # resolved below from the subquery body
             if self.catalog is not None and name in getattr(self.catalog, "tables", {}):
                 cols.update(d.name.lower() for d in self.catalog.tables[name])
@@ -220,9 +219,23 @@ class Engine:
             except Exception:
                 pass  # unknown table: Spark will raise its own error later
         # CTE / derived-table output columns: plan (never execute) the body.
-        # A body that references an earlier CTE won't plan standalone — fall
-        # back to its textual select aliases so common shapes still shadow.
-        for body in subqueries.values():
+        # A body may reference EARLIER CTEs, so each body is planned with the
+        # preceding declarations re-attached as a WITH prefix; the textual
+        # select-alias fallback remains for genuinely unplannable bodies.
+        cte_list = list(ctes.items())
+        bodies: list[str] = []
+        for idx, (name, body) in enumerate(cte_list):
+            if name not in from_names:
+                continue
+            if idx == 0:
+                bodies.append(body)
+            else:
+                prefix = ", ".join(f"{n} AS ({b})" for n, b in cte_list[:idx])
+                bodies.append(f"WITH {prefix} {body}")
+        all_prefix = ", ".join(f"{n} AS ({b})" for n, b in cte_list)
+        for body in derived.values():
+            bodies.append(f"WITH {all_prefix} {body}" if all_prefix else body)
+        for body in bodies:
             try:
                 cols.update(c.lower() for c in self.spark.sql(body).columns)
             except Exception:

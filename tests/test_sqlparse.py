@@ -447,3 +447,18 @@ def test_qualify_hoists_nested_window(spark):
         "QUALIFY NOT (ROW_NUMBER() OVER (ORDER BY v1) > 1)"
     ).collect()
     assert [r.v1 for r in rows] == [1]
+
+
+def test_chained_cte_columns_shadow_via_planned_prefix(spark):
+    """A CTE referencing an earlier CTE now plans with the preceding
+    declarations re-attached, so even columns NOT named in its select-alias
+    text (e.g. a star-expanded column) enter the shadow set."""
+    eng = Engine(spark)
+    rows = eng.sql(
+        "with base as (select 1 as v1, 10 as a union all select 2, 20 "
+        "union all select 3, 30), "
+        "src as (select * from base) "
+        "select v1+1 as a from src where a >= 20 order by a"
+    ).collect()
+    # src's star-expansion contains column a → alias must NOT substitute
+    assert [r.a for r in rows] == [3, 4]
