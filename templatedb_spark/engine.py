@@ -272,8 +272,13 @@ class Engine:
         query = self._rewrite_introspection(query)
         query = sqlparse.normalize_offset_limit(query)
         # QUALIFY (DuckDB/Snowflake window filter; no Spark-native form) →
-        # derived-table rewrite, before the alias shims see the final shape
-        query = sqlparse.rewrite_qualify(query)
+        # derived-table rewrite, before the alias shims see the final shape.
+        # The resolver plans (never executes) the QUALIFY-less query so
+        # SELECT * / DISTINCT / unaliased-expression select lists get their
+        # output names from the analyzer instead of raising.
+        query = sqlparse.rewrite_qualify(
+            query, resolver=lambda inner: self.spark.sql(inner).columns
+        )
         # one lex shared by the three final (non-editing) analyses
         tokens = sqlparse.tokenize(query)
         aliases = sqlparse.select_aliases(query, tokens)

@@ -541,7 +541,9 @@ def _select_output_names(sql: str, tokens: list[Token], clauses: dict) -> list[s
     return names
 
 
-def rewrite_qualify(sql: str, tokens: list[Token] | None = None) -> str:
+def rewrite_qualify(
+    sql: str, tokens: list[Token] | None = None, resolver=None
+) -> str:
     """Rewrite a top-level QUALIFY clause (filter on window results — DuckDB/
     Snowflake/BigQuery syntax the reference era's users expect; Spark has no
     native QUALIFY) into the standard derived-table form:
@@ -557,6 +559,12 @@ def rewrite_qualify(sql: str, tokens: list[Token] | None = None) -> str:
     select-list aliases resolve naturally through the derived table. The
     rewrite is pure text surgery on token offsets — expressions are never
     re-rendered, so quoting/spacing inside them is preserved.
+
+    ``resolver`` (optional: sql_text -> list of column names) handles select
+    lists with no textually nameable form (SELECT *, SELECT DISTINCT,
+    unaliased expressions): the Engine passes a planner-backed resolver that
+    plans the QUALIFY-less query and reads its output schema; without one,
+    those shapes raise the documented ValueError.
     """
     tokens = tokenize(sql) if tokens is None else tokens
     clauses = top_level_clauses(tokens)
@@ -568,7 +576,18 @@ def rewrite_qualify(sql: str, tokens: list[Token] | None = None) -> str:
     pred_tokens = tokens[ps:pe]
     if not pred_tokens:
         return sql
-    out_names = _select_output_names(sql, tokens, clauses)
+    sel_start = clauses["select"][0]
+    if sel_start < len(tokens) and tokens[sel_start].lower == "distinct":
+        # DISTINCT + QUALIFY ordering is engine-defined (appending helper
+        # window columns to a DISTINCT projection would change the distinct
+        # key); refuse loudly rather than rewrite to something subtly off
+        raise ValueError("QUALIFY with SELECT DISTINCT is not supported")
+    try:
+        out_names = _select_output_names(sql, tokens, clauses)
+    except ValueError:
+        if resolver is None:
+            raise
+        out_names = None  # resolved from the planned inner query below
 
     # hoist literal window calls:  fn ( args ) OVER ( spec ) — at ANY paren
     # depth in the predicate (e.g. `(ROW_NUMBER() OVER (...)) = 1`, CASE/NOT
@@ -642,6 +661,16 @@ def rewrite_qualify(sql: str, tokens: list[Token] | None = None) -> str:
     pred_text = "".join(pred_parts)
 
     tail = sql[tokens[pe].start :] if pe < len(tokens) else ""
+    if out_names is None:
+        # plan the ORIGINAL query minus QUALIFY/ORDER/LIMIT (no helper
+        # columns) to learn the output names; auto-generated names like
+        # `(a + 1)` need backtick quoting in the outer projection
+        original_inner = sql[: qualify_kw_start]
+        ident_re = re.compile(r"^[A-Za-z_][A-Za-z_0-9]*$")
+        out_names = [
+            n if ident_re.match(n) else f"`{n}`"
+            for n in resolver(original_inner.strip())
+        ]
     out = ", ".join(out_names)
     return (
         f"SELECT {out} FROM ({inner.strip()}) __qualify_t "

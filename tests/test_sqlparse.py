@@ -462,3 +462,38 @@ def test_chained_cte_columns_shadow_via_planned_prefix(spark):
     ).collect()
     # src's star-expansion contains column a → alias must NOT substitute
     assert [r.a for r in rows] == [3, 4]
+
+
+def test_qualify_select_star_via_planner_resolver(spark):
+    """SELECT * ... QUALIFY works through Engine.sql: the planner-backed
+    resolver supplies the output names the text rewrite cannot derive."""
+    eng = Engine(spark)
+    rows = eng.sql(
+        "SELECT * FROM (SELECT 1 AS v1, 'x' AS s UNION ALL SELECT 2, 'y') t "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY v1 DESC) <= 1"
+    ).collect()
+    assert [(r.v1, r.s) for r in rows] == [(2, "y")]
+
+
+def test_qualify_unaliased_expression_via_planner_resolver(spark, duck):
+    from tests.conftest import SF_SMALL, normalize_pdf
+    from templatedb_spark.suite import table
+
+    table(spark, SF_SMALL, "customer").createOrReplaceTempView("customer")
+    q = (
+        "SELECT c_custkey, c_acctbal FROM customer "
+        "QUALIFY RANK() OVER (ORDER BY c_acctbal DESC, c_custkey) <= 4 "
+        "ORDER BY c_custkey"
+    )
+    eng = Engine(spark)
+    assert normalize_pdf(eng.sql(q).toPandas()) == normalize_pdf(duck.sql(q).df())
+    spark.catalog.dropTempView("customer")
+
+
+def test_qualify_distinct_refused():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sp.rewrite_qualify(
+            "SELECT DISTINCT a FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1"
+        )
