@@ -45,6 +45,16 @@ _HEAVIEST = [
     "bpe_encode",
     "bpe_learn_merges",
     "bloom_semi_join",
+    # round-5 heavies: the third streaming gate, the funnel-fed graph tier,
+    # and the new codecs/top-k rewrites
+    "stream_interval_join_clicks",
+    "graph_pagerank",
+    "graph_triangles",
+    "dedup_cascade",
+    "multimodal_decode_png_rgb",
+    "bm25_topk",
+    "rrf_fusion",
+    "dedup_ngram_prefix",
 ]
 
 
