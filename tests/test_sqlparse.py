@@ -497,3 +497,37 @@ def test_qualify_distinct_refused():
         sp.rewrite_qualify(
             "SELECT DISTINCT a FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1"
         )
+
+
+# -------------------------------------------------- tokenizer properties ----
+
+from hypothesis import given, settings, strategies as st
+
+
+_sqlish = st.text(
+    alphabet=st.sampled_from(
+        list("abcXYZ019 \t\n'\"`()[]{},.;:?<>=!+-*/%\\|&~@$#^_")
+    ),
+    max_size=80,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_sqlish)
+def test_tokenizer_is_total_and_offset_faithful(s):
+    """Engine.sql must never be stricter than spark.sql: tokenize() has to
+    accept ANY input without raising, and every token's (start, end) must
+    slice the original text exactly (offset fidelity is what makes the
+    shims' text edits safe)."""
+    toks = sp.tokenize(s)
+    pos = 0
+    for t in toks:
+        assert s[t.start : t.end] == t.text
+        assert t.start >= pos  # non-overlapping, in order
+        pos = t.end
+    # and the clause analyses are total too (never raise on garbage)
+    try:
+        sp.top_level_clauses(toks)
+        sp.find_strict_literal_comparison(s)
+    except sp.SqlSyntaxError:
+        pass  # unbalanced parens may raise the shim's own typed error
