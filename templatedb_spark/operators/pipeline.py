@@ -1201,6 +1201,22 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _bm25_ranked_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_topk's ≤K-row result, checkpointed + memoized per (application,
+    sf_dir) for downstream consumers (rrf_fusion), which would otherwise
+    re-run the whole tf/idf chain as a subtree of their own plans. The spec
+    itself stays un-memoized so its plan pins see the live fused top-k."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BM25_MEMO.get(memo_key)
+    if cached is None:
+        cached = bm25_topk(spark, sf_dir).localCheckpoint(eager=True)
+        _BM25_MEMO[memo_key] = cached
+    return cached
+
+
 def _bm25_oracle() -> str:
     qlist = ", ".join(repr(q) for q in _BM25_QUERY)
     per_tok_cols = ", ".join(
@@ -1258,7 +1274,7 @@ _RRF_QVEC = 0  # dense query: embedding of vec_id 0
 def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from templatedb_spark.operators.similarity import _vec_double, dot
 
-    bm = bm25_topk(spark, sf_dir).select(
+    bm = _bm25_ranked_memo(spark, sf_dir).select(
         F.col("doc_id").alias("id"), F.col("rank").alias("bm25_rank")
     )
     e = table(spark, sf_dir, "embeddings").select(
