@@ -903,7 +903,94 @@ folded AS (
 SELECT CAST(FLOOR(chi2 * 1000) AS BIGINT) AS chi2_x1000, dof FROM folded
 """
 
+# ---------------------------------------------------------------------------
+# Feature drift (PSI) between two corpus snapshots — the training-data ops
+# check run before every retrain: per event_type, Population Stability Index
+# over a clamped floor-binned value histogram of the reference vs current
+# snapshot. The deterministic event_id%2 split stands in for two real
+# snapshots (a pipeline passes yesterday's and today's tables). Laplace
+# +1-per-bin smoothing keeps ln finite on one-sided bins from EXACT integer
+# counts, and the Σ(p−q)·ln(p/q) fold runs in sorted bin order (the MI/chi²
+# cell-ordered-fold pattern), so the float is bit-identical cross-engine.
+# Scale: two map-side-partial histogram aggs + a broadcast totals join —
+# bin count is bounded (≤22 bins × event types), corpus size irrelevant.
+# ---------------------------------------------------------------------------
+_PSI_LO, _PSI_HI = -5, 15
+
+
+def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    binc = (
+        F.least(F.greatest(F.floor(F.col("value")), F.lit(_PSI_LO)), F.lit(_PSI_HI))
+        .cast("long")
+        .alias("bin")
+    )
+    base = e.select(
+        "event_type",
+        binc,
+        F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(F.lit(0)).alias("is_ref"),
+    )
+    hist = base.groupBy("event_type", "bin").agg(
+        F.sum("is_ref").cast("long").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
+    )
+    tot = hist.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + F.col("n_bins")).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + F.col("n_bins")).cast("double")
+    scored = hist.join(F.broadcast(tot), "event_type").select(
+        "event_type", "bin", "n_bins", ((p - q) * F.log(p / q)).alias("term")
+    )
+    per = scored.groupBy("event_type").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(bin, term))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
+        ).alias("psi"),
+        F.max("n_bins").alias("n_bins"),
+    )
+    return per.select(
+        "event_type",
+        "n_bins",
+        F.floor(F.col("psi") * 1000000).cast("long").alias("psi_x1000000"),
+    )
+
+
+_PSI_ORACLE = f"""
+WITH base AS (
+  SELECT event_type,
+         LEAST(GREATEST(FLOOR(value), {_PSI_LO}), {_PSI_HI})::BIGINT AS bin,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+  FROM events
+),
+hist AS (
+  SELECT event_type, bin,
+         SUM(is_ref)::BIGINT AS n_ref, SUM(1 - is_ref)::BIGINT AS n_cur
+  FROM base GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur,
+         COUNT(*)::BIGINT AS n_bins
+  FROM hist GROUP BY 1
+),
+scored AS (
+  SELECT h.event_type, h.bin, t.n_bins,
+         (((h.n_ref + 1)::DOUBLE / (t.t_ref + t.n_bins)::DOUBLE)
+          - ((h.n_cur + 1)::DOUBLE / (t.t_cur + t.n_bins)::DOUBLE))
+         * ln(((h.n_ref + 1)::DOUBLE / (t.t_ref + t.n_bins)::DOUBLE)
+              / ((h.n_cur + 1)::DOUBLE / (t.t_cur + t.n_bins)::DOUBLE)) AS term
+  FROM hist h JOIN tot t USING (event_type)
+)
+SELECT event_type, MAX(n_bins) AS n_bins,
+       CAST(FLOOR(list_reduce(list(term ORDER BY bin), (a, b) -> a + b) * 1000000) AS BIGINT) AS psi_x1000000
+FROM scored GROUP BY event_type
+"""
+
+
 for spec in [
+    QuerySpec("feature_drift_psi", feature_drift_psi, _PSI_ORACLE, "PSI feature-drift report between corpus snapshots (cell-ordered fold, x1e6 integer)"),
     QuerySpec("quantile_sketch_price", quantile_sketch_price, _QSK_ORACLE, "1024-bin histogram quantile sketch (deterministic, exact oracle)"),
     QuerySpec("percentiles_price", percentiles_price, _PERCENTILES_ORACLE, "exact interpolated percentiles per group"),
     QuerySpec("anomaly_mad", anomaly_mad, _MAD_ORACLE, "median/MAD robust outlier counts with pre-rounded operands"),
