@@ -190,3 +190,12 @@ def test_funnel_components_equal_raw_pair_graph(spark, tmp_path):
 
     got = {r.doc_id: r.label for r in cluster_labels(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_psi_terms_are_nonnegative(spark):
+    """(p−q)·ln(p/q) ≥ 0 per bin, so PSI ≥ 0 always — a sign bug in the
+    smoothing or the fold shows up here immediately."""
+    from templatedb_spark.operators.profiling import feature_drift_psi
+
+    rows = feature_drift_psi(spark, SF_SMALL).collect()
+    assert rows and all(r.psi_x1000000 >= 0 for r in rows), rows
