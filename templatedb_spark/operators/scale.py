@@ -594,3 +594,68 @@ register(
         "hive-partitioned layout + partition-key filter: planning-time pruning opens one status directory",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ORC sink/source roundtrip — the format tier's columnar sibling (parquet is
+# the native suite format; CSV and JSONL have their own sources; ORC is the
+# remaining mainstream warehouse format). The spec writes lineitem's scan
+# columns to an ORC layout once per session (memoized temp dir, process-exit
+# cleanup — the partition_pruned_scan pattern), reads it back, and computes
+# a DECIMAL-exact rollup; the oracle computes the SAME rollup from the
+# original parquet, so any loss or coercion in the ORC write→read path
+# (types, nulls, row counts) hash-mismatches. Format-independence IS the
+# property under test — which is why the oracle deliberately reads parquet.
+# ---------------------------------------------------------------------------
+_ORC_LAYOUT_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _orc_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile as _tempfile
+
+    from templatedb_spark.suite import table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ORC_LAYOUT_MEMO:
+        out = _tempfile.mkdtemp(prefix="lineitem_orc_")
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+        ).write.mode("overwrite").orc(out)
+        _ORC_LAYOUT_MEMO[key] = out
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+    return _ORC_LAYOUT_MEMO[key]
+
+
+def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.orc(_orc_lineitem_path(spark, sf_dir))
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (1 - F.col("l_discount").cast("decimal(4,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+_ORC_ROUNDTRIP_ORACLE = """
+SELECT l_returnflag, COUNT(*)::BIGINT AS n_rows,
+       COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders,
+       CAST(SUM(l_quantity::DECIMAL(12,2)) AS DOUBLE) AS sum_qty,
+       CAST(SUM(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem GROUP BY 1
+"""
+
+register(
+    QuerySpec(
+        "orc_sink_roundtrip",
+        orc_sink_roundtrip,
+        _ORC_ROUNDTRIP_ORACLE,
+        "ORC write->read roundtrip rollup vs the parquet-sourced oracle (format-independence check)",
+    )
+)

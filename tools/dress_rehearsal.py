@@ -4,7 +4,7 @@ builds a VANILLA SparkSession (no engine config — catches any hidden
 dependency on our tuned session), runs every queries() entry at sf0.01, and
 compares to oracle_sql() via DuckDB with order-insensitive value comparison.
 
-Usage: python tools/dress_rehearsal.py   (expect: "0 failures / 190 queries")
+Usage: python tools/dress_rehearsal.py   (expect: "0 failures / 191 queries")
 """
 import importlib.util, math, sys
 spec = importlib.util.spec_from_file_location('__spark_entry__', '/root/repo/__spark_entry__.py')
