@@ -102,6 +102,7 @@ def main() -> None:
     # static list is only the cold-start fallback for a fresh checkout.
     critical = [
         "stream_sessionize_closed",  # 3 stateful streaming triggers: longest chain
+        "stream_neardup_pairs",  # 2-trigger stateful minhash chain (r6)
         "stream_interval_join_clicks",  # 2-trigger stream-stream join chain
         "stream_cdc_kv_state",  # 3 sequential streaming triggers
         "ann_lsh_banded_topk",
@@ -112,6 +113,7 @@ def main() -> None:
         "dedup_minhash_lsh",
     ]
     prev_times: dict[str, float] = {}
+    prev_art: dict = {}
     try:
         prev_art = json.loads(
             (Path(__file__).resolve().parent / "bench_results" / "latest.json").read_text()
@@ -129,14 +131,19 @@ def main() -> None:
         return (1, -1e9) if t is None else (1, -t)
 
     items = sorted(specs.items(), key=lambda kv: lpt_key(kv[0]))
-    # pools: streaming chains get the top-weight pool; the measured top-25
-    # contended (plus unknowns) get "heavy"; the rest "light"
+    # pools: each streaming trigger CHAIN gets its own pool (r5 verdict #3 —
+    # the chains are serial by construction and share no hot tables, so
+    # per-chain minShares stop one chain's micro-batch jobs queuing behind
+    # another's); other heavies share "heavy"; the rest "light"
+    streaming = [n for n in critical if n.startswith("stream_")]
     heavy_names = {n for n, _ in sorted(prev_times.items(), key=lambda kv: -kv[1])[:25]}
     heavy_names |= {n for n, _ in items if n not in prev_times}
     pool_of = {
         n: ("critical" if n in critical else "heavy")
         for n in (set(critical) | heavy_names)
     }
+    for i, n in enumerate(streaming):
+        pool_of[n] = f"stream{i % 4}"
 
     errs: dict[str, str] = {}
     retried: list[str] = []
@@ -197,18 +204,31 @@ def main() -> None:
     if cpu0 and cpu1 and cpu1[1] > cpu0[1]:
         steal_pct = round(100.0 * (cpu1[0] - cpu0[0]) / (cpu1[1] - cpu0[1]), 2)
 
-    # Solo-warm audit of the slowest contended specs: rerun the 10 slowest
-    # one-at-a-time in the same warm session, OUTSIDE the timed makespan.
-    # Contended time − solo-warm time separates scheduler queueing (expected
-    # under 16-thread FAIR submission) from a real per-query regression —
-    # the ambiguity that round-4 movers like graph_pagerank left open.
+    # Solo-warm audit: rerun one-at-a-time in the same warm session, OUTSIDE
+    # the timed makespan. Contended time − solo-warm time separates scheduler
+    # queueing (expected under 16-thread FAIR submission) from a real
+    # per-query regression. Audited set (r5 verdict #4 — adaptive): the 10
+    # slowest contended specs PLUS any spec whose contended time exceeds
+    # 2.5× its last recorded solo_warm — so queueing-vs-regression evidence
+    # exists for EVERY future mover, not just the current tail.
     solo_warm: dict[str, float] = {}
+    solo_trigger: list[str] = []
     if mode != "seq" and os.environ.get("SPARK_GRAFT_BENCH_SOLO", "on") != "off":
+        prev_solo = {
+            k: v
+            for k, v in (prev_art.get("solo_warm") or {}).items()
+            if isinstance(v, (int, float)) and v > 0
+        }
         slowest = [
             n for n, t in sorted(times.items(), key=lambda kv: -kv[1]) if t >= 0
         ][:10]
+        solo_trigger = sorted(
+            n
+            for n, t in times.items()
+            if t > 0 and n in prev_solo and t > 2.5 * prev_solo[n] and n not in slowest
+        )
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
-        for name in slowest:
+        for name in slowest + solo_trigger:
             t0 = time.time()
             try:
                 specs[name].spark(spark, sf_dir).write.format("noop").mode(
@@ -233,8 +253,10 @@ def main() -> None:
         "err": errs,
         # host steal% over the timed window (None if /proc/stat unreadable)
         "steal_pct": steal_pct,
-        # contended-vs-solo accounting for the 10 slowest (see above)
+        # contended-vs-solo accounting: 10 slowest + adaptive 2.5× movers
         "solo_warm": solo_warm,
+        # specs solo-warmed by the adaptive 2.5×-of-last-solo trigger alone
+        "solo_trigger": solo_trigger,
     }
     # drop the dedup family's cached intermediates before teardown (no-op for
     # this process's lifetime, but keeps the teardown path honest for anyone

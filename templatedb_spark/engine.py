@@ -218,23 +218,49 @@ class Engine:
                 cols.update(c.lower() for c in self.spark.table(name).columns)
             except Exception:
                 pass  # unknown table: Spark will raise its own error later
-        # CTE / derived-table output columns: plan (never execute) the body.
+        # CTE / derived-table output columns: a declared column alias list
+        # (`WITH a(c1,c2) AS (...)`) fully determines the schema — use it
+        # directly (r5 ADVICE: shadowing must use the DECLARED names, not
+        # the body's output names). Otherwise plan (never execute) the body.
         # A body may reference EARLIER CTEs, so each body is planned with the
-        # preceding declarations re-attached as a WITH prefix; the textual
-        # select-alias fallback remains for genuinely unplannable bodies.
+        # preceding declarations re-attached as a WITH prefix; a body that
+        # itself starts with WITH gets the prefix SPLICED into its own WITH
+        # list (r5 ADVICE: 'WITH a AS (...) WITH ...' never parses). The
+        # textual select-alias fallback remains for unplannable bodies.
+        declared_cols = sqlparse.cte_declared_columns(query, tokens)
+
+        def _attach(prefix: str, body: str) -> str:
+            if not prefix:
+                return body
+            stripped = body.lstrip()
+            rest = stripped[4:]
+            if stripped[:4].lower() == "with" and (not rest or not (rest[0].isalnum() or rest[0] == "_")):
+                return f"WITH {prefix}, {rest.lstrip()}"
+            return f"WITH {prefix} {body}"
+
         cte_list = list(ctes.items())
         bodies: list[str] = []
         for idx, (name, body) in enumerate(cte_list):
             if name not in from_names:
                 continue
-            if idx == 0:
-                bodies.append(body)
-            else:
-                prefix = ", ".join(f"{n} AS ({b})" for n, b in cte_list[:idx])
-                bodies.append(f"WITH {prefix} {body}")
-        all_prefix = ", ".join(f"{n} AS ({b})" for n, b in cte_list)
+            if name in declared_cols:
+                cols.update(c.lower() for c in declared_cols[name])
+                continue
+            prefix = ", ".join(
+                f"{n} ({', '.join(declared_cols[n])}) AS ({b})"
+                if n in declared_cols
+                else f"{n} AS ({b})"
+                for n, b in cte_list[:idx]
+            )
+            bodies.append(_attach(prefix, body))
+        all_prefix = ", ".join(
+            f"{n} ({', '.join(declared_cols[n])}) AS ({b})"
+            if n in declared_cols
+            else f"{n} AS ({b})"
+            for n, b in cte_list
+        )
         for body in derived.values():
-            bodies.append(f"WITH {all_prefix} {body}" if all_prefix else body)
+            bodies.append(_attach(all_prefix, body))
         for body in bodies:
             try:
                 cols.update(c.lower() for c in self.spark.sql(body).columns)

@@ -51,17 +51,35 @@ _KV_BUCKETS = 16
 
 
 def _locked(fn):
-    """Serialize mutators on one table handle (version allocation, the
-    delta write, and the manifest append must be one atomic step — two
-    unsynchronized writers would allocate the same version and
-    _clear_orphan each other's in-flight directory). Same contract as a
-    RocksDB handle: the HANDLE is thread-safe; cross-process single-writer
-    discipline remains the caller's job, as in the reference."""
+    """Serialize mutators — version allocation, the delta write, and the
+    manifest append must be one atomic step (two unsynchronized writers
+    would allocate the same version and _clear_orphan each other's
+    in-flight directory). Two layers:
+
+    - the handle-level RLock makes one KVTable thread-safe (RocksDB-handle
+      contract), and its reentrancy lets compact() run inside write_batch
+      (auto-compaction);
+    - an OS-level flock on <table>/.lock (held only at the OUTERMOST
+      mutator, depth-counted under the RLock) serializes writers across
+      HANDLES — two SparkSessions, two processes on one machine — the
+      contention the reference gets from LevelDB's LOCK file
+      (db_impl/mod.rs acquires a file lock on open; we lock per-mutation
+      instead so independent handles can interleave batches). Cross-NODE
+      coordination on a shared filesystem without flock semantics remains
+      a catalog/transaction-service concern, documented out of scope."""
 
     @functools.wraps(fn)
     def wrapper(self, *a, **k):
         with self._write_lock:
-            return fn(self, *a, **k)
+            self._flock_depth += 1
+            try:
+                if self._flock_depth == 1:
+                    self._acquire_flock()
+                return fn(self, *a, **k)
+            finally:
+                self._flock_depth -= 1
+                if self._flock_depth == 0:
+                    self._release_flock()
 
     return wrapper
 
@@ -78,11 +96,55 @@ def _bucket_col() -> Column:
 class KVTable:
     """Ordered, versioned key-value table over parquet delta files."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, auto_compact_every: int | None = None
+    ):
+        """auto_compact_every=N makes compaction threshold-driven: after a
+        commit that leaves ≥N live versions, compact() runs inside the same
+        write lock — the semantic twin of the reference's leveled trigger
+        (level-0 file count reaching its limit schedules a compaction,
+        db_impl/mod.rs:950-975). None (default) keeps compaction manual."""
         self.spark = spark
         self.path = path
+        self.auto_compact_every = auto_compact_every
         self._write_lock = threading.RLock()  # see _locked
+        self._flock_depth = 0
+        self._flock_fd: int | None = None
         os.makedirs(path, exist_ok=True)
+
+    def _acquire_flock(self) -> None:
+        """Blocking exclusive flock on <table>/.lock (cross-handle writer
+        mutex, see _locked). Platforms/filesystems without flock degrade to
+        handle-level locking only — best-effort, like the pre-r6 contract."""
+        try:
+            import fcntl
+
+            self._flock_fd = os.open(
+                os.path.join(self.path, ".lock"), os.O_CREAT | os.O_RDWR, 0o644
+            )
+            fcntl.flock(self._flock_fd, fcntl.LOCK_EX)
+        except (ImportError, OSError):
+            if self._flock_fd is not None:
+                os.close(self._flock_fd)
+            self._flock_fd = None
+
+    def _release_flock(self) -> None:
+        if self._flock_fd is not None:
+            try:
+                import fcntl
+
+                fcntl.flock(self._flock_fd, fcntl.LOCK_UN)
+            except (ImportError, OSError):
+                pass
+            os.close(self._flock_fd)
+            self._flock_fd = None
+
+    def _maybe_auto_compact(self) -> None:
+        """Threshold trigger (see __init__): called at the tail of every
+        committing mutator, still inside the write lock (RLock reentrancy +
+        flock depth-count make the nested compact() a no-op lock-wise)."""
+        if self.auto_compact_every and len(self._versions()) >= self.auto_compact_every:
+            self.compact()
 
     # -- manifest ------------------------------------------------------------
     # Version discovery is a MANIFEST file, not a directory walk (reference:
@@ -170,9 +232,17 @@ class KVTable:
         crashed BEFORE its manifest append was never committed, and losing
         the MANIFEST must not make it durable (it could resurrect a value
         that was correctly invisible, and collide with the version number's
-        reuse). Such dirs are deleted as orphans, same as _clear_orphan.
-        Without a marker (legacy layout) every _SUCCESS dir is trusted —
-        the pre-marker behavior, documented best-effort."""
+        reuse). Such dirs are QUARANTINED (renamed under quarantine/), never
+        deleted here: the marker is allowed to lag the manifest by one
+        in-flight commit, so under the double failure manifest-loss +
+        stale/corrupt marker an ACKNOWLEDGED commit could sit above the
+        marker — a hard delete would silently destroy it with no recovery
+        path, and this code is also reachable from a reader's _load_manifest
+        while a concurrent writer commits. Quarantine keeps the bytes
+        inspectable/recoverable; hard deletion stays confined to the
+        writer-locked _clear_orphan (ADVICE r5). Without a marker (legacy
+        layout) every _SUCCESS dir is trusted — the pre-marker behavior,
+        documented best-effort."""
         high = self._read_committed_marker()
         state: dict[int, list[int]] = {}
         orphans: list[Path] = []
@@ -185,14 +255,28 @@ class KVTable:
                 state[v] = sorted(
                     int(b.name.split("=")[1]) for b in p.glob("bucket=*") if b.is_dir()
                 )
-        if orphans:
-            import shutil
-
-            for p in orphans:
-                shutil.rmtree(p, ignore_errors=True)
+        for p in orphans:
+            self._quarantine(p)
         if state:
             self._write_manifest_snapshot(state)
         return state
+
+    def _quarantine(self, p: Path) -> None:
+        """Move a suspect version dir under quarantine/ instead of deleting it
+        (rename is atomic on the same filesystem; a numeric suffix avoids
+        collisions across repeated recoveries). Best-effort: a failed rename
+        leaves the dir in place rather than risking data loss."""
+        qdir = Path(self.path) / "quarantine"
+        try:
+            qdir.mkdir(exist_ok=True)
+            target = qdir / p.name
+            n = 0
+            while target.exists():
+                n += 1
+                target = qdir / f"{p.name}.{n}"
+            os.replace(p, target)
+        except OSError:
+            pass
 
     def _clear_orphan(self, v: int) -> None:
         """Remove an UNCOMMITTED leftover dir for version v (written by a
@@ -281,6 +365,7 @@ class KVTable:
             "errorifexists"
         ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
         self._commit_version(v)
+        self._maybe_auto_compact()
         return v
 
     @_locked
@@ -319,6 +404,7 @@ class KVTable:
             shutil.rmtree(root, ignore_errors=True)
             return self.latest_version()
         self._append_manifest({"op": "add", "v": v, "buckets": buckets})
+        self._maybe_auto_compact()
         return v
 
     def put(self, key: str, value: str) -> int:
@@ -481,6 +567,7 @@ class MergeKVTable(KVTable):
             "errorifexists"
         ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
         self._commit_version(v)
+        self._maybe_auto_compact()
         return v
 
     @_locked
@@ -512,6 +599,7 @@ class MergeKVTable(KVTable):
             "errorifexists"
         ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
         self._commit_version(v)
+        self._maybe_auto_compact()
         return v
 
     def snapshot(self, as_of: int | None = None) -> DataFrame:

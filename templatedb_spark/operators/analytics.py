@@ -1203,41 +1203,49 @@ FROM per_day
 # ---------------------------------------------------------------------------
 # Revenue concentration (the Pareto question): how many of the top
 # customers does it take to reach 50% / 80% / 95% of total revenue?
-# Exact: per-customer DECIMAL revenue, one total-ordered cumulative sum
-# (revenue desc, custkey tiebreak), then count rows below each threshold.
-# The global sort is the honest cost — at scale it is a range shuffle over
-# the customer aggregate (already tiny relative to the fact table).
-# Thresholds compare exact DECIMAL cumsum × 100 against total × pct —
-# integer-side arithmetic, no division anywhere.
+# Exact: per-customer DECIMAL revenue, then a DISTRIBUTED exact cumulative
+# sum over (revenue desc, custkey tiebreak) — ranks.global_cumsum range-
+# shuffles the customer aggregate, runs the running sum per range partition
+# in parallel, and adds broadcast prefix-sum offsets; no single task ever
+# holds the whole sorted relation. Thresholds compare exact DECIMAL
+# cumsum × 100 against total × pct — integer-side arithmetic, no division —
+# and all three pct counts come from ONE aggregate pass (stack unpivot)
+# instead of three scans of the ranked relation.
 # ---------------------------------------------------------------------------
 def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.operators.ranks import global_cumsum
+
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
     )
-    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = per_cust.select(
-        "o_custkey", "rev", F.sum("rev").over(w).alias("cum_rev")
+    ranked = global_cumsum(
+        per_cust,
+        [F.col("rev").desc(), F.col("o_custkey").asc()],
+        F.col("rev"),
+        cum_col="cum_rev",
     ).crossJoin(
         F.broadcast(per_cust.agg(F.sum("rev").alias("total"), F.count(F.lit(1)).alias("n_cust")))
     )
-    out = None
-    for pct in (50, 80, 95):
-        row = ranked.agg(
-            F.lit(pct).cast("long").alias("pct"),
+    agg = ranked.agg(
+        *[
             F.sum((F.col("cum_rev") * 100 < F.col("total") * pct).cast("int"))
             .cast("long")
-            .alias("n_below"),
-            F.max("n_cust").cast("long").alias("n_customers"),
-        ).select(
-            "pct",
-            (F.col("n_below") + 1).alias("n_top_customers"),
-            "n_customers",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+            .alias(f"n_below_{pct}")
+            for pct in (50, 80, 95)
+        ],
+        F.max("n_cust").cast("long").alias("n_customers"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3,"
+            " CAST(50 AS BIGINT), n_below_50 + 1,"
+            " CAST(80 AS BIGINT), n_below_80 + 1,"
+            " CAST(95 AS BIGINT), n_below_95 + 1"
+            ") AS (pct, n_top_customers)"
+        ),
+        "n_customers",
+    )
 
 
 _CONCENTRATION_ORACLE = """
@@ -1447,18 +1455,22 @@ CROSS JOIN nb
 # Gini coefficient of customer revenue — the scalar inequality measure
 # behind the Pareto curve above: G = 2·Σ(i·x_(i))/(n·Σx) − (n+1)/n over
 # revenues sorted ascending. Both Σx and the rank-weighted Σ(i·x_(i))
-# accumulate as exact DECIMALs (rank from one total-ordered window), so the
-# final G is a single double expression over exact inputs — ×10^6 integer.
+# accumulate as exact DECIMALs, so the final G is a single double expression
+# over exact inputs — ×10^6 integer. The rank i is a DISTRIBUTED exact
+# row_number (ranks.global_row_number: range shuffle + local rank + broadcast
+# prefix offsets), so no single task ever holds the sorted customer relation
+# — at 100 TB that relation is hundreds of millions of rows.
 # ---------------------------------------------------------------------------
 def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.operators.ranks import global_row_number
+
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
     )
-    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
-    ranked = per_cust.select(
-        "rev", F.row_number().over(w).cast("long").alias("i")
-    )
+    ranked = global_row_number(
+        per_cust, [F.col("rev").asc(), F.col("o_custkey").asc()], rank_col="i"
+    ).select("rev", "i")
     sums = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("rev").alias("sx"),

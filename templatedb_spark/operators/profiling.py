@@ -685,27 +685,36 @@ FROM diff GROUP BY 1
 
 # ---------------------------------------------------------------------------
 # Equi-DEPTH histogram (the optimizer-statistics shape, complementing the
-# equi-width histogram_event_values): ntile(10) over a total order assigns
-# each row to a same-population bucket; per-bucket bounds are what a CBO's
-# column statistics store. Total order (value, key tiebreak) makes the
-# bucketing deterministic. Honest scale note (ADVICE r3): Spark executes an
-# un-partitioned window as ONE task holding the whole sorted relation — fine
-# at sf0.1 on a 2-column projection, a deliberate single-node tradeoff, not
-# a distributed range shuffle. The at-scale shape is approx_percentile
-# boundaries + a broadcast range join (see percentiles_price), at the cost
-# of exact same-population buckets.
+# equi-width histogram_event_values): same-population buckets over a total
+# order (value, key tiebreak); per-bucket bounds are what a CBO's column
+# statistics store. Exact NTILE semantics, fully distributed: the global rank
+# comes from ranks.global_row_number (range shuffle + per-partition local
+# rank + broadcast prefix offsets — N parallel tasks, never one), then the
+# standard NTILE formula (first n%k buckets get one extra row) maps rank →
+# bucket arithmetically. No unpartitioned window anywhere in the plan.
 # ---------------------------------------------------------------------------
 _EQUIDEPTH_BUCKETS = 10
 
 
 def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from templatedb_spark.operators.ranks import global_row_number
 
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("v")
     )
-    w = Window.orderBy(F.col("v").asc(), F.col("o_orderkey").asc())
-    bucketed = o.select("v", F.ntile(_EQUIDEPTH_BUCKETS).over(w).cast("long").alias("bucket"))
+    ranked = global_row_number(
+        o, [F.col("v").asc(), F.col("o_orderkey").asc()], rank_col="i"
+    )
+    total = o.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    k = F.lit(_EQUIDEPTH_BUCKETS).cast("long")
+    withn = ranked.crossJoin(F.broadcast(total))
+    q = F.floor(F.col("n_total") / k).cast("long")  # base bucket size
+    r = (F.col("n_total") % k).cast("long")  # first r buckets hold q+1 rows
+    i = F.col("i")
+    bucket = F.when(
+        i <= r * (q + 1), F.floor((i - 1) / (q + 1)) + 1
+    ).otherwise(r + F.floor((i - r * (q + 1) - 1) / q) + 1)
+    bucketed = withn.select("v", bucket.cast("long").alias("bucket"))
     return bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.min("v").cast("double").alias("lo"),

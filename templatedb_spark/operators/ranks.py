@@ -1,0 +1,102 @@
+"""Distributed exact rank / cumulative sum — the two-pass range-partition
+pattern that replaces single-task global windows.
+
+An unpartitioned ``row_number() OVER (ORDER BY ...)`` forces Spark to sort the
+whole relation in ONE task — the scale-killer the suite-wide plan gate
+(tests/test_plans.py) rejects. The exact, fully distributed alternative
+implemented here (classic external-rank / TeraSort bookkeeping):
+
+1. ``repartitionByRange(N, order_cols)`` — a sampled range shuffle puts each
+   task a contiguous, non-overlapping key range; partition ids are ordered by
+   the sort key (ascending per the given column sort directions).
+2. A window PARTITIONED BY ``spark_partition_id()`` computes the local
+   row_number / running sum per range — N parallel tasks, never one.
+3. Per-partition totals (N rows — bounded by the shuffle-partition count, not
+   the data) are broadcast-joined back as prefix offsets via a tiny
+   nested-loop join (``b._pid < a._pid``), keeping the whole plan lazy — no
+   driver collect anywhere.
+
+Exactness does not depend on where the sampled range boundaries land: any
+non-overlapping ordered ranges give the same global rank, so the result is
+deterministic even though the sampling isn't. The order columns must form a
+total order (callers append a unique tiebreak key) so local row_numbers are
+reproducible.
+
+Reference parity: the reference's physical sort is likewise a single total
+order feeding rank-style consumers (sort.rs / TopN executors); this module is
+the Spark-native distributed equivalent used by histogram_equidepth,
+gini_revenue and revenue_concentration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PID = "__rank_pid"
+_LOCAL = "__rank_local"
+_OFFSET = "__rank_offset"
+
+
+def _num_parts(df: DataFrame) -> int:
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
+def _with_prefix_offsets(local: DataFrame, per_part_col: Column) -> DataFrame:
+    """Attach each row's prefix offset = sum of ``per_part_col`` over all
+    range-partitions strictly before its own. The per-partition totals
+    relation has at most N rows (N = shuffle partitions), so the prefix sum is
+    a broadcast nested-loop theta-join over N×N ≤ 1024 cells — trivially
+    sized, fully lazy, and partitioned-window-free."""
+    counts = local.groupBy(_PID).agg(per_part_col.alias("__part_total"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(F.coalesce(F.sum("b.__part_total"), F.lit(0)).alias(_OFFSET))
+    )
+    return local.join(F.broadcast(offsets), _PID)
+
+
+def _range_local(df: DataFrame, order_cols: list[Column]) -> DataFrame:
+    """Range-shuffle by the total order and tag rows with their (range-ordered)
+    physical partition id. spark_partition_id() is evaluated in the project
+    directly above the range exchange, before any later exchange."""
+    parted = df.repartitionByRange(_num_parts(df), *order_cols)
+    return parted.withColumn(_PID, F.spark_partition_id())
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list[Column], rank_col: str = "i"
+) -> DataFrame:
+    """Exact global 1-based row_number over a total order, computed with N
+    parallel tasks instead of one: local row_number per range partition plus
+    broadcast prefix-count offsets."""
+    local = _range_local(df, order_cols)
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    local = local.withColumn(_LOCAL, F.row_number().over(w).cast("long"))
+    out = _with_prefix_offsets(local, F.count(F.lit(1)).cast("long"))
+    return out.withColumn(
+        rank_col, (F.col(_LOCAL) + F.col(_OFFSET)).cast("long")
+    ).drop(_PID, _LOCAL, _OFFSET)
+
+
+def global_cumsum(
+    df: DataFrame, order_cols: list[Column], value: Column, cum_col: str = "cum"
+) -> DataFrame:
+    """Exact global running sum of ``value`` over a total order (rows between
+    unbounded preceding and current row), distributed the same way: local
+    running sum per range partition plus broadcast prefix-sum offsets. Pass a
+    DECIMAL value for order-independent exactness."""
+    local = _range_local(df, order_cols).withColumn("__rank_val", value)
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = local.withColumn(_LOCAL, F.sum("__rank_val").over(w))
+    out = _with_prefix_offsets(local, F.sum("__rank_val"))
+    return out.withColumn(cum_col, F.col(_LOCAL) + F.col(_OFFSET)).drop(
+        _PID, _LOCAL, _OFFSET, "__rank_val"
+    )

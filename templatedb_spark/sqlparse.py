@@ -164,8 +164,15 @@ def top_level_clauses(tokens: list[Token]) -> dict[str, tuple[int, int]]:
                 # start a predicate (not a clause keyword, comma, or EOF).
                 prev = tokens[i - 1] if i > 0 else None
                 nxt = tokens[i + 1] if i + 1 < len(tokens) else None
+                # reserved words that can legally END an expression (r5
+                # ADVICE: `... WHERE x IS NOT NULL QUALIFY rn = 1` reads as
+                # a clause even though NULL is reserved)
+                _expr_enders = {"null", "true", "false", "end", "asc", "desc"}
                 prev_ok = prev is not None and (
-                    (prev.kind in ("ident", "dq") and prev.lower not in _RESERVED)
+                    (
+                        prev.kind in ("ident", "dq")
+                        and (prev.lower not in _RESERVED or prev.lower in _expr_enders)
+                    )
                     or prev.kind in ("num", "str")
                     or prev.text == ")"
                 )
@@ -443,6 +450,46 @@ def named_subqueries(sql: str, tokens: list[Token] | None = None) -> dict[str, s
     return {**ctes, **derived}
 
 
+def cte_declared_columns(
+    sql: str, tokens: list[Token] | None = None
+) -> dict[str, list[str]]:
+    """name -> declared column alias list for CTEs of the form
+    `WITH a(c1, c2) AS (...)`. The declared list fully determines the CTE's
+    output schema (r5 ADVICE: the engine must shadow WHERE aliases with the
+    DECLARED names, not the body's output names — the reference binder
+    resolves against the declared list). CTEs without an alias list are
+    absent from the result."""
+    tokens = tokenize(sql) if tokens is None else tokens
+    out: dict[str, list[str]] = {}
+    if not tokens or tokens[0].lower != "with":
+        return out
+    i = 1
+    while i + 2 < len(tokens):
+        name_t = tokens[i]
+        if name_t.kind not in ("ident", "dq"):
+            break
+        j = i + 1
+        declared: list[str] | None = None
+        if tokens[j].text == "(":
+            close_list = match_paren(tokens, j)
+            declared = [
+                t[0].text.strip('"')
+                for t in split_top_level(tokens[j + 1 : close_list])
+                if t and t[0].kind in ("ident", "dq")
+            ]
+            j = close_list + 1
+        if j + 1 >= len(tokens) or tokens[j].lower != "as" or tokens[j + 1].text != "(":
+            break
+        close = match_paren(tokens, j + 1)
+        if declared:
+            out[name_t.text.strip('"').lower()] = declared
+        if close + 1 < len(tokens) and tokens[close + 1].text == ",":
+            i = close + 2
+        else:
+            break
+    return out
+
+
 def named_subqueries_split(
     sql: str, tokens: list[Token] | None = None
 ) -> tuple[dict[str, str], dict[str, str]]:
@@ -588,6 +635,29 @@ def rewrite_qualify(
         if resolver is None:
             raise
         out_names = None  # resolved from the planned inner query below
+    if out_names is not None:
+        # normalize textual names for the OUTER projection (r5 ADVICE): a
+        # double-quoted alias re-emitted verbatim would parse as a string
+        # LITERAL under this session's quoting (doubleQuotedIdentifiers off)
+        # — strip the dq quotes and backtick anything non-identifier-shaped
+        ident_re = re.compile(r"^[A-Za-z_][A-Za-z_0-9]*$")
+        normalized: list[str] = []
+        for n in out_names:
+            bare = (
+                n[1:-1].replace('""', '"')
+                if len(n) >= 2 and n[0] == '"' and n[-1] == '"'
+                else n
+            )
+            normalized.append(bare if ident_re.match(bare) else f"`{bare}`")
+        lowered = [n.strip("`").lower() for n in normalized]
+        if len(set(lowered)) != len(lowered):
+            # duplicate output names make every outer reference ambiguous
+            # (with or without a resolver) — refuse loudly, like DISTINCT
+            raise ValueError(
+                "QUALIFY rewrite: select list produces duplicate output "
+                "column names; alias them uniquely"
+            )
+        out_names = normalized
 
     # hoist literal window calls:  fn ( args ) OVER ( spec ) — at ANY paren
     # depth in the predicate (e.g. `(ROW_NUMBER() OVER (...)) = 1`, CASE/NOT

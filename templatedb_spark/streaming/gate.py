@@ -80,7 +80,12 @@ def stream_cdc_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     kv_dir = tempfile.mkdtemp(prefix="cdc_kv_")
     # the returned DataFrame lazily reads this dir — clean at process exit
     atexit.register(shutil.rmtree, kv_dir, ignore_errors=True)
-    kv = KVTable(spark, kv_dir)
+    # auto_compact_every=N_MICROBATCHES puts threshold-driven compaction (the
+    # reference's leveled trigger, db_impl/mod.rs:950-975) under this oracle:
+    # the final batch's commit reaches the threshold and compacts inside the
+    # same write lock, so the audited state is read from the compacted base —
+    # any auto-compaction bug (lost delta, wrong merge order) hash-mismatches.
+    kv = KVTable(spark, kv_dir, auto_compact_every=_N_MICROBATCHES)
     stream = changes_from_events(read_events_stream(spark, stage))
     stream_cdc_to_kv(stream, kv, f"gate_cdc_{abs(hash(stage))}")
     # the drain is complete and the returned DataFrame reads only the KV
@@ -270,5 +275,116 @@ register(
         stream_interval_join_clicks,
         _STREAM_INTERVAL_JOIN_ORACLE,
         "stream-stream interval join (both-side watermarks, 2 micro-batches, cross-batch join state) vs batch range-join oracle",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Fourth gated streaming spec (round 6, VERDICT r5 #7): the streaming
+# NEAR-DUP operator (streaming/neardup.py) — the one streaming operator that
+# was pytest-only. Documents drain as 2 doc_id-ordered micro-batches through
+# the per-band applyInPandasWithState pair matcher; a batch-2 doc colliding
+# with a batch-1 doc's signature exercises exactly the cross-batch band
+# state the operator exists for. Determinism argument: signatures are
+# row-local projections (no aggregation state), per-band matching is
+# all-pairs within the bucket regardless of arrival order, and the emitted
+# (doc_a, doc_b) is sorted — so the DISTINCT pair set equals the batch
+# banded self-join over the staged slice, i.e. the dedup_minhash_lsh oracle
+# re-rooted on it (same md5-derived hashes, bit-identical in DuckDB).
+# Verified at sf0.01: the slice's one near-dup pair (120, 332) straddles the
+# batch-1/batch-2 boundary (split at doc_id 248), so a green row PROVES the
+# cross-batch state carry-over, not just within-batch matching.
+# ---------------------------------------------------------------------------
+_NEARDUP_SLICE_MOD = 4  # gate corpus slice: doc_id % 4 == 0
+
+
+def _stage_doc_microbatches(sf_dir: str, out_dir: str, n_batches: int = 2) -> None:
+    """Split documents into N doc_id-ordered parquet files, mtimes forcing
+    the file-source pickup order (pure pyarrow, same discipline as the
+    events stager). The gate stages the deterministic doc_id % 4 == 0 slice
+    (oracle restricted identically): the audited subject is cross-batch band
+    STATE correctness, which one quarter of the corpus exercises fully,
+    while the md5-signature volume — the measured cost driver — stays off
+    the suite's critical path."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    t = t.filter(
+        pc.equal(pc.bit_wise_and(t["doc_id"], _NEARDUP_SLICE_MOD - 1), 0)
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    n = t.num_rows
+    step = (n + n_batches - 1) // n_batches
+    for i in range(n_batches):
+        part = t.slice(i * step, step)
+        p = f"{out_dir}/part-{i}.parquet"
+        pq.write_table(part, p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def stream_neardup_pairs_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from templatedb_spark.streaming.neardup import (
+        read_documents_stream,
+        stream_neardup_pairs,
+    )
+
+    stage = tempfile.mkdtemp(prefix="ndp_stage_")
+    _stage_doc_microbatches(sf_dir, stage, n_batches=2)
+    name = f"gate_neardup_{os.path.basename(stage).split('_')[-1]}"
+    q = (
+        stream_neardup_pairs(read_documents_stream(spark, stage))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)  # memory sink holds the rows now
+    # a pair found via several shared bands repeats with the SAME match
+    # count — distinct() collapses it (the operator's documented contract)
+    return (
+        spark.table(name)
+        .select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            F.col("matches").cast("long").alias("matches"),
+        )
+        .distinct()
+    )
+
+
+def _neardup_oracle() -> str:
+    # lazy import keeps gate.py importable without the dedup module loaded
+    from templatedb_spark.operators.dedup import (
+        _MINHASH_CTES,
+        _MINHASH_MATCH_MIN,
+    )
+
+    # same CTE chain as the batch dedup_minhash_lsh oracle, re-rooted on the
+    # staged doc_id % 4 == 0 slice
+    ctes = _MINHASH_CTES.replace("FROM documents", "FROM docs_slice")
+    return f"""
+WITH docs_slice AS (
+  SELECT * FROM documents WHERE doc_id % {_NEARDUP_SLICE_MOD} = 0
+),
+{ctes}
+SELECT doc_a, doc_b, matches::BIGINT AS matches
+FROM est WHERE matches >= {_MINHASH_MATCH_MIN}
+"""
+
+
+register(
+    QuerySpec(
+        "stream_neardup_pairs",
+        stream_neardup_pairs_gate,
+        _neardup_oracle(),
+        "streaming minhash near-dup (per-band applyInPandasWithState, 2 micro-batches, cross-batch band state) vs batch banded-join oracle",
     )
 )

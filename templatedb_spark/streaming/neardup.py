@@ -3,18 +3,35 @@
 The batch spec `dedup_minhash_lsh` finds near-dup pairs with a banded
 self-join. This is its online twin for a document firehose:
 
-1. **Signatures are a row-local projection** — the k=16 minhash values are
-   computed per incoming document with the SAME md5-derived universal-hash
-   expressions the batch path aggregates over exploded shingles
-   (`functions/hashing.py`), rewritten as in-row `array_min(transform(...))`
-   over the document's distinct shingle array. No streaming aggregation is
-   needed to build a signature; it happens map-side in the micro-batch.
+1. **Signatures are a row-local map** — the k=16 minhash values are computed
+   per incoming document with the SAME md5-derived universal-hash family the
+   batch path aggregates over exploded shingles (`functions/hashing.py`),
+   here as an Arrow-batched `mapInPandas` (hashlib md5 + one numpy matrix op
+   for all 16 affine mins). No streaming aggregation is needed to build a
+   signature; it happens map-side in the micro-batch. Why Python and not a
+   SQL expression: the batch path's explode+groupBy shape is whole-stage
+   codegen, but a streaming micro-batch can't put an aggregation before the
+   stateful operator, and the in-row SQL alternatives are higher-order
+   functions (transform/aggregate lambdas) that Spark evaluates INTERPRETED
+   — measured ~9 s per 2500-doc trigger vs well under 1 s for the
+   vectorized pandas map. mapInPandas also acts as a materialization
+   barrier, so banding's posexplode fans out computed values, never the
+   expression tree (CollapseProject re-inlines projections through
+   repartition, so a repartition is NOT such a barrier — measured).
 2. **Banding is an explode** — each doc emits k rows keyed by (band index,
    minhash value); docs colliding on a band key are near-dup candidates.
-3. **Pairing is per-band state** (`applyInPandasWithState` keyed by the band
-   key): state holds the (doc_id, full signature) of every earlier doc seen
-   in this bucket; each arrival is scored against them (matching-position
-   count >= 8 of 16, i.e. estimated Jaccard >= 0.5) and appended.
+3. **Pairing is sharded band state** (`applyInPandasWithState` keyed by
+   (band, mh % _STATE_SHARDS)): state holds the (mh, doc_id, full signature)
+   of every earlier doc seen in the shard; each arrival is scored against
+   the earlier docs with the SAME mh (its true LSH bucket — the shard is
+   only a packing unit) by matching-position count >= 8 of 16, i.e.
+   estimated Jaccard >= 0.5, then appended. Sharding matters operationally:
+   keying state by the raw (band, mh) value creates one state group — one
+   Python call per micro-batch — per distinct bucket (~80k groups at sf0.1,
+   measured: the whole spec blew past 100 s on Python call overhead alone).
+   The shard key bounds the group count at 16 × _STATE_SHARDS regardless of
+   corpus size while keeping per-group work vectorizable; at cluster scale
+   you raise _STATE_SHARDS with the executor count.
 
 The stream's distinct emitted pairs equal the batch spec's output exactly
 (asserted in tests/test_stateful_streaming.py) — the same pair found via
@@ -38,44 +55,69 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from templatedb_spark.functions.hashing import MERSENNE_31
-from templatedb_spark.operators.dedup import _MINHASH_K, _MINHASH_MATCH_MIN, _PERMS
+from templatedb_spark.operators.dedup import _MINHASH_MATCH_MIN, _PERMS
 
 _OUTPUT_SCHEMA = "doc_a long, doc_b long, matches long"
-_STATE_SCHEMA = "doc_ids array<bigint>, sigs array<array<bigint>>"
-
-# In-row twin of operators/dedup.shingles(): distinct word trigrams.
-_SHINGLES_EXPR = (
-    "array_distinct(transform(sequence(1, size(t) - 2), "
-    "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))"
-)
-# In-row twin of hashing.h32: md5-derived 31-bit universal hash.
-_H32_EXPR = f"(CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % {MERSENNE_31})"
+_STATE_SCHEMA = "mhs array<bigint>, doc_ids array<bigint>, sigs array<array<bigint>>"
+_STATE_SHARDS = 16  # state groups = 16 bands × this; see module docstring
 
 
 def signature_projection(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig): k=16 minhash signature as a pure row-local projection.
+    """(doc_id, sig): k=16 minhash signature as an Arrow-batched row-local map.
 
     Identical values to the batch `minhash_signatures_wide` (which MINs the
-    same hash over the exploded shingle stream): min over a set is min over
-    the in-row array. Works unchanged on a streaming DataFrame because no
-    aggregation state is involved.
+    same md5-derived hash over the exploded shingle stream): min over a set
+    is min over the in-row array. Python twins of the Spark-side pieces —
+    tokenizer `regexp_extract_all(lower(text), '[a-z0-9]+')` ≡
+    `re.findall('[a-z0-9]+', text.lower())`, distinct word trigrams, and
+    hashing.h32 ≡ `int(md5(s).hexdigest()[:15], 16) % MERSENNE_31`; the 16
+    universal-hash mins are one numpy (k × n_shingles) matrix op (products
+    < 2^62, no int64 overflow — same bound the SQL side relies on). Works
+    unchanged on a streaming DataFrame (no aggregation state), and as a
+    Python map node it is a hard materialization barrier: downstream
+    explodes fan out VALUES, never the expression tree. See the module
+    docstring for why the SQL-expression formulation lost by ~10×.
     """
-    toks = docs.select(
-        "doc_id",
-        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("t"),
-    ).filter(F.size("t") >= 3)
-    sh = toks.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shs"))
-    mins = [
-        F.array_min(
-            F.expr(
-                f"transform(shs, s -> ({a} * {_H32_EXPR} + {b}) % {MERSENNE_31})"
-            )
-        ).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_PERMS)
-    ]
-    wide = sh.select("doc_id", *mins)
-    return wide.select(
-        "doc_id", F.array(*[f"mh_{i}" for i in range(_MINHASH_K)]).alias("sig")
+    import numpy as np
+
+    a_vec = np.array([a for a, _ in _PERMS], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in _PERMS], dtype=np.int64)[:, None]
+
+    def compute(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        tok = re.compile(r"[a-z0-9]+")
+        for pdf in batches:
+            out_ids: list[int] = []
+            out_sigs: list[list[int]] = []
+            for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                toks = tok.findall((text or "").lower())
+                if len(toks) < 3:
+                    continue
+                shs = {
+                    f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                    for i in range(len(toks) - 2)
+                }
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                        % MERSENNE_31
+                        for s in shs
+                    ),
+                    dtype=np.int64,
+                    count=len(shs),
+                )
+                sig = ((a_vec * hs[None, :] + b_vec) % MERSENNE_31).min(axis=1)
+                out_ids.append(int(doc_id))
+                out_sigs.append([int(x) for x in sig])
+            yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        compute, "doc_id long, sig array<bigint>"
     )
 
 
@@ -93,39 +135,57 @@ def _band_group(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator:
     import pandas as pd
 
     if state.exists:
-        doc_ids, sigs = state.get
+        mhs, doc_ids, sigs = state.get
+        mhs = list(mhs)
         doc_ids = list(doc_ids)
         sigs = [list(s) for s in sigs]
     else:
-        doc_ids, sigs = [], []
+        mhs, doc_ids, sigs = [], [], []
 
-    arrivals: list[tuple[int, list[int]]] = []
+    # mh -> earlier (doc_id, sig) in THIS shard: the true LSH bucket index,
+    # so a shard never compares docs that don't actually share the band value
+    seen: dict[int, list[tuple[int, list[int]]]] = {}
+    for m, d, s in zip(mhs, doc_ids, sigs):
+        seen.setdefault(m, []).append((d, s))
+
+    arrivals: list[tuple[int, int, list[int]]] = []
     for pdf in pdfs:
-        for doc, sig in zip(pdf["doc_id"].tolist(), pdf["sig"].tolist()):
-            arrivals.append((int(doc), [int(x) for x in sig]))
+        for m, doc, sig in zip(
+            pdf["mh"].tolist(), pdf["doc_id"].tolist(), pdf["sig"].tolist()
+        ):
+            arrivals.append((int(doc), int(m), [int(x) for x in sig]))
     arrivals.sort()
 
     out = []
-    for doc, sig in arrivals:
-        for prev_doc, prev_sig in zip(doc_ids, sigs):
+    for doc, m, sig in arrivals:
+        for prev_doc, prev_sig in seen.get(m, ()):
             if prev_doc == doc:
                 continue
             matches = sum(1 for x, y in zip(sig, prev_sig) if x == y)
             if matches >= _MINHASH_MATCH_MIN:
                 a, b = sorted((prev_doc, doc))
                 out.append({"doc_a": a, "doc_b": b, "matches": matches})
+        seen.setdefault(m, []).append((doc, sig))
+        mhs.append(m)
         doc_ids.append(doc)
         sigs.append(sig)
 
-    state.update((doc_ids, sigs))
+    state.update((mhs, doc_ids, sigs))
     yield pd.DataFrame(out, columns=["doc_a", "doc_b", "matches"])
 
 
 def stream_neardup_pairs(docs_stream: DataFrame) -> DataFrame:
     """Streaming near-dup candidate pairs (may repeat a pair across bands —
     consumers distinct())."""
-    b = banded(signature_projection(docs_stream))
-    return b.groupBy("band", "mh").applyInPandasWithState(
+    # repartition BEFORE the signature map: a micro-batch is one staged file
+    # = ONE scan task, so without the shuffle the md5 work serializes on a
+    # single core (measured: the dominant per-trigger cost)
+    sigs = signature_projection(docs_stream.repartition("doc_id"))
+    b = banded(sigs)
+    shard = F.pmod(F.col("mh"), F.lit(_STATE_SHARDS)).alias("shard")
+    return b.select("band", shard, "mh", "doc_id", "sig").groupBy(
+        "band", "shard"
+    ).applyInPandasWithState(
         _band_group,
         outputStructType=_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,

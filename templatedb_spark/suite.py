@@ -98,6 +98,14 @@ def all_specs() -> dict[str, QuerySpec]:
         "dedup_dup_clusters", "dedup_keep_policy", "dedup_cascade",  # funnel feed (same results)
     }
     covered -= changed_r5
+    # Round-6 churn: plans rewritten onto the distributed two-pass exact rank
+    # (operators/ranks.py) — same oracles, same results, new execution shape;
+    # re-audit them at the front of the window (standing invariant, VERDICT r5 #8).
+    changed_r6 = {
+        "histogram_equidepth", "gini_revenue", "revenue_concentration",
+        "stream_cdc_kv_state",  # auto-compaction now fires inside the drain
+    }
+    covered -= changed_r6
     # The round-2 verdict singled out eleven specs that no driver round has
     # ever audited ("close the CORRECTNESS union"); the driver caps how many
     # entries it records per round, so those eleven outrank every other

@@ -496,3 +496,135 @@ def test_ddl_insert_fuzz_matches_duckdb(case, spark, duck):
     duck.sql(f"DROP TABLE IF EXISTS {tname}")
     spark.catalog.dropTempView(tname)
     assert got == want, "\n".join(stmts)
+
+
+# ---------------------------------------------------------------------------
+# Grammar 9 (round 6, VERDICT r5 #5): the v2 DDL/DML + introspection surface
+# END-TO-END — CREATE/INSERT/COPY scripts interleaved with SHOW TABLES /
+# DESCRIBE / EXPLAIN (Spark-side liveness: they must execute, they have no
+# DuckDB twin), finished with a CTE/QUALIFY/LATERAL read compared against
+# DuckDB running the IDENTICAL script. This is the regression net for the
+# binder-edge class the r5 self-review caught (CTE declared-column shadowing,
+# chained-CTE planning, derived tables that start with WITH).
+# ---------------------------------------------------------------------------
+_G9_TYPES = [("c0", "int"), ("c1", "double"), ("c2", "varchar"), ("c3", "bigint")]
+
+
+def _g9_val(rng: random.Random, t: str, allow_null: bool = True) -> str:
+    if allow_null and rng.random() < 0.12:
+        return "NULL"
+    if t == "int":
+        return str(rng.randint(-50, 50))
+    if t == "bigint":
+        return str(rng.randint(-10**9, 10**9))
+    if t == "double":
+        return str(round(rng.uniform(-100, 100), 2))
+    return f"'s{rng.randint(0, 9)}'"
+
+
+def _gen_script9(rng: random.Random, tname: str, csv_path: str) -> tuple[list[str], list[str], str]:
+    """(spark_stmts, duck_stmts, final_query): the statement scripts differ
+    ONLY in COPY option spelling (both read the same csv text) and in the
+    Spark-only introspection statements."""
+    ncols = rng.randint(3, 4)
+    cols = _G9_TYPES[:ncols]
+    create = f"CREATE TABLE {tname} ({', '.join(f'{n} {t}' for n, t in cols)})"
+    spark_stmts, duck_stmts = [create], [create]
+
+    def maybe_introspect():
+        if rng.random() < 0.4:
+            spark_stmts.append(
+                rng.choice(
+                    ["SHOW TABLES", f"DESCRIBE {tname}", f"EXPLAIN SELECT * FROM {tname}"]
+                )
+            )
+
+    for _ in range(rng.randint(2, 5)):
+        if rng.random() < 0.5:
+            rows = ", ".join(
+                "(" + ", ".join(_g9_val(rng, t) for _, t in cols) + ")"
+                for _ in range(rng.randint(1, 3))
+            )
+            stmt = f"INSERT INTO {tname} VALUES {rows}"
+        else:
+            k = rng.randint(1, ncols)
+            subset = rng.sample(cols, k)
+            stmt = (
+                f"INSERT INTO {tname} ({', '.join(n for n, _ in subset)}) "
+                f"VALUES ({', '.join(_g9_val(rng, t) for _, t in subset)})"
+            )
+        spark_stmts.append(stmt)
+        duck_stmts.append(stmt)
+        maybe_introspect()
+
+    if rng.random() < 0.5:
+        # COPY FROM a header csv both engines parse (values NULL-free so the
+        # empty-field convention never diverges)
+        lines = [",".join(n for n, _ in cols)]
+        for _ in range(rng.randint(1, 4)):
+            lines.append(
+                ",".join(_g9_val(rng, t, allow_null=False).strip("'") for _, t in cols)
+            )
+        with open(csv_path, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        spark_stmts.append(f"COPY {tname} FROM '{csv_path}'")
+        duck_stmts.append(f"COPY {tname} FROM '{csv_path}' (FORMAT CSV, HEADER)")
+        maybe_introspect()
+
+    shape = rng.randrange(4)
+    thr = rng.randint(-20, 20)
+    if shape == 0:
+        # declared CTE column list + chained CTE + WHERE alias shadowing:
+        # y names BOTH the select alias (x+1) and v's column — the column
+        # must win in both engines (reference binder semantics)
+        q = (
+            f"WITH w(x, y, z) AS (SELECT c0, c1, c2 FROM {tname}), "
+            f"v AS (SELECT x, y FROM w WHERE x IS NOT NULL) "
+            f"SELECT x + 1 AS y, y AS yy FROM v WHERE y > {thr}"
+        )
+    elif shape == 1:
+        order = ", ".join(
+            f"{n} ASC NULLS FIRST" for n, _ in cols[1 : rng.randint(2, ncols)]
+        ) or "c1 ASC NULLS FIRST"
+        q = (
+            f"SELECT c0, c1, ROW_NUMBER() OVER (PARTITION BY c0 ORDER BY {order}) AS rn "
+            f"FROM {tname} QUALIFY rn <= 2"
+        )
+    elif shape == 2:
+        q = (
+            f"SELECT s.x + 1 AS x2 FROM "
+            f"(WITH iw AS (SELECT c0 AS x FROM {tname} WHERE c0 IS NOT NULL) "
+            f"SELECT x FROM iw) s WHERE s.x > {thr}"
+        )
+    else:
+        q = (
+            f"SELECT a.c0, l.mx FROM {tname} a, "
+            f"LATERAL (SELECT MAX(c1) AS mx FROM {tname} b WHERE b.c0 = a.c0) l "
+            f"WHERE a.c0 IS NOT NULL"
+        )
+    return spark_stmts, duck_stmts, q
+
+
+_NUM_CASES9 = 25
+
+
+@pytest.mark.parametrize("case", list(range(_NUM_CASES9)))
+def test_v2_ddl_introspection_end_to_end_fuzz(case, spark, duck, tmp_path):
+    from templatedb_spark.slt import SltSession
+
+    rng = random.Random(_SEED + 9000 + case)
+    tname = f"t9e_{case}"
+    spark_stmts, duck_stmts, query = _gen_script9(
+        rng, tname, str(tmp_path / f"{tname}.csv")
+    )
+    sess = SltSession(spark, base_dir=".", strict=False)
+    for s in spark_stmts:
+        sess.run(s)  # introspection statements must execute, not just parse
+    duck.sql(f"DROP TABLE IF EXISTS {tname}")
+    for s in duck_stmts:
+        duck.sql(s)
+    got = normalize_pdf(sess.run(query).toPandas())
+    want = normalize_pdf(duck.sql(query).df())
+    duck.sql(f"DROP TABLE IF EXISTS {tname}")
+    spark.catalog.dropTempView(tname)
+    assert got == want, "\n".join(spark_stmts) + "\n-- " + query

@@ -293,7 +293,9 @@ def test_recovery_skips_success_only_dirs_above_committed_marker(spark):
     uncommitted — and must STAY invisible even when the MANIFEST itself is
     lost. The COMMITTED high-water marker (bumped after every manifest
     commit) lets recovery tell committed dirs from merely-written ones;
-    the orphan is deleted so its version number can be reused cleanly."""
+    the orphan is QUARANTINED (renamed under quarantine/, bytes preserved —
+    r5 ADVICE: a stale marker under manifest loss could otherwise silently
+    destroy an acknowledged commit) so its version number is reusable."""
     import os
     import tempfile
 
@@ -310,7 +312,9 @@ def test_recovery_skips_success_only_dirs_above_committed_marker(spark):
         assert kv.get("a") == "1"  # consistent prefix restored
         assert kv.get("ghost") is None  # uncommitted batch stays invisible
         assert v_orphan not in kv._load_manifest()
-        assert not Path(f"{d}/version={v_orphan}").exists()  # orphan removed
+        assert not Path(f"{d}/version={v_orphan}").exists()  # moved aside
+        # ...but the bytes survive for inspection/recovery (quarantine, not delete)
+        assert (Path(d) / "quarantine" / f"version={v_orphan}" / "_SUCCESS").exists()
         # the number is reusable: the next real commit takes it over
         v2 = kv.put("b", "2")
         assert v2 == v_orphan
@@ -359,3 +363,55 @@ def test_concurrent_puts_on_one_handle_are_serialized(spark):
         assert sorted(versions) == list(range(versions and min(versions), min(versions) + 16))  # distinct, gap-free
         for i in range(16):
             assert kv.get(f"k{i}") == f"v{i}"
+
+
+def test_auto_compaction_threshold_trigger(spark):
+    """auto_compact_every=N: a commit that leaves >=N live versions triggers
+    compact() inside the same write lock — the semantic twin of the
+    reference's leveled trigger (level-0 file count schedules compaction,
+    db_impl/mod.rs:950-975). Live-version count stays bounded under a write
+    burst, and reads see the same merged state after every trigger."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d, auto_compact_every=4)
+        for i in range(10):
+            kv.put(f"k{i % 3}", f"v{i}")
+            assert len(kv._versions()) < 4 + 1  # never grows past the trigger
+        # state is the merged latest-wins view
+        assert kv.get("k0") == "v9"
+        assert kv.get("k1") == "v7"
+        assert kv.get("k2") == "v8"
+        # history collapsed: snapshot reads open one base + recent deltas only
+        assert len(kv._versions()) <= 4
+
+
+def test_two_session_writer_contention(spark):
+    """Cross-HANDLE contention: two KVTable handles on the same table dir,
+    each bound to a DIFFERENT SparkSession (spark.newSession() — separate
+    session state, shared JVM), hammer interleaved batches from threads.
+    The flock layer in _locked serializes the version-allocate/write/commit
+    critical section across handles, so versions are distinct and no write
+    is lost — the two-writer race the handle-level RLock alone cannot see."""
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    s2 = spark.newSession()
+    with tempfile.TemporaryDirectory() as d:
+        h1, h2 = KVTable(spark, d), KVTable(s2, d)
+
+        def writer(args):
+            i, handle = args
+            return handle.write_batch(puts={f"k{i}": f"v{i}", "shared": f"s{i}"})
+
+        jobs = [(i, h1 if i % 2 == 0 else h2) for i in range(12)]
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            versions = list(pool.map(writer, jobs))
+        assert len(set(versions)) == 12  # no version collision across handles
+        # every non-contended key survives, readable from BOTH handles
+        for i in range(12):
+            assert h1.get(f"k{i}") == f"v{i}"
+            assert h2.get(f"k{i}") == f"v{i}"
+        # the contended key holds the value of the HIGHEST committed version
+        last = max(range(12), key=lambda i: versions[i])
+        assert h1.get("shared") == f"s{last}"

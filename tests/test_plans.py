@@ -81,19 +81,16 @@ def test_suite_wide_plan_hygiene(spark):
     # bounded doc subset. Everything else stays Python-free.
     allowed_python = {"udtf_shingle_stats"}
     # Unpartitioned ordered windows allowed ONLY where the input is bounded
-    # by construction or the single-task tradeoff is documented in-source:
-    # - orders_backlog_sweepline / quantile_sketch_price: cumulative sweep
-    #   over post-aggregate rows keyed by day / bin — domain-bounded input.
-    # - histogram_equidepth / gini_revenue / revenue_concentration: exact
-    #   rank statistics; the at-scale alternative (approx_percentile +
-    #   broadcast range join) is named in their docstrings.
-    # New specs must use suite.fused_topk or join this list consciously.
+    # by construction: orders_backlog_sweepline / quantile_sketch_price run a
+    # cumulative sweep over post-aggregate rows keyed by day / bin — domain-
+    # bounded input. The former third group (histogram_equidepth,
+    # gini_revenue, revenue_concentration) was rewritten in r6 onto
+    # operators/ranks.py's distributed two-pass exact rank and no longer
+    # needs an exemption. New specs must use suite.fused_topk,
+    # ranks.global_row_number/global_cumsum, or join this list consciously.
     allowed_global_window = {
         "orders_backlog_sweepline",
         "quantile_sketch_price",
-        "histogram_equidepth",
-        "gini_revenue",
-        "revenue_concentration",
     }
     specs = all_specs()
     offenders = []

@@ -1,0 +1,90 @@
+"""Distributed exact rank/cumsum (operators/ranks.py) — property tests.
+
+The module replaces unpartitioned global-sort windows (the 100-TB
+scale-killer) with a range shuffle + per-partition local window + broadcast
+prefix offsets. These tests pin BOTH halves of the contract:
+
+1. Exactness: results are identical to the single-task window formulation,
+   including duplicate sort keys broken by a tiebreak column, values
+   straddling range-partition boundaries, and relations smaller than the
+   partition count.
+2. Plan shape: no unpartitioned ordered window node appears anywhere — the
+   property the suite-wide gate (test_plans.py) enforces for every spec.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from templatedb_spark.operators.ranks import global_cumsum, global_row_number
+from templatedb_spark.plans.explain import global_sort_window_lines, physical_plan
+
+
+def _data(spark, n=997):
+    # deterministic pseudo-random values with heavy duplication (v % 13) so
+    # ties straddle range boundaries; k is the unique tiebreak
+    rows = [(i, (i * 2654435761 % 2**32) % 13, Decimal(i % 101) / 4) for i in range(n)]
+    return spark.createDataFrame(rows, "k long, v long, amt decimal(10,2)")
+
+
+def test_global_row_number_matches_single_task_window(spark):
+    df = _data(spark)
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = {
+        r.k: r.i
+        for r in global_row_number(df, order, rank_col="i").select("k", "i").collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r.k: r.i
+        for r in df.select("k", F.row_number().over(w).cast("long").alias("i")).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_desc_order(spark):
+    df = _data(spark, n=251)
+    order = [F.col("amt").desc(), F.col("k").asc()]
+    got = {r.k: r.i for r in global_row_number(df, order).select("k", "i").collect()}
+    want = {
+        r.k: r.i
+        for r in df.select(
+            "k", F.row_number().over(Window.orderBy(*order)).cast("long").alias("i")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_matches_single_task_window(spark):
+    df = _data(spark)
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = {
+        r.k: r.cum
+        for r in global_cumsum(df, order, F.col("amt"), cum_col="cum")
+        .select("k", "cum")
+        .collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r.k: r.cum for r in df.select("k", F.sum("amt").over(w).alias("cum")).collect()
+    }
+    assert got == want
+
+
+def test_tiny_relation_smaller_than_partition_count(spark):
+    df = _data(spark, n=3)  # shuffle partitions = 8 > rows
+    got = sorted(
+        (r.k, r.i) for r in global_row_number(df, [F.col("k").asc()]).collect()
+    )
+    assert [i for _, i in got] == [1, 2, 3]
+
+
+def test_plan_has_no_unpartitioned_window(spark):
+    df = _data(spark, n=100)
+    ranked = global_row_number(df, [F.col("v").asc(), F.col("k").asc()])
+    assert global_sort_window_lines(physical_plan(ranked)) == []
+    summed = global_cumsum(df, [F.col("v").asc(), F.col("k").asc()], F.col("amt"))
+    assert global_sort_window_lines(physical_plan(summed)) == []

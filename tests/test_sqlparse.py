@@ -531,3 +531,79 @@ def test_tokenizer_is_total_and_offset_faithful(s):
         sp.find_strict_literal_comparison(s)
     except sp.SqlSyntaxError:
         pass  # unbalanced parens may raise the shim's own typed error
+
+
+# ------------------------------------------------ round-6 ADVICE regressions
+
+
+def test_qualify_after_reserved_expression_ender(spark):
+    """r5 ADVICE: QUALIFY following a reserved word that legally ends an
+    expression (IS NOT NULL) must still be detected as a clause."""
+    eng = Engine(spark)
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "g int, v int"
+    ).createOrReplaceTempView("t_qnull")
+    rows = eng.sql(
+        "SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) AS rn "
+        "FROM t_qnull WHERE v IS NOT NULL QUALIFY rn = 1"
+    ).collect()
+    assert sorted((r.g, r.v) for r in rows) == [(1, 20), (2, 5)]
+
+
+def test_qualify_duplicate_output_names_refused():
+    """r5 ADVICE: duplicate select-list output names make every outer
+    reference ambiguous — refuse loudly (like DISTINCT), never rewrite to
+    an ambiguous projection."""
+    with pytest.raises(ValueError, match="duplicate output"):
+        sp.rewrite_qualify(
+            "SELECT g, g FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY v) = 1"
+        )
+
+
+def test_qualify_dq_alias_normalized_to_backticks():
+    """r5 ADVICE: a double-quoted alias must not be re-emitted with double
+    quotes in the outer projection (Spark parses "x" as a string LITERAL
+    there — a silently constant column)."""
+    out = sp.rewrite_qualify(
+        'SELECT g, v AS "my val" FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY v) = 1'
+    )
+    assert out.startswith("SELECT g, `my val` FROM (")
+    assert '"my val"' not in out.split("FROM", 1)[0]
+
+
+def test_cte_declared_columns_parsed():
+    got = sp.cte_declared_columns(
+        'WITH a(c1, c2) AS (SELECT x, y FROM t), b AS (SELECT 1), '
+        'c("Q", r) AS (SELECT 2, 3) SELECT * FROM a'
+    )
+    assert got == {"a": ["c1", "c2"], "c": ["Q", "r"]}
+
+
+def test_cte_declared_columns_shadow_where_alias(spark):
+    """r5 ADVICE: `WITH a(c1,c2) AS (...)` — the DECLARED names are the CTE's
+    schema; a WHERE alias equal to a declared column must be shadowed (not
+    substituted), and the body's own output names must NOT shadow."""
+    eng = Engine(spark)
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "g int, v int"
+    ).createOrReplaceTempView("t_qcte")
+    rows = eng.sql(
+        "WITH a(c1, c2) AS (SELECT g, v FROM t_qcte) "
+        "SELECT c1 AS v2, c2 FROM a WHERE c2 > 6 ORDER BY c2"
+    ).collect()
+    assert [(r.v2, r.c2) for r in rows] == [(1, 10), (1, 20)]
+
+
+def test_derived_table_body_starting_with_with(spark):
+    """r5 ADVICE: FROM (WITH ... SELECT ...) t used to get the outer CTE
+    prefix prepended ('WITH a AS (...) WITH ...' — invalid), silently
+    degrading the shadow set. The prefix now splices into the body's WITH
+    list, so the derived table's real columns shadow correctly."""
+    eng = Engine(spark)
+    spark.createDataFrame([(7,)], "b int").createOrReplaceTempView("t_qw")
+    rows = eng.sql(
+        "WITH z AS (SELECT 1 AS one) "
+        "SELECT t.b + 1 AS b2 FROM (WITH y AS (SELECT b FROM t_qw) SELECT b FROM y) t "
+        "WHERE t.b = 7"
+    ).collect()
+    assert [r.b2 for r in rows] == [8]
