@@ -44,11 +44,31 @@ _PTYPES = ["ECONOMY", "SMALL", "MEDIUM", "LARGE", "STANDARD", "PROMO"]
 _EVENT_TYPES = ["view", "click", "signup", "purchase", "error"]
 _LANGS = ["en", "de", "fr", "es", "zh"]
 _LANG_W = [0.45, 0.14, 0.13, 0.14, 0.14]
-_VOCAB = (
+_VOCAB_BASE = (
     "key agg row scan slow fast table value part hash merge batch window "
     "spark order data column join small line customer query the a big "
     "stream filter sort vector"
 ).split()
+
+
+def _vocab_for(n_doc: int) -> list[str]:
+    """Vocabulary sized so the trigram-shingle pair mass (Σ df²) stays
+    proportional to corpus size. The shipped sf0.1 corpus draws ~27k distinct
+    shingles from a ~28-word vocabulary at 5k docs (avg df ≈ 10, pair mass
+    ≈ 2.8M). Keeping the 28-word vocabulary at 50k docs drives avg df to
+    ~100 and pair mass to 260M — the uncapped n-gram pair oracles then go
+    quadratic on BOTH engines (measured: the sf1 sweep stalled). Distinct
+    shingles scale with vocab³, so vocab grows with the CUBE ROOT of the doc
+    count: at 10× docs, ~2.2× words keeps per-doc join fan-out flat."""
+    import math
+
+    target = max(28, int(28 * (n_doc / 5000.0) ** (1.0 / 3.0) + 0.5))
+    vocab = list(_VOCAB_BASE)
+    i = 0
+    while len(vocab) < target:
+        vocab.append(f"{_VOCAB_BASE[i % len(_VOCAB_BASE)]}{i // len(_VOCAB_BASE)}")
+        i += 1
+    return vocab
 
 _DAY_US = 86_400_000_000
 _EPOCH_1995 = int(pd.Timestamp("1995-01-01").value // 1000)
@@ -115,11 +135,11 @@ def generate(out_dir: str, scale: float, src: str) -> None:
     }))
 
     rng = np.random.default_rng(4203)
-    w1 = rng.integers(0, len(_VOCAB), n_part)
-    w2 = rng.integers(0, len(_VOCAB), n_part)
+    w1 = rng.integers(0, len(_VOCAB_BASE), n_part)
+    w2 = rng.integers(0, len(_VOCAB_BASE), n_part)
     _write(out_dir, "part", pa.table({
         "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
-        "p_name": pa.array([f"{_VOCAB[a]} {_VOCAB[b]}" for a, b in zip(w1, w2)]),
+        "p_name": pa.array([f"{_VOCAB_BASE[a]} {_VOCAB_BASE[b]}" for a, b in zip(w1, w2)]),
         "p_brand": pa.Array.from_pandas(
             _cat(rng, [f"Brand#{i}" for i in range(1, 26)], n_part)
         ),
@@ -169,6 +189,7 @@ def generate(out_dir: str, scale: float, src: str) -> None:
     }))
 
     rng = np.random.default_rng(4207)
+    vocab = _vocab_for(n_doc)
     texts: list[str] = []
     for i in range(n_doc):
         r = rng.random()
@@ -176,12 +197,12 @@ def generate(out_dir: str, scale: float, src: str) -> None:
             texts.append(texts[int(rng.integers(0, i))])
         elif i > 10 and r < 0.15:  # near duplicate: one appended word
             texts.append(
-                texts[int(rng.integers(0, i))] + " " + _VOCAB[int(rng.integers(0, len(_VOCAB)))]
+                texts[int(rng.integers(0, i))] + " " + vocab[int(rng.integers(0, len(vocab)))]
             )
         else:
             n_words = int(rng.integers(25, 80))
-            idx = rng.integers(0, len(_VOCAB), n_words)
-            texts.append(" ".join(_VOCAB[j] for j in idx))
+            idx = rng.integers(0, len(vocab), n_words)
+            texts.append(" ".join(vocab[j] for j in idx))
     _write(out_dir, "documents", pa.table({
         "doc_id": pa.array(np.arange(n_doc, dtype=np.int64)),
         "text": pa.array(texts),
