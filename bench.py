@@ -32,7 +32,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "concurrent")
-    workers = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "16"))
+    # 24 submission threads measured best at 192 specs with the four
+    # streaming chains (r6, steal-clean pairs: 16→24.5 s, 20→21.3 s,
+    # 24→20.95 s): more overlap hides per-query scheduling gaps and the
+    # chains' trigger latency without saturating the driver GIL.
+    workers = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "24"))
 
     from templatedb_spark.session import EngineConfig, build_session
     from templatedb_spark.suite import all_specs
