@@ -88,16 +88,13 @@ def all_specs() -> dict[str, QuerySpec]:
     from templatedb_spark.streaming import gate  # noqa: F401
 
     covered = _driver_covered_names()
-    # Specs whose semantics, output schema, or oracle changed in round 5:
+    # Specs whose semantics, output schema, or oracle changed THIS round:
     # prior-round audit rows no longer vouch for them, so they re-enter the
-    # front of the driver's capped audit window as if never covered.
-    changed_r5 = {
-        "bm25_topk", "rrf_fusion", "weighted_sample_docs",          # fused top-k rewrite
-        "approx_distinct_users", "approx_percentiles_price",        # tolerance-verdict oracles
-        "graph_pagerank", "graph_bfs_hops", "graph_triangles",       # funnel graph feed (new oracles)
-        "dedup_dup_clusters", "dedup_keep_policy", "dedup_cascade",  # funnel feed (same results)
-    }
-    covered -= changed_r5
+    # front of the driver's capped audit window as if never covered. Rounds
+    # roll: once the driver's artifact for the changing round has recorded
+    # them (r5's changed set is fully present in CORRECTNESS_r05.json), the
+    # subtraction is retired — keeping it would burn audit slots re-checking
+    # rows the changing round already vouched for.
     # Round-6 churn: plans rewritten onto the distributed two-pass exact rank
     # (operators/ranks.py) — same oracles, same results, new execution shape;
     # re-audit them at the front of the window (standing invariant, VERDICT r5 #8).
