@@ -415,3 +415,53 @@ def test_two_session_writer_contention(spark):
         # the contended key holds the value of the HIGHEST committed version
         last = max(range(12), key=lambda i: versions[i])
         assert h1.get("shared") == f"s{last}"
+
+
+def test_cross_process_writer_contention(spark):
+    """Cross-PROCESS contention: a subprocess with its own JVM+SparkSession
+    writes batches to the same table dir while this process writes too. The
+    flock in _locked is an OS-level lock, so it serializes version
+    allocation across processes — no collisions, no lost writes. (The
+    two-SparkSession test above shares one JVM; this is the real two-process
+    case, closest to two jobs on one shared filesystem.)"""
+    import subprocess
+    import sys
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        code = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from templatedb_spark.kv import KVTable
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "2").getOrCreate())
+kv = KVTable(spark, {d!r})
+for i in range(4):
+    kv.write_batch(puts={{f"sub{{i}}": f"s{{i}}"}})
+spark.stop()
+print("SUBPROC DONE")
+"""
+        proc = subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        kv = KVTable(spark, d)
+        import time
+
+        for i in range(6):
+            kv.write_batch(puts={f"main{i}": f"m{i}"})
+            time.sleep(0.3)  # interleave with the subprocess's cadence
+        out, _ = proc.communicate(timeout=180)
+        assert "SUBPROC DONE" in out
+        # every write from BOTH processes is visible; versions are distinct
+        # (manifest add-lines are unique) and nothing was lost
+        for i in range(6):
+            assert kv.get(f"main{i}") == f"m{i}"
+        for i in range(4):
+            assert kv.get(f"sub{i}") == f"s{i}"
+        versions = list(kv._load_manifest())
+        assert len(versions) == len(set(versions)) == 10
