@@ -213,3 +213,28 @@ def test_stream_attribution_matches_batch(spark, tmp_path):
     assert got_set == want_set
     assert len(want_set) > 0
     assert len({t for (_, _, t, _) in want_set}) > 1  # multiple touch classes
+
+
+def test_streaming_signature_parity_with_batch_sql(spark):
+    """The streaming near-dup signature is computed in PYTHON (hashlib md5 +
+    numpy affine mins, neardup.signature_projection) while the batch path
+    and the DuckDB oracle compute the same values in SQL (functions/hashing
+    h32 + per-perm MIN aggregates). Pin bit-equality per doc per permutation
+    — the end-to-end pair tests would survive a subtle hash drift that only
+    changes NON-matching signature positions; this catches any drift."""
+    from templatedb_spark.operators.dedup import minhash_signatures_wide, _MINHASH_K
+    from templatedb_spark.streaming.neardup import signature_projection
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    got = {
+        r.doc_id: list(r.sig) for r in signature_projection(docs).collect()
+    }
+    want = {
+        r[0]: list(r[1:])
+        for r in minhash_signatures_wide(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == want[d], f"doc {d}: {got[d]} != {want[d]}"
+        assert len(got[d]) == _MINHASH_K
