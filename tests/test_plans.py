@@ -618,3 +618,28 @@ def test_fused_topk_equals_naive_global_window(spark):
             .collect()
         )
         assert sorted(map(tuple, got)) == sorted(map(tuple, want)), k
+
+
+def test_distributed_rank_specs_use_range_partitioning(spark):
+    """r6 rewrite pin (verdict r5 #1 done-criterion): the three former
+    single-task global-window specs now sort via a RANGE exchange (N
+    parallel partitions) with per-partition windows — no unpartitioned
+    ordered Window anywhere, and the only SinglePartition exchanges feed
+    row-bounded final aggregates, never a Sort."""
+    import re
+
+    from templatedb_spark.plans.explain import global_sort_window_lines, physical_plan
+
+    specs = all_specs()
+    for name in ("histogram_equidepth", "gini_revenue", "revenue_concentration"):
+        plan = physical_plan(specs[name].spark(spark, SF_SMALL))
+        assert "rangepartitioning" in plan, name  # the distributed sort shape
+        assert global_sort_window_lines(plan) == [], name
+        # no Sort executes over a single-partition exchange: scan plan lines
+        # pairwise — a Sort node directly above Exchange SinglePartition is
+        # the single-task total sort this rewrite exists to eliminate
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if re.search(r"\bSort \[", line):
+                child = lines[i + 1] if i + 1 < len(lines) else ""
+                assert "SinglePartition" not in child, (name, line.strip()[:80])
