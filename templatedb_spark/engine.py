@@ -239,20 +239,26 @@ class Engine:
             return f"WITH {prefix} {body}"
 
         cte_list = list(ctes.items())
-        bodies: list[str] = []
+        # (attached body, declared alias list or None). DuckDB/Postgres allow
+        # a PARTIAL alias list — `WITH a(c1) AS (SELECT x, y ...)` renames
+        # only the first column and y keeps its body name — so a declared
+        # list contributes its names AND the body is still planned for any
+        # output columns beyond len(declared) (ADVICE r6: treating the list
+        # as the full schema dropped those from the shadow set).
+        bodies: list[tuple[str, list[str] | None]] = []
         for idx, (name, body) in enumerate(cte_list):
             if name not in from_names:
                 continue
-            if name in declared_cols:
-                cols.update(c.lower() for c in declared_cols[name])
-                continue
+            declared = declared_cols.get(name)
+            if declared:
+                cols.update(c.lower() for c in declared)
             prefix = ", ".join(
                 f"{n} ({', '.join(declared_cols[n])}) AS ({b})"
                 if n in declared_cols
                 else f"{n} AS ({b})"
                 for n, b in cte_list[:idx]
             )
-            bodies.append(_attach(prefix, body))
+            bodies.append((_attach(prefix, body), declared))
         all_prefix = ", ".join(
             f"{n} ({', '.join(declared_cols[n])}) AS ({b})"
             if n in declared_cols
@@ -260,10 +266,12 @@ class Engine:
             for n, b in cte_list
         )
         for body in derived.values():
-            bodies.append(_attach(all_prefix, body))
-        for body in bodies:
+            bodies.append((_attach(all_prefix, body), None))
+        for body, declared in bodies:
+            skip = len(declared) if declared else 0
             try:
-                cols.update(c.lower() for c in self.spark.sql(body).columns)
+                out_cols = self.spark.sql(body).columns
+                cols.update(c.lower() for c in out_cols[skip:])
             except Exception:
                 try:
                     body_tokens = sqlparse.tokenize(body)
@@ -271,7 +279,8 @@ class Engine:
                     if "select" in clauses:
                         s, e = clauses["select"]
                         e = min(e, clauses["from"][0] - 1) if "from" in clauses else e
-                        for item in sqlparse.split_top_level(body_tokens[s:e]):
+                        items = sqlparse.split_top_level(body_tokens[s:e])
+                        for item in items[skip:]:
                             if item and item[-1].kind in ("ident", "dq"):
                                 cols.add(item[-1].text.strip('"').lower())
                 except Exception:

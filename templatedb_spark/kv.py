@@ -223,9 +223,20 @@ class KVTable:
                     state.pop(v, None)
         return state
 
+    @_locked
     def _recover_manifest(self) -> dict[int, list[int]]:
         """Pre-manifest table (or lost manifest): rebuild from the directory
-        layout once, persist, and never walk again. Only version dirs whose
+        layout once, persist, and never walk again.
+
+        Runs under the table write lock even though it is reachable from
+        reader paths (_load_manifest): recovery MUTATES (quarantine renames +
+        the snapshot write), and unlocked it could race a concurrent writer —
+        two recoveries interleaving writes into the same MANIFEST.tmp, or a
+        reader quarantining a version dir a flock-holding writer has written
+        (_SUCCESS present) but not yet manifest-appended (ADVICE r6). With
+        the lock held the manifest's existence is stable, but it may have
+        appeared while we WAITED for the lock — re-check and replay instead
+        of walking. Only version dirs whose
         parquet job COMMITTED (Hadoop _SUCCESS marker) are considered, and —
         when the COMMITTED marker survives — only versions at or below the
         marker are resurrected: a batch whose parquet job finished but which
@@ -243,6 +254,8 @@ class KVTable:
         writer-locked _clear_orphan (ADVICE r5). Without a marker (legacy
         layout) every _SUCCESS dir is trusted — the pre-marker behavior,
         documented best-effort."""
+        if self._manifest.exists():
+            return self._load_manifest()
         high = self._read_committed_marker()
         state: dict[int, list[int]] = {}
         orphans: list[Path] = []
@@ -308,7 +321,12 @@ class KVTable:
             self._bump_committed_marker(record["v"])
 
     def _write_manifest_snapshot(self, state: dict[int, list[int]]) -> None:
-        tmp = self._manifest.with_suffix(".tmp")
+        # pid-suffixed tmp: on platforms where the flock silently degrades
+        # (see _acquire_flock) two processes snapshotting concurrently must
+        # not interleave writes into ONE tmp file and then promote a torn
+        # snapshot via os.replace (ADVICE r6; defense in depth — with a real
+        # flock the callers are already serialized)
+        tmp = self._manifest.with_suffix(f".tmp.{os.getpid()}")
         with open(tmp, "w", encoding="utf-8") as f:
             for v in sorted(state):
                 f.write(

@@ -708,7 +708,12 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = o.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     k = F.lit(_EQUIDEPTH_BUCKETS).cast("long")
     withn = ranked.crossJoin(F.broadcast(total))
-    q = F.floor(F.col("n_total") / k).cast("long")  # base bucket size
+    # base bucket size; guarded to >=1 — when n_total < k the raw floor is 0
+    # and the otherwise-branch would divide by zero (NULL buckets silently,
+    # a runtime error under ANSI mode). The guard is semantics-preserving:
+    # with n < k every row has i <= r*(q+1) = n_total, so the when-branch
+    # always fires and the otherwise value is never used (ADVICE r6).
+    q = F.greatest(F.floor(F.col("n_total") / k), F.lit(1)).cast("long")
     r = (F.col("n_total") % k).cast("long")  # first r buckets hold q+1 rows
     i = F.col("i")
     bucket = F.when(

@@ -62,9 +62,24 @@ def _with_prefix_offsets(local: DataFrame, per_part_col: Column) -> DataFrame:
 def _range_local(df: DataFrame, order_cols: list[Column]) -> DataFrame:
     """Range-shuffle by the total order and tag rows with their (range-ordered)
     physical partition id. spark_partition_id() is evaluated in the project
-    directly above the range exchange, before any later exchange."""
+    directly above the range exchange, before any later exchange.
+
+    The tagged relation is LAZILY local-checkpointed before being returned:
+    both downstream consumers (the per-partition counts and the join-back)
+    must observe ONE physical execution of the range exchange —
+    repartitionByRange samples boundaries per exchange execution and
+    spark_partition_id() is nondeterministic, so if the two subtrees were
+    ever planned as separate exchanges (spark.sql.exchange.reuse=false, or a
+    future plan divergence) the pid→offset map could silently mismatch rows
+    (ADVICE r6, medium). The checkpoint truncates lineage into a single
+    materialized RDD shared by both subtrees; eager=False keeps the whole
+    plan lazy until the caller's action, and a lost block FAILS the job
+    rather than recomputing with fresh (different) boundaries — fail-stop,
+    never silent corruption. Cost: one executor-local materialization of the
+    relation being ranked — the same spill the classic TeraSort-style
+    external rank pays."""
     parted = df.repartitionByRange(_num_parts(df), *order_cols)
-    return parted.withColumn(_PID, F.spark_partition_id())
+    return parted.withColumn(_PID, F.spark_partition_id()).localCheckpoint(eager=False)
 
 
 def global_row_number(

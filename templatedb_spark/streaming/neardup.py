@@ -37,13 +37,20 @@ The stream's distinct emitted pairs equal the batch spec's output exactly
 (asserted in tests/test_stateful_streaming.py) — the same pair found via
 several shared bands carries the same match count, so distinct() collapses it.
 
-Scale: per-band state is the bucket's resident signature list. In this exact
+Scale: per-band state is the bucket's resident signature list. In the exact
 twin mode it is unbounded by design (all-pairs within a bucket, matching the
-batch semantics); a production firehose caps it with a representative policy
-(keep the earliest/centroid doc per bucket — new docs then match against one
-representative, which is `semantic_dedup`'s election rule applied online).
-Watermark/timeout eviction bounds bucket lifetime the same way the other
-stateful twins bound per-user state.
+batch semantics). The PRODUCTION mode (`mode="representatives"`, r7 — the
+last documented unbounded-state caveat closed) caps every bucket at ONE
+resident: the first-arriving doc is elected the bucket's representative
+(`semantic_dedup`'s earliest-wins election applied online), later arrivals
+are scored against the representative only and never enter state — per-band
+state is one signature per DISTINCT bucket instead of one per doc, so k-copy
+dup groups cost 1 resident instead of k. `evict_horizon` additionally bounds
+bucket LIFETIME: doc_id is the stream's arrival order (the event-time
+proxy), and a representative not touched within the last `horizon` doc_ids
+is evicted — the watermark analog, after which the bucket re-elects. Both
+knobs are deterministic given an ordered stage, so the mode sits under the
+same DuckDB oracle discipline as the exact twin (streaming/gate.py).
 """
 
 from __future__ import annotations
@@ -59,6 +66,11 @@ from templatedb_spark.operators.dedup import _MINHASH_MATCH_MIN, _PERMS
 
 _OUTPUT_SCHEMA = "doc_a long, doc_b long, matches long"
 _STATE_SCHEMA = "mhs array<bigint>, doc_ids array<bigint>, sigs array<array<bigint>>"
+# representative mode: one resident per bucket + its last-touch doc_id clock
+_REPS_STATE_SCHEMA = (
+    "mhs array<bigint>, doc_ids array<bigint>, sigs array<array<bigint>>, "
+    "last_docs array<bigint>"
+)
 _STATE_SHARDS = 16  # state groups = 16 bands × this; see module docstring
 
 
@@ -174,18 +186,111 @@ def _band_group(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator:
     yield pd.DataFrame(out, columns=["doc_a", "doc_b", "matches"])
 
 
-def stream_neardup_pairs(docs_stream: DataFrame) -> DataFrame:
+def _band_group_reps(
+    key: tuple, pdfs: Iterator, state: GroupState, evict_horizon: int | None = None
+) -> Iterator:
+    """Representative-election twin of _band_group — the BOUNDED-STATE
+    production policy (module docstring). Per bucket (mh) the state holds
+    exactly ONE (doc_id, sig): the first arrival, `semantic_dedup`'s
+    earliest-wins election applied online. Later arrivals are scored against
+    the representative only (emit (rep, doc) on >= _MINHASH_MATCH_MIN) and
+    are NEVER appended — state grows with DISTINCT buckets, not docs, so a
+    k-copy dup group costs 1 resident instead of k and the all-pairs
+    quadratic inside a hot bucket is gone.
+
+    `evict_horizon` bounds bucket lifetime: doc_id is the staged stream's
+    arrival order (the event-time proxy); a representative last touched more
+    than `horizon` doc_ids before an arrival is stale — the arrival
+    re-elects itself instead of pairing (watermark semantics), and stale
+    entries are dropped from state after the batch. Deterministic for an
+    ordered stage, unlike wall-clock timeouts."""
+    import pandas as pd
+
+    if state.exists:
+        mhs, doc_ids, sigs, last_docs = state.get
+        reps: dict[int, list] = {
+            m: [d, list(s), lb]
+            for m, d, s, lb in zip(mhs, doc_ids, sigs, last_docs)
+        }
+    else:
+        reps = {}
+
+    arrivals: list[tuple[int, int, list[int]]] = []
+    for pdf in pdfs:
+        for m, doc, sig in zip(
+            pdf["mh"].tolist(), pdf["doc_id"].tolist(), pdf["sig"].tolist()
+        ):
+            arrivals.append((int(doc), int(m), [int(x) for x in sig]))
+    arrivals.sort()
+
+    out = []
+    clock = 0
+    for doc, m, sig in arrivals:
+        clock = max(clock, doc)
+        rep = reps.get(m)
+        if rep is not None and evict_horizon is not None and rep[2] < doc - evict_horizon:
+            rep = None  # stale representative: the bucket re-elects below
+        if rep is None:
+            reps[m] = [doc, sig, doc]
+            continue
+        rep_doc, rep_sig, _ = rep
+        if rep_doc != doc:
+            matches = sum(1 for x, y in zip(sig, rep_sig) if x == y)
+            if matches >= _MINHASH_MATCH_MIN:
+                a, b = sorted((rep_doc, doc))
+                out.append({"doc_a": a, "doc_b": b, "matches": matches})
+        rep[2] = doc  # the bucket was touched: refresh its eviction clock
+
+    if evict_horizon is not None:
+        reps = {m: r for m, r in reps.items() if r[2] >= clock - evict_horizon}
+
+    items = sorted(reps.items())
+    state.update(
+        (
+            [m for m, _ in items],
+            [r[0] for _, r in items],
+            [r[1] for _, r in items],
+            [r[2] for _, r in items],
+        )
+    )
+    yield pd.DataFrame(out, columns=["doc_a", "doc_b", "matches"])
+
+
+def stream_neardup_pairs(
+    docs_stream: DataFrame,
+    mode: str = "exact",
+    evict_horizon: int | None = None,
+) -> DataFrame:
     """Streaming near-dup candidate pairs (may repeat a pair across bands —
-    consumers distinct())."""
+    consumers distinct()).
+
+    mode="exact": batch-equivalent all-pairs within each band bucket
+    (unbounded per-bucket state — the audit twin of dedup_minhash_lsh).
+    mode="representatives": the bounded-state production policy — one
+    elected representative per bucket, optional `evict_horizon` lifetime
+    bound (see _band_group_reps)."""
+    if mode not in ("exact", "representatives"):
+        raise ValueError(f"unknown near-dup mode: {mode!r}")
+    if evict_horizon is not None and mode != "representatives":
+        raise ValueError("evict_horizon applies to mode='representatives' only")
     # repartition BEFORE the signature map: a micro-batch is one staged file
     # = ONE scan task, so without the shuffle the md5 work serializes on a
     # single core (measured: the dominant per-trigger cost)
     sigs = signature_projection(docs_stream.repartition("doc_id"))
     b = banded(sigs)
     shard = F.pmod(F.col("mh"), F.lit(_STATE_SHARDS)).alias("shard")
-    return b.select("band", shard, "mh", "doc_id", "sig").groupBy(
-        "band", "shard"
-    ).applyInPandasWithState(
+    grouped = b.select("band", shard, "mh", "doc_id", "sig").groupBy("band", "shard")
+    if mode == "representatives":
+        import functools
+
+        return grouped.applyInPandasWithState(
+            functools.partial(_band_group_reps, evict_horizon=evict_horizon),
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_REPS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    return grouped.applyInPandasWithState(
         _band_group,
         outputStructType=_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,

@@ -95,15 +95,15 @@ def all_specs() -> dict[str, QuerySpec]:
     # them (r5's changed set is fully present in CORRECTNESS_r05.json), the
     # subtraction is retired — keeping it would burn audit slots re-checking
     # rows the changing round already vouched for.
-    # Round-6 churn: plans rewritten onto the distributed two-pass exact rank
-    # (operators/ranks.py) — same oracles, same results, new execution shape;
-    # re-audit them at the front of the window (standing invariant, VERDICT r5 #8).
-    changed_r6 = {
+    # (r6's changed set is fully recorded in CORRECTNESS_r06.json — retired.)
+    # Round-7 churn: the three rank-based specs gained a localCheckpoint
+    # materialization barrier in operators/ranks.py (ADVICE r6 medium — same
+    # oracles, same results, new execution shape); re-audit them at the
+    # front of the window (standing invariant, VERDICT r5 #8).
+    changed_r7 = {
         "histogram_equidepth", "gini_revenue", "revenue_concentration",
-        "stream_cdc_kv_state",  # auto-compaction now fires inside the drain
-        "pyds_jsondir_roundtrip",  # protocol-equivalent smaller slice (%50)
     }
-    covered -= changed_r6
+    covered -= changed_r7
     # The round-2 verdict singled out eleven specs that no driver round has
     # ever audited ("close the CORRECTNESS union"); the driver caps how many
     # entries it records per round, so those eleven outrank every other

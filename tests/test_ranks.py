@@ -82,6 +82,49 @@ def test_tiny_relation_smaller_than_partition_count(spark):
     assert [i for _, i in got] == [1, 2, 3]
 
 
+def test_exact_with_exchange_reuse_disabled(spark):
+    """ADVICE r6 (medium): counts and join-back consume the pid-tagged
+    relation twice; without the localCheckpoint in _range_local, disabling
+    exchange reuse would execute the range exchange twice with independently
+    sampled boundaries — nondeterministic pids → corrupted ranks. The
+    checkpoint makes both subtrees read one materialized RDD, so exactness
+    must hold with reuse off."""
+    old = spark.conf.get("spark.sql.exchange.reuse", None)
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        df = _data(spark, n=503)
+        order = [F.col("v").asc(), F.col("k").asc()]
+        got = {
+            r.k: r.i for r in global_row_number(df, order).select("k", "i").collect()
+        }
+        want = {
+            r.k: r.i
+            for r in df.select(
+                "k", F.row_number().over(Window.orderBy(*order)).cast("long").alias("i")
+            ).collect()
+        }
+        assert got == want
+        cum = {
+            r.k: r.cum
+            for r in global_cumsum(df, order, F.col("amt"), cum_col="cum")
+            .select("k", "cum")
+            .collect()
+        }
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        want_cum = {
+            r.k: r.cum
+            for r in df.select("k", F.sum("amt").over(w).alias("cum")).collect()
+        }
+        assert cum == want_cum
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.exchange.reuse")
+        else:
+            spark.conf.set("spark.sql.exchange.reuse", old)
+
+
 def test_plan_has_no_unpartitioned_window(spark):
     df = _data(spark, n=100)
     ranked = global_row_number(df, [F.col("v").asc(), F.col("k").asc()])

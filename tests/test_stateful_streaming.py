@@ -215,6 +215,167 @@ def test_stream_attribution_matches_batch(spark, tmp_path):
     assert len({t for (_, _, t, _) in want_set}) > 1  # multiple touch classes
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for function-level state assertions."""
+
+    def __init__(self):
+        self._value = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+
+def _rep_batch(rows, state, horizon=None):
+    """Drive _band_group_reps once with [(doc_id, mh, sig), ...] rows."""
+    import pandas as pd
+
+    from templatedb_spark.streaming.neardup import _band_group_reps
+
+    pdf = pd.DataFrame(
+        {
+            "mh": [m for _, m, _ in rows],
+            "doc_id": [d for d, _, _ in rows],
+            "sig": [s for _, _, s in rows],
+        }
+    )
+    out = list(_band_group_reps((0, 0), iter([pdf]), state, evict_horizon=horizon))
+    return [
+        (int(r.doc_a), int(r.doc_b), int(r.matches)) for r in out[0].itertuples()
+    ]
+
+
+def test_neardup_reps_state_is_bounded_per_bucket(spark):
+    """The r6 verdict's one remaining 100-TB asterisk: exact-twin state grows
+    one resident per DOC per bucket. The representative mode must hold it at
+    one resident per DISTINCT bucket no matter how many docs collide — a
+    k-copy dup group costs 1, not k."""
+    from templatedb_spark.streaming.neardup import _band_group
+
+    sig_a = [7] * 16  # all docs share bucket mh=7 and are exact sig twins
+    k = 50
+    rows = [(d, 7, sig_a) for d in range(1, k + 1)]
+
+    exact_state = _FakeState()
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"mh": [m for _, m, _ in rows], "doc_id": [d for d, _, _ in rows],
+         "sig": [s for _, _, s in rows]}
+    )
+    list(_band_group((0, 0), iter([pdf]), exact_state))
+    mhs_exact = exact_state.get[0]
+    assert len(mhs_exact) == k  # exact twin: state grows with docs (by design)
+
+    rep_state = _FakeState()
+    pairs = _rep_batch(rows, rep_state)
+    mhs, doc_ids, sigs, last_docs = rep_state.get
+    assert len(mhs) == 1 and doc_ids == [1]  # ONE resident: the elected rep
+    # every later doc paired against the representative, never each other
+    assert pairs == [(1, d, 16) for d in range(2, k + 1)]
+
+    # a second batch keeps the bound: state still one resident per bucket
+    pairs2 = _rep_batch([(d, 7, sig_a) for d in range(100, 110)], rep_state)
+    mhs, doc_ids, _, _ = rep_state.get
+    assert len(mhs) == 1 and doc_ids == [1]
+    assert pairs2 == [(1, d, 16) for d in range(100, 110)]
+
+
+def test_neardup_reps_eviction_horizon(spark):
+    """evict_horizon bounds bucket LIFETIME: a representative untouched for
+    more than `horizon` doc_ids of stream progress is stale — the next
+    arrival re-elects instead of pairing, and stale entries leave state."""
+    sig = [3] * 16
+    state = _FakeState()
+    # docs 1, 2 are close; doc 1000 is past the horizon of the rep's last touch
+    pairs = _rep_batch([(1, 3, sig), (2, 3, sig), (1000, 3, sig)], state, horizon=100)
+    assert pairs == [(1, 2, 16)]  # (1, 1000) suppressed: rep was stale
+    mhs, doc_ids, _, last_docs = state.get
+    assert doc_ids == [1000] and last_docs == [1000]  # re-elected, old rep gone
+
+    # cross-batch: an idle bucket is dropped once the clock passes it
+    state2 = _FakeState()
+    _rep_batch([(1, 3, sig)], state2, horizon=100)
+    _rep_batch([(500, 9, [9] * 16)], state2, horizon=100)  # other bucket only
+    mhs, doc_ids, _, _ = state2.get
+    assert 3 not in mhs and doc_ids == [500]  # bucket 3's rep evicted
+
+    # activity refreshes the clock: a touched bucket survives the same span
+    state3 = _FakeState()
+    _rep_batch([(1, 3, sig)], state3, horizon=100)
+    _rep_batch([(90, 3, sig)], state3, horizon=100)
+    got = _rep_batch([(170, 3, sig)], state3, horizon=100)
+    assert got == [(1, 170, 16)]  # rep 1 still live: touched at 90, 170-90 < 100
+
+
+def test_stream_neardup_reps_matches_batch_election(spark, tmp_path):
+    """End-to-end representative mode over a 2-file stage == the batch
+    earliest-wins election computed from the batch signatures: per (band,
+    mh) bucket rep = min doc_id, pairs = (rep, member) with >= 8 matching
+    positions, distinct."""
+    from templatedb_spark.operators.dedup import (
+        _MINHASH_K,
+        _MINHASH_MATCH_MIN,
+        minhash_signatures_wide,
+    )
+    from templatedb_spark.streaming.events import run_available_now
+    from templatedb_spark.streaming.neardup import (
+        read_documents_stream,
+        stream_neardup_pairs,
+    )
+    from templatedb_spark.suite import table
+
+    stage = tmp_path / "docs_in"
+    stage.mkdir()
+    docs = table(spark, SF_SMALL, "documents")
+    import glob
+
+    # doc_id-ordered halves (election determinism needs the ordered stage)
+    mid = docs.selectExpr("percentile_approx(doc_id, 0.5)").first()[0]
+    for i, pred in enumerate([f"doc_id <= {mid}", f"doc_id > {mid}"]):
+        tmp = tmp_path / f"w{i}"
+        docs.filter(pred).orderBy("doc_id").coalesce(1).write.parquet(str(tmp))
+        src = glob.glob(str(tmp / "part-*.parquet"))[0]
+        shutil.copy(src, stage / f"chunk-{i}.parquet")
+        shutil.rmtree(tmp)
+
+    got_rows = run_available_now(
+        stream_neardup_pairs(
+            read_documents_stream(spark, str(stage)), mode="representatives"
+        ),
+        "t_stream_neardup_reps",
+        output_mode="append",
+    )
+    got = {(r.doc_a, r.doc_b, r.matches) for r in got_rows}
+
+    sigs = {
+        r["doc_id"]: [r[f"mh_{i}"] for i in range(_MINHASH_K)]
+        for r in minhash_signatures_wide(spark, SF_SMALL).collect()
+    }
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d, sig in sigs.items():
+        for i, mh in enumerate(sig):
+            buckets.setdefault((i, mh), []).append(d)
+    want = set()
+    for members in buckets.values():
+        rep = min(members)
+        for d in members:
+            if d == rep:
+                continue
+            matches = sum(1 for x, y in zip(sigs[rep], sigs[d]) if x == y)
+            if matches >= _MINHASH_MATCH_MIN:
+                want.add((rep, d, matches))
+    assert got == want
+    assert len(got) > 0
+
+
 def test_streaming_signature_parity_with_batch_sql(spark):
     """The streaming near-dup signature is computed in PYTHON (hashlib md5 +
     numpy affine mins, neardup.signature_projection) while the batch path
