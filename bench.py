@@ -107,6 +107,7 @@ def main() -> None:
     critical = [
         "stream_sessionize_closed",  # 3 stateful streaming triggers: longest chain
         "stream_neardup_pairs",  # 2-trigger stateful minhash chain (r6)
+        "stream_neardup_reps",  # bounded-state rep-election chain (r7)
         "stream_interval_join_clicks",  # 2-trigger stream-stream join chain
         "stream_cdc_kv_state",  # 3 sequential streaming triggers
         "ann_lsh_banded_topk",
@@ -147,7 +148,7 @@ def main() -> None:
         for n in (set(critical) | heavy_names)
     }
     for i, n in enumerate(streaming):
-        pool_of[n] = f"stream{i % 4}"
+        pool_of[n] = f"stream{i % 5}"
 
     errs: dict[str, str] = {}
     retried: list[str] = []
@@ -183,30 +184,65 @@ def main() -> None:
             print(f"BENCH ERROR {name}: {msg}", file=sys.stderr)
             times[name] = -1.0
 
-    cpu0 = _cpu_counters()
-    suite_t0 = time.time()
-    if mode == "seq":
-        for item in items:
+    # Steal budget (r7, VERDICT r6 #3): host steal has swung the artifact's
+    # absolute numbers 2-4x across rounds (BASELINE.md's 13.9-21.7 s spread;
+    # BENCH_r06's 5-12% window inflated both engines). Each timed phase now
+    # records its own /proc/stat steal%, and a phase dirtier than the budget
+    # is re-run (warm — the rerun measures the same work) up to
+    # SPARK_GRAFT_STEAL_RETRIES times; every attempt is stamped into
+    # `phases` and the artifact carries a `clean` verdict the judge can
+    # trust without hunting for adjacent clean-pair files.
+    steal_budget = float(os.environ.get("SPARK_GRAFT_STEAL_BUDGET", "3.0"))
+    steal_retries = int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "2"))
+    phases: list[dict] = []
+
+    def run_suite_once() -> tuple[float, float | None]:
+        times.clear()
+        errs.clear()
+        retried.clear()
+        cpu0 = _cpu_counters()
+        suite_t0 = time.time()
+        if mode == "seq":
+            for item in items:
+                run_one(item)
+        else:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(run_one, items))
+        # Failures under concurrency were historically contention-induced (a
+        # 1g default JVM heap OOMing — fixed in session.py) and silently
+        # shrank the suite. Any query that failed in the pool gets ONE serial
+        # retry after the pool drains; its retry wall time joins the makespan
+        # (the work is real).
+        failed = [it for it in items if times.get(it[0], -1.0) < 0]
+        for item in failed:
+            retried.append(item[0])
             run_one(item)
-    else:
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            list(pool.map(run_one, items))
-    # Failures under concurrency were historically contention-induced (a 1g
-    # default JVM heap OOMing — fixed in session.py) and silently shrank the
-    # suite. Any query that failed in the pool gets ONE serial retry after the
-    # pool drains; its retry wall time joins the makespan (the work is real).
-    failed = [it for it in items if times.get(it[0], -1.0) < 0]
-    for item in failed:
-        retried.append(item[0])
-        run_one(item)
-    if mode == "seq":
-        total = round(sum(t for t in times.values() if t >= 0), 3)
-    else:
-        total = round(time.time() - suite_t0, 3)
-    cpu1 = _cpu_counters()
-    steal_pct = None
-    if cpu0 and cpu1 and cpu1[1] > cpu0[1]:
-        steal_pct = round(100.0 * (cpu1[0] - cpu0[0]) / (cpu1[1] - cpu0[1]), 2)
+        if mode == "seq":
+            t = round(sum(v for v in times.values() if v >= 0), 3)
+        else:
+            t = round(time.time() - suite_t0, 3)
+        cpu1 = _cpu_counters()
+        st = None
+        if cpu0 and cpu1 and cpu1[1] > cpu0[1]:
+            st = round(100.0 * (cpu1[0] - cpu0[0]) / (cpu1[1] - cpu0[1]), 2)
+        return t, st
+
+    total, steal_pct = run_suite_once()
+    phases.append(
+        {"phase": "spark_suite", "attempt": 1, "total_sec": total, "steal_pct": steal_pct}
+    )
+    for attempt in range(2, steal_retries + 2):
+        if steal_pct is None or steal_pct <= steal_budget:
+            break
+        print(
+            f"STEAL BUDGET: spark_suite attempt {attempt - 1} saw "
+            f"{steal_pct}% > {steal_budget}% — re-running phase",
+            file=sys.stderr,
+        )
+        total, steal_pct = run_suite_once()
+        phases.append(
+            {"phase": "spark_suite", "attempt": attempt, "total_sec": total, "steal_pct": steal_pct}
+        )
 
     # Solo-warm audit: rerun one-at-a-time in the same warm session, OUTSIDE
     # the timed makespan. Contended time − solo-warm time separates scheduler
@@ -284,26 +320,45 @@ def main() -> None:
         import subprocess
 
         try:
-            cpu0d = _cpu_counters()
-            proc = subprocess.run(
-                [
-                    sys.executable,
-                    str(Path(__file__).resolve().parent / "tools" / "bench_baseline.py"),
-                    sf_dir,
-                    "--concurrent",
-                    str(workers),
-                ],
-                capture_output=True,
-                text=True,
-                # bounded so a hung baseline can never stall the bench run:
-                # the concurrent DuckDB suite takes 20-70 s at sf0.1
-                timeout=300,
-            )
-            cpu1d = _cpu_counters()
-            duck = json.loads(proc.stdout.strip().splitlines()[-1])
-            if cpu0d and cpu1d and cpu1d[1] > cpu0d[1]:
-                duck["steal_pct"] = round(
-                    100.0 * (cpu1d[0] - cpu0d[0]) / (cpu1d[1] - cpu0d[1]), 2
+            # same steal budget + rerun discipline as the spark_suite phase
+            duck = None
+            for attempt in range(1, steal_retries + 2):
+                cpu0d = _cpu_counters()
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        str(Path(__file__).resolve().parent / "tools" / "bench_baseline.py"),
+                        sf_dir,
+                        "--concurrent",
+                        str(workers),
+                    ],
+                    capture_output=True,
+                    text=True,
+                    # bounded so a hung baseline can never stall the bench run:
+                    # the concurrent DuckDB suite takes 20-70 s at sf0.1
+                    timeout=300,
+                )
+                cpu1d = _cpu_counters()
+                duck = json.loads(proc.stdout.strip().splitlines()[-1])
+                if cpu0d and cpu1d and cpu1d[1] > cpu0d[1]:
+                    duck["steal_pct"] = round(
+                        100.0 * (cpu1d[0] - cpu0d[0]) / (cpu1d[1] - cpu0d[1]), 2
+                    )
+                phases.append(
+                    {
+                        "phase": "duckdb_baseline",
+                        "attempt": attempt,
+                        "total_sec": duck.get("total_sec"),
+                        "steal_pct": duck.get("steal_pct"),
+                    }
+                )
+                dsteal = duck.get("steal_pct")
+                if dsteal is None or dsteal <= steal_budget:
+                    break
+                print(
+                    f"STEAL BUDGET: duckdb_baseline attempt {attempt} saw "
+                    f"{dsteal}% > {steal_budget}% — re-running phase",
+                    file=sys.stderr,
                 )
             (out_dir / "duckdb_conc_latest.json").write_text(
                 json.dumps(duck, indent=2) + "\n"
@@ -313,6 +368,17 @@ def main() -> None:
         except Exception as e:
             print(f"BASELINE RUN FAILED: {e}", file=sys.stderr)
             result["duckdb_conc_total"] = None
+    # final verdict over every timed phase's LAST attempt (phase reruns keep
+    # earlier attempts in the list as evidence)
+    last: dict[str, dict] = {}
+    for p in phases:
+        last[p["phase"]] = p
+    result["steal_budget_pct"] = steal_budget
+    result["clean"] = all(
+        p["steal_pct"] is not None and p["steal_pct"] <= steal_budget
+        for p in last.values()
+    )
+    result["phases"] = phases
     (out_dir / "latest.json").write_text(json.dumps(result, indent=2) + "\n")
     sys.stderr.flush()
     # The driver stores only a bounded (~2000-char) tail of stdout and parses
@@ -324,7 +390,9 @@ def main() -> None:
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1750:
         compact = {
-            k: v for k, v in result.items() if k not in ("queries", "err", "solo_warm")
+            k: v
+            for k, v in result.items()
+            if k not in ("queries", "err", "solo_warm", "phases")
         }
         # failed/retried are unbounded in a mass-failure run (a dead gateway
         # fails all 116 queries → >5 KB of names); the compact line keeps

@@ -110,12 +110,21 @@ class KVTable:
         self._write_lock = threading.RLock()  # see _locked
         self._flock_depth = 0
         self._flock_fd: int | None = None
+        self._lease_held = False  # O_EXCL lease fallback, see _acquire_flock
         os.makedirs(path, exist_ok=True)
 
     def _acquire_flock(self) -> None:
         """Blocking exclusive flock on <table>/.lock (cross-handle writer
-        mutex, see _locked). Platforms/filesystems without flock degrade to
-        handle-level locking only — best-effort, like the pre-r6 contract."""
+        mutex, see _locked). On filesystems where flock is unavailable or a
+        no-op between nodes (classic NFSv3 without lockd; some FUSE/object
+        mounts — the semantics gap noted in r6) the fallback is an O_EXCL
+        LEASE file: creation is atomic even on NFS, so at most one writer
+        holds it; a crashed holder's lease is taken over after _LEASE_TTL
+        via an atomic rename (exactly one contender wins the rename, the
+        rest re-poll). The lease is best-effort relative to flock — a
+        takeover during a >TTL-long GC pause could admit a second writer —
+        which is why TTL is generous and real multi-NODE deployments should
+        front writes with a catalog/transaction service (documented scope)."""
         try:
             import fcntl
 
@@ -123,10 +132,50 @@ class KVTable:
                 os.path.join(self.path, ".lock"), os.O_CREAT | os.O_RDWR, 0o644
             )
             fcntl.flock(self._flock_fd, fcntl.LOCK_EX)
+            return
         except (ImportError, OSError):
             if self._flock_fd is not None:
                 os.close(self._flock_fd)
             self._flock_fd = None
+        self._acquire_lease()
+
+    _LEASE_TTL = 60.0  # seconds before a holderless lease may be taken over
+    _LEASE_POLL = 0.05
+
+    def _acquire_lease(self) -> None:
+        import time
+
+        lease = os.path.join(self.path, ".lease")
+        while True:
+            try:
+                fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+                try:
+                    os.write(fd, f"{os.getpid()} {time.time()}\n".encode("ascii"))
+                finally:
+                    os.close(fd)
+                self._lease_held = True
+                return
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(lease).st_mtime
+                except OSError:
+                    continue  # raced with a release: retry immediately
+                if age > self._LEASE_TTL:
+                    # stale lease (crashed holder): atomic-rename takeover so
+                    # exactly one contender clears it
+                    stale = f"{lease}.stale.{os.getpid()}"
+                    try:
+                        os.replace(lease, stale)
+                        os.unlink(stale)
+                    except OSError:
+                        pass  # another contender won the rename
+                    continue
+                time.sleep(self._LEASE_POLL)
+            except OSError:
+                # lease dir unusable (read-only fs?): degrade to handle-level
+                # locking only — the pre-r6 contract
+                self._lease_held = False
+                return
 
     def _release_flock(self) -> None:
         if self._flock_fd is not None:
@@ -138,6 +187,12 @@ class KVTable:
                 pass
             os.close(self._flock_fd)
             self._flock_fd = None
+        elif getattr(self, "_lease_held", False):
+            try:
+                os.unlink(os.path.join(self.path, ".lease"))
+            except OSError:
+                pass
+            self._lease_held = False
 
     def _maybe_auto_compact(self) -> None:
         """Threshold trigger (see __init__): called at the tail of every
@@ -542,6 +597,105 @@ class KVTable:
                 shutil.rmtree(f"{self.path}/version={old}", ignore_errors=True)
         return v
 
+    @_locked
+    def compact_range(self, start: str | None = None, end: str | None = None) -> int:
+        """Keyed-subrange compaction — parity with the reference's
+        compact_range(start, end) (db_impl/template_impl.rs:180-194), which
+        compacts only the SSTables overlapping a key range. Here: history
+        for keys in [start, end) collapses into ONE merged base (tombstones
+        elided — safe, because every in-range row is also dropped from the
+        rewritten history, so no older put can resurrect), while
+        out-of-range keys keep their full delta history and its relative
+        shadowing order, rewritten under fresh ascending version numbers.
+        With both bounds None this degenerates to compact().
+
+        Layout note: our buckets are HASH buckets (point-read pruning), so a
+        key range maps to every bucket and the rewrite touches all history
+        files once — the reference's ordered SSTables let it skip
+        non-overlapping files instead. The ordered-layout twin at cluster
+        scale is the Z-order/range-partitioned tier in operators/scale.py;
+        this API keeps the semantic contract. Like compact(), the operation
+        invalidates as_of reads of pre-compaction versions; the manifest
+        snapshot is published via atomic rename BEFORE old dirs are removed
+        (crash mid-cleanup leaves only invisible orphans)."""
+        import shutil
+
+        old_versions = self._versions()
+        if not old_versions:
+            return -1
+        if start is None and end is None:
+            return self.compact()
+
+        def in_range(col: Column) -> Column:
+            cond = F.lit(True)
+            if start is not None:
+                cond = cond & (col >= start)
+            if end is not None:
+                cond = cond & (col < end)
+            return cond
+
+        state: dict[int, list[int]] = {}
+
+        def write_version(df: DataFrame, v: int) -> list[int]:
+            self._clear_orphan(v)
+            df.repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
+                "errorifexists"
+            ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
+            root = Path(f"{self.path}/version={v}")
+            return sorted(
+                int(b.name.split("=")[1]) for b in root.glob("bucket=*") if b.is_dir()
+            )
+
+        # merged in-range base (new lowest version — disjoint keys from the
+        # rewritten history, so relative position is irrelevant)
+        v = self.latest_version() + 1
+        base = (
+            self.snapshot()
+            .filter(in_range(F.col("key")))
+            .select(
+                "key",
+                "value",
+                F.lit("put").alias("op"),
+                F.lit(v).cast("long").alias("version"),
+            )
+            .withColumn("bucket", _bucket_col())
+        )
+        buckets = write_version(base, v)
+        if buckets:
+            state[v] = buckets
+        else:  # no live in-range keys: drop the empty dir, keep numbering dense
+            shutil.rmtree(f"{self.path}/version={v}", ignore_errors=True)
+        nxt = v + 1
+        # out-of-range history: one rewritten version per old version, in the
+        # original ascending order (shadowing among surviving keys preserved)
+        for o in old_versions:
+            rows = self._read_deltas(
+                [f"{self.path}/version={o}/bucket={b}" for b in self._load_manifest().get(o, [])]
+            )
+            if rows is None:
+                continue
+            kept = (
+                rows.filter(~in_range(F.col("key")))
+                .select(
+                    "key",
+                    "value",
+                    "op",
+                    F.lit(nxt).cast("long").alias("version"),
+                )
+                .withColumn("bucket", _bucket_col())
+            )
+            kb = write_version(kept, nxt)
+            if kb:
+                state[nxt] = kb
+                nxt += 1
+            else:
+                shutil.rmtree(f"{self.path}/version={nxt}", ignore_errors=True)
+        self._write_manifest_snapshot(state)
+        for o in old_versions:
+            if o not in state:
+                shutil.rmtree(f"{self.path}/version={o}", ignore_errors=True)
+        return v
+
 
 class MergeKVTable(KVTable):
     """Copy-on-write twin of KVTable behind the same API: every write batch
@@ -645,6 +799,12 @@ class MergeKVTable(KVTable):
             return None
         df = self._read_deltas([f"{self.path}/version={v}/bucket={b}"])
         return df.filter(F.col("key") == key).select("key", "value")
+
+    def compact_range(self, start: str | None = None, end: str | None = None) -> int:
+        """Every version is already a COMPLETE merged state (merge-on-write),
+        so a subrange has no narrower history to collapse — range compaction
+        degenerates to dropping whole-state history, i.e. compact()."""
+        return self.compact()
 
     @_locked
     def compact(self) -> int:

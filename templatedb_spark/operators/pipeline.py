@@ -648,36 +648,46 @@ def funnel_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
-_FUNNEL_EDGES_SQL_KEEP = r"""
-fpg AS (
+_FUNNEL_SQL_PREFIX = r"""
+fpr AS MATERIALIZED (
   SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
   FROM documents
 ),
-keepg AS (
-  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id FROM fpg
+keepg AS MATERIALIZED (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id FROM fpr
 ),
-spairs AS (
-  SELECT DISTINCT LEAST(ka.keep_id, kb.keep_id) AS doc_a,
-                  GREATEST(ka.keep_id, kb.keep_id) AS doc_b
-  FROM pairs p
-  JOIN keepg ka ON p.doc_a = ka.doc_id
-  JOIN keepg kb ON p.doc_b = kb.doc_id
-  WHERE ka.keep_id <> kb.keep_id
-),
-stars AS (SELECT keep_id AS doc_a, doc_id AS doc_b FROM keepg WHERE doc_id <> keep_id),
-und AS (SELECT doc_a, doc_b FROM spairs UNION SELECT doc_a, doc_b FROM stars),
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM und UNION SELECT doc_b, doc_a FROM und)
-"""
+sdocs AS MATERIALIZED (
+  SELECT d.* FROM documents d JOIN keepg k ON d.doc_id = k.doc_id
+  WHERE k.doc_id = k.keep_id
+)"""
+
+
+def _survivor_pairs_ctes() -> str:
+    """Funnel entry in SQL: exact-fingerprint groups collapse to their
+    min-doc_id survivor BEFORE the minhash chain runs, so the quadratic
+    cand/est stages only ever see survivors — the same funnel the Spark
+    side executes (r7, VERDICT r6 #2: the previous oracles materialized the
+    RAW pair graph, whose C(k,2) exact-copy candidate mass spilled >40 GB
+    of DuckDB temp at generated sf1; survivor restriction removes the
+    group structure on the oracle side too). Equality with raw-pairs-then-
+    map: fingerprint-equal docs have identical token streams (the
+    fingerprint normalization — lower + whitespace collapse — is strictly
+    coarser than the [a-z0-9]+ tokenizer), hence identical signatures, so
+    every raw pair maps to a survivor pair with the SAME match count and
+    vice versa (see funnel_pair_graph)."""
+    from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
+
+    ctes = _MINHASH_CTES.replace("FROM documents", "FROM sdocs")
+    return f"{_FUNNEL_SQL_PREFIX},\n{ctes},\nspairs AS MATERIALIZED ({_MINHASH_SELECT})"
 
 
 def _funnel_edges_ctes() -> str:
-    """SQL twin of funnel_pair_graph: raw pairs mapped through keep_id +
-    star edges (DuckDB can afford the quadratic raw-pair route at oracle
-    scale; equality with the Spark survivor-restricted banding follows from
-    fingerprint-equal ⇒ signature-equal, see funnel_pair_graph)."""
-    from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
-
-    return f"{_MINHASH_CTES},\npairs AS MATERIALIZED ({_MINHASH_SELECT}),{_FUNNEL_EDGES_SQL_KEEP}"
+    """SQL twin of funnel_pair_graph: survivor-restricted LSH pairs + star
+    edges keep_id—copy, symmetrized."""
+    return f"""{_survivor_pairs_ctes()},
+stars AS (SELECT keep_id AS doc_a, doc_id AS doc_b FROM keepg WHERE doc_id <> keep_id),
+und AS (SELECT doc_a, doc_b FROM spairs UNION SELECT doc_a, doc_b FROM stars),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM und UNION SELECT doc_b, doc_a FROM und)"""
 
 
 _LABELS_MEMO: dict[tuple[str, str], DataFrame] = {}
@@ -757,14 +767,13 @@ def dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The recursive closure runs over the FUNNEL edges (r7): components over the
+# funnel graph are provably identical to the raw pair graph's (see
+# funnel_pair_graph's equivalence argument), and the funnel form is the one
+# DuckDB can evaluate at generated sf1 without materializing the quadratic
+# raw candidate mass.
 _CLUSTERS_ORACLE = """
-WITH RECURSIVE {ctes},
-pairs AS ({select}),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
+WITH RECURSIVE {funnel},
 reach(doc_id, label) AS (
   SELECT src, src FROM edges
   UNION
@@ -778,19 +787,11 @@ FROM labeled GROUP BY cluster_id
 
 
 def _clusters_oracle() -> str:
-    from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
-
-    return _CLUSTERS_ORACLE.format(ctes=_MINHASH_CTES, select=_MINHASH_SELECT)
+    return _CLUSTERS_ORACLE.format(funnel=_funnel_edges_ctes())
 
 
 _KEEP_ORACLE = """
-WITH RECURSIVE {ctes},
-pairs AS ({select}),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
+WITH RECURSIVE {funnel},
 reach(doc_id, label) AS (
   SELECT src, src FROM edges
   UNION
@@ -804,9 +805,7 @@ FROM documents d LEFT JOIN labeled l USING (doc_id)
 
 
 def _keep_oracle() -> str:
-    from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
-
-    return _KEEP_ORACLE.format(ctes=_MINHASH_CTES, select=_MINHASH_SELECT)
+    return _KEEP_ORACLE.format(funnel=_funnel_edges_ctes())
 
 
 # ---------------------------------------------------------------------------
@@ -1394,33 +1393,23 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cascade_oracle() -> str:
-    from templatedb_spark.operators.dedup import _MINHASH_CTES, _MINHASH_SELECT
-
+    # survivor-restricted pairs computed DIRECTLY (r7): banding and
+    # verification are pairwise, so restricting the band join's input to
+    # survivors equals filtering the raw pair set to survivor endpoints —
+    # without ever materializing the quadratic raw candidate mass (the
+    # >40 GB DuckDB spill at generated sf1, VERDICT r6 #2)
     return f"""
-WITH {_MINHASH_CTES},
-pairs AS MATERIALIZED ({_MINHASH_SELECT}),
-fp AS (
-  SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
-  FROM documents
-),
-ex AS (
-  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id FROM fp
-),
-surv AS (SELECT doc_id FROM ex WHERE doc_id = keep_id),
+WITH {_survivor_pairs_ctes()},
 near AS (
-  SELECT p.doc_b AS n_id, MIN(p.doc_a) AS n_partner
-  FROM pairs p
-  WHERE p.doc_a IN (SELECT doc_id FROM surv)
-    AND p.doc_b IN (SELECT doc_id FROM surv)
-  GROUP BY 1
+  SELECT doc_b AS n_id, MIN(doc_a) AS n_partner FROM spairs GROUP BY 1
 )
-SELECT e.doc_id,
-       CASE WHEN e.doc_id <> e.keep_id THEN 'exact'
+SELECT k.doc_id,
+       CASE WHEN k.doc_id <> k.keep_id THEN 'exact'
             WHEN n.n_id IS NOT NULL THEN 'near'
             ELSE 'keep' END AS stage,
-       CASE WHEN e.doc_id <> e.keep_id THEN e.keep_id
+       CASE WHEN k.doc_id <> k.keep_id THEN k.keep_id
             ELSE n.n_partner END::BIGINT AS partner
-FROM ex e LEFT JOIN near n ON n.n_id = e.doc_id
+FROM keepg k LEFT JOIN near n ON n.n_id = k.doc_id
 """
 
 for spec in [

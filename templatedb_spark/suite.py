@@ -96,12 +96,17 @@ def all_specs() -> dict[str, QuerySpec]:
     # subtraction is retired — keeping it would burn audit slots re-checking
     # rows the changing round already vouched for.
     # (r6's changed set is fully recorded in CORRECTNESS_r06.json — retired.)
-    # Round-7 churn: the three rank-based specs gained a localCheckpoint
-    # materialization barrier in operators/ranks.py (ADVICE r6 medium — same
-    # oracles, same results, new execution shape); re-audit them at the
-    # front of the window (standing invariant, VERDICT r5 #8).
+    # Round-7 churn (standing invariant, VERDICT r5 #8):
+    # - the three rank-based specs gained a localCheckpoint materialization
+    #   barrier in operators/ranks.py (ADVICE r6 medium — same oracles, same
+    #   results, new execution shape);
+    # - the six graph/funnel specs' ORACLES were rewritten funnel-style
+    #   (survivor-restricted minhash in SQL, VERDICT r6 #2) so DuckDB can
+    #   verify them at generated sf1 — same results, new oracle text.
     changed_r7 = {
         "histogram_equidepth", "gini_revenue", "revenue_concentration",
+        "dedup_dup_clusters", "dedup_keep_policy", "dedup_cascade",
+        "graph_pagerank", "graph_triangles", "graph_bfs_hops",
     }
     covered -= changed_r7
     # The round-2 verdict singled out eleven specs that no driver round has

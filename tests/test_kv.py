@@ -465,3 +465,154 @@ print("SUBPROC DONE")
             assert kv.get(f"sub{i}") == f"s{i}"
         versions = list(kv._load_manifest())
         assert len(versions) == len(set(versions)) == 10
+
+
+# ---------------------------------------------------------------------------
+# compact_range(start, end) — keyed-subrange compaction parity (reference
+# db_impl/template_impl.rs:180-194), round 7. In-range history collapses to
+# one base; out-of-range keys keep their delta history (and its shadowing
+# order). MergeKVTable's versions are already whole merged states, so its
+# compact_range degenerates to compact() — both backends must preserve state.
+# ---------------------------------------------------------------------------
+def test_compact_range_preserves_state(kv):
+    kv.write_batch(puts={"a": "1", "b": "1", "m": "1", "z": "1"})
+    kv.write_batch(puts={"b": "2"}, deletes=["m"])
+    kv.write_batch(puts={"c": "3", "z": "9"})
+    v = kv.compact_range("a", "n")  # [a, n): a, b, c, m
+    assert v >= 0
+    assert kv.get("a") == "1"
+    assert kv.get("b") == "2"
+    assert kv.get("c") == "3"
+    assert kv.get("m") is None  # tombstone elided, not resurrected
+    assert kv.get("z") == "9"  # out-of-range untouched
+    assert [r.key for r in kv.scan().collect()] == ["a", "b", "c", "z"]
+
+
+def test_compact_range_collapses_only_in_range_history(spark):
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d)
+        for i in range(4):
+            kv.write_batch(puts={"in1": f"i{i}", "out1": f"o{i}"})
+        n_before = len(kv._versions())
+        assert n_before == 4
+        kv.compact_range("in", "io")  # only in1 is in range
+        # out-of-range history survives version-per-version (rewritten under
+        # fresh numbers); in-range history is one merged base
+        versions = kv._load_manifest()
+        assert len(versions) == 5  # 1 base + 4 rewritten history versions
+        assert kv.get("in1") == "i3"
+        assert kv.get("out1") == "o3"
+        # the in-range key now resolves from exactly one version: deleting
+        # every history version that still holds out1 must not affect in1
+        import shutil as _sh
+
+        base_v = min(versions)
+        for v in versions:
+            if v != base_v:
+                _sh.rmtree(f"{d}/version={v}", ignore_errors=True)
+        from templatedb_spark.kv import bucket_of
+
+        assert (
+            kv._delta_paths(bucket=bucket_of("in1"))[0].startswith(f"{d}/version={base_v}")
+        )
+
+
+def test_compact_range_open_bounds(spark):
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d)
+        kv.write_batch(puts={"a": "1", "k": "2", "z": "3"})
+        kv.write_batch(puts={"k": "2b"})
+        kv.compact_range(start="k")  # [k, +inf)
+        assert kv.get("a") == "1" and kv.get("k") == "2b" and kv.get("z") == "3"
+        kv.compact_range(end="b")  # (-inf, b)
+        assert kv.get("a") == "1" and kv.get("k") == "2b" and kv.get("z") == "3"
+        # no bounds at all == compact(): history fully collapses
+        kv.compact_range()
+        assert len(kv._versions()) == 1
+        assert [r.key for r in kv.scan().collect()] == ["a", "k", "z"]
+
+
+def test_compact_range_empty_in_range_set(kv):
+    kv.write_batch(puts={"x": "1"})
+    kv.delete("x")
+    v = kv.compact_range("a", "zz")
+    assert v >= -1
+    assert kv.get("x") is None
+    assert kv.scan().count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Lease-file fallback (round 7): when flock is unavailable (NFS-style
+# filesystems), the writer mutex degrades to an O_EXCL lease with TTL
+# takeover instead of degrading to nothing.
+# ---------------------------------------------------------------------------
+def _break_flock(monkeypatch):
+    import fcntl
+
+    def boom(*a, **k):
+        raise OSError("flock unsupported on this filesystem")
+
+    monkeypatch.setattr(fcntl, "flock", boom)
+
+
+def test_lease_fallback_acquire_release(spark, monkeypatch):
+    import os
+
+    _break_flock(monkeypatch)
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d)
+        kv.put("a", "1")  # mutator path: lease taken and released around it
+        assert not os.path.exists(os.path.join(d, ".lease"))
+        assert kv.get("a") == "1"
+        # the lease is held for the duration of the outermost mutator
+        kv._acquire_flock()
+        try:
+            assert kv._lease_held and os.path.exists(os.path.join(d, ".lease"))
+        finally:
+            kv._release_flock()
+        assert not os.path.exists(os.path.join(d, ".lease"))
+
+
+def test_lease_stale_takeover(spark, monkeypatch):
+    import os
+    import time
+
+    _break_flock(monkeypatch)
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d)
+        # a crashed holder's lease, older than the TTL
+        lease = os.path.join(d, ".lease")
+        with open(lease, "w", encoding="ascii") as f:
+            f.write("99999 0\n")
+        old = time.time() - KVTable._LEASE_TTL - 5
+        os.utime(lease, (old, old))
+        kv.put("k", "v")  # must take over instead of waiting forever
+        assert kv.get("k") == "v"
+        assert not os.path.exists(lease)
+
+
+def test_lease_serializes_two_handles(spark, monkeypatch):
+    import threading
+
+    _break_flock(monkeypatch)
+    with tempfile.TemporaryDirectory() as d:
+        kv1 = KVTable(spark, d)
+        kv2 = KVTable(spark, d)
+        errs = []
+
+        def writer(kv, tag):
+            try:
+                for i in range(3):
+                    kv.write_batch(puts={f"{tag}{i}": str(i)})
+            except Exception as e:  # pragma: no cover - failure reporting
+                errs.append(e)
+
+        t1 = threading.Thread(target=writer, args=(kv1, "a"))
+        t2 = threading.Thread(target=writer, args=(kv2, "b"))
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+        assert not errs
+        versions = list(kv1._load_manifest())
+        assert len(versions) == len(set(versions)) == 6
+        for i in range(3):
+            assert kv1.get(f"a{i}") == str(i)
+            assert kv1.get(f"b{i}") == str(i)

@@ -1,0 +1,160 @@
+"""Fuzz grammar 10 (VERDICT r6 #6): streaming replay determinism.
+
+Grammars 1–9 fuzz batch SQL and DDL scripts; nothing fuzzed the STATEFUL
+streaming operators. This grammar randomizes the micro-batch decomposition of
+the same ordered feed — 1–5 batches with seeded, uneven, randomly-placed
+boundaries — and asserts each operator's drained output is INVARIANT against
+its own 1-batch run. That is the property watermark/state bugs break first: a
+session carried across a boundary that a different boundary placement drops,
+a KV version applied out of order, a band representative that fails to
+survive into the batch where its match arrives.
+
+Why invariance holds per operator (the contracts under test):
+- sessionize emits sessions AS THEY CLOSE; by end-of-feed the closed set is
+  every session except each user's final one — independent of batching.
+- CDC→KV applies each micro-batch as one atomic MVCC version; the final
+  merged state is the net effect of the whole feed regardless of slicing.
+- near-dup (exact) emits all within-bucket pairs; the distinct pair set over
+  the full feed is batching-independent.
+- near-dup (representatives) elects the FIRST arrival per bucket; the stage
+  is doc_id-ordered, so the rep is min(doc_id) under every decomposition.
+
+The feed order itself is never shuffled — ts-ordered (events) / doc_id-
+ordered (documents) staging is part of each operator's documented contract;
+the randomness is WHERE the boundaries fall and how many there are.
+"""
+
+from __future__ import annotations
+
+import random
+import tempfile
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+_N_SEEDS = 28  # 7 per operator — "25+ seeded splits" (VERDICT r6 #6)
+_OPS = ["sessionize", "cdc", "neardup_exact", "neardup_reps"]
+
+
+def _stage_random_batches(
+    src: str, out_dir: str, sort_keys: list[tuple[str, str]], rng: random.Random
+) -> int:
+    """Stage `src` parquet as 1–5 ordered chunk files cut at random row
+    boundaries, mtimes forcing file-source pickup order (the same pyarrow
+    discipline as streaming/gate.py's stagers)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src)
+    t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+    n = t.num_rows
+    n_batches = rng.randint(1, 5)
+    cuts = sorted(rng.sample(range(1, n), min(n_batches - 1, n - 1)))
+    bounds = [0, *cuts, n]
+    for i in range(len(bounds) - 1):
+        part = t.slice(bounds[i], bounds[i + 1] - bounds[i])
+        p = f"{out_dir}/part-{i}.parquet"
+        pq.write_table(part, p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    return len(bounds) - 1
+
+
+def _drain(spark, stage_dir: str, op: str, tag: str) -> frozenset:
+    """Run one operator's full streaming drain over the staged dir and return
+    its output as a comparable set."""
+    from pyspark.sql import functions as F
+
+    from templatedb_spark.streaming.events import read_events_stream, run_available_now
+
+    if op == "sessionize":
+        from templatedb_spark.streaming.stateful import stream_sessionize
+
+        rows = run_available_now(
+            stream_sessionize(read_events_stream(spark, stage_dir)),
+            f"t_replay_sess_{tag}",
+            output_mode="append",
+        )
+        return frozenset(
+            (r.user_id, r.session_start, r.session_end, r.n_events, r.session_value)
+            for r in rows
+        )
+    if op == "cdc":
+        from templatedb_spark.kv import KVTable
+        from templatedb_spark.streaming.cdc import changes_from_events, stream_cdc_to_kv
+
+        kv_dir = tempfile.mkdtemp(prefix=f"replay_kv_{tag}_")
+        kv = KVTable(spark, kv_dir)
+        stream_cdc_to_kv(
+            changes_from_events(read_events_stream(spark, stage_dir)),
+            kv,
+            f"t_replay_cdc_{tag}",
+        )
+        out = frozenset((r.key, r.value) for r in kv.snapshot().collect())
+        import shutil
+
+        shutil.rmtree(kv_dir, ignore_errors=True)
+        return out
+    # near-dup modes
+    from templatedb_spark.streaming.neardup import (
+        read_documents_stream,
+        stream_neardup_pairs,
+    )
+
+    mode = "representatives" if op == "neardup_reps" else "exact"
+    rows = run_available_now(
+        stream_neardup_pairs(read_documents_stream(spark, stage_dir), mode=mode),
+        f"t_replay_nd_{tag}",
+        output_mode="append",
+    )
+    # a pair emitted via several shared bands repeats with the same match
+    # count — the frozenset IS the distinct() of the operator's contract
+    return frozenset((r.doc_a, r.doc_b, r.matches) for r in rows)
+
+
+_SORT_KEYS = {
+    "sessionize": ("events.parquet", [("ts", "ascending"), ("event_id", "ascending")]),
+    "cdc": ("events.parquet", [("ts", "ascending"), ("event_id", "ascending")]),
+    "neardup_exact": ("documents.parquet", [("doc_id", "ascending")]),
+    "neardup_reps": ("documents.parquet", [("doc_id", "ascending")]),
+}
+
+_reference: dict[str, frozenset] = {}
+
+
+def _reference_for(spark, op: str, tmp_path) -> frozenset:
+    """The 1-batch run: the invariance target, computed once per operator."""
+    if op not in _reference:
+        src_name, keys = _SORT_KEYS[op]
+        stage = tmp_path / f"ref_{op}"
+        stage.mkdir()
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF_SMALL}/{src_name}")
+        t = t.take(pc.sort_indices(t, sort_keys=keys))
+        pq.write_table(t, f"{stage}/part-0.parquet")
+        _reference[op] = _drain(spark, str(stage), op, f"ref_{op}")
+        assert len(_reference[op]) > 0, f"vacuous reference for {op}"
+    return _reference[op]
+
+
+@pytest.mark.parametrize("seed", range(_N_SEEDS))
+def test_streaming_replay_invariant_under_random_batching(spark, tmp_path, seed):
+    op = _OPS[seed % len(_OPS)]
+    rng = random.Random(seed)
+    src_name, keys = _SORT_KEYS[op]
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    n_batches = _stage_random_batches(
+        f"{SF_SMALL}/{src_name}", str(stage), keys, rng
+    )
+    got = _drain(spark, str(stage), op, f"s{seed}")
+    want = _reference_for(spark, op, tmp_path.parent)
+    assert got == want, (
+        f"seed={seed} op={op} n_batches={n_batches}: output changed under "
+        f"re-batching (missing={sorted(want - got)[:3]}, "
+        f"extra={sorted(got - want)[:3]})"
+    )
