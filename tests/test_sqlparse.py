@@ -607,3 +607,21 @@ def test_derived_table_body_starting_with_with(spark):
         "WHERE t.b = 7"
     ).collect()
     assert [r.b2 for r in rows] == [8]
+
+
+def test_partial_cte_alias_list_keeps_body_columns_in_shadow_set(spark):
+    """r6 ADVICE: DuckDB/Postgres permit a PARTIAL CTE alias list — `WITH
+    a(c1) AS (SELECT g, v ...)` renames only g; v keeps its body name. The
+    binder's shadow set must contain BOTH c1 and v, or a same-named outer
+    select alias would be wrongly substituted into WHERE. (Spark itself
+    rejects partial lists — ASSIGNMENT_ARITY_MISMATCH — so this is pinned at
+    the shadow-computation level, the layer the fuzz oracle exercises.)"""
+    from templatedb_spark import sqlparse as _sp
+
+    eng = Engine(spark)
+    spark.createDataFrame([(1, 10)], "g int, v int").createOrReplaceTempView("t_pcte")
+    q = "WITH a(c1) AS (SELECT g, v FROM t_pcte) SELECT c1 FROM a"
+    cols = eng._in_scope_columns(q, _sp.tokenize(q))
+    assert "c1" in cols  # the declared alias
+    assert "v" in cols  # the unlisted body column keeps its name
+    assert "g" not in cols  # renamed away by the declared alias
