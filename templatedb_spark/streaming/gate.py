@@ -492,3 +492,63 @@ register(
         "bounded-state streaming near-dup (representative election, 1 resident/bucket, 2 micro-batches) vs batch earliest-wins election oracle",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Sixth gated spec (round 7, VERDICT r6 #5): compact_range under the oracle.
+# The CDC feed is written as THREE disjoint-key atomic versions (user_id % 3
+# routing — each key's full history lands in one version, so the multi-
+# version merge is exact regardless of apply order), then
+# compact_range("145", "155") collapses the in-range keys' history into one
+# base while out-of-range keys keep theirs. The audited invariant: the
+# merged state after a keyed-subrange compaction equals the whole-feed
+# net-effect compaction — the SAME oracle as the streaming CDC gate. Any
+# compact_range bug (key leaking across the range boundary, tombstone
+# resurrection, lost out-of-range history, manifest mis-publish) changes
+# the final state and hash-mismatches.
+# ---------------------------------------------------------------------------
+def kv_compact_range_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from templatedb_spark.kv import KVTable
+    from templatedb_spark.streaming.cdc import (
+        changes_from_events,
+        compact_net_effect,
+        kv_value_col,
+    )
+    from templatedb_spark.suite import table
+
+    kv_dir = tempfile.mkdtemp(prefix="cr_kv_")
+    atexit.register(shutil.rmtree, kv_dir, ignore_errors=True)
+    kv = KVTable(spark, kv_dir)
+    feed = changes_from_events(table(spark, sf_dir, "events"))
+    for i in range(3):
+        net = compact_net_effect(feed.filter(F.col("key") % 3 == i))
+        kv.write_batch_df(
+            net.select(
+                F.col("key").cast("string").alias("key"),
+                F.when(F.col("event_type") != "error", kv_value_col()).alias("value"),
+                F.when(F.col("event_type") == "error", F.lit("del"))
+                .otherwise(F.lit("put"))
+                .alias("op"),
+            )
+        )
+    kv.compact_range("145", "155")  # lexicographic: keys 1450-1549
+    snap = kv.snapshot()
+    parts = F.split(F.col("value"), r"\|", 2)
+    return snap.select(
+        F.col("key").cast("long").alias("key"),
+        parts.getItem(0).alias("event_type"),
+        parts.getItem(1).cast("double").alias("value"),
+    )
+
+
+register(
+    QuerySpec(
+        "kv_compact_range_state",
+        kv_compact_range_state,
+        _STREAM_CDC_ORACLE,
+        "keyed-subrange compaction under the oracle: 3 disjoint-key KV versions, compact_range over a key subrange, state == whole-feed net-effect compaction",
+    )
+)
