@@ -106,10 +106,11 @@ def main() -> None:
     # static list is only the cold-start fallback for a fresh checkout.
     critical = [
         "stream_sessionize_closed",  # 3 stateful streaming triggers: longest chain
-        "stream_neardup_pairs",  # 2-trigger stateful minhash chain (r6)
-        "stream_neardup_reps",  # bounded-state rep-election chain (r7)
         "stream_interval_join_clicks",  # 2-trigger stream-stream join chain
+        "kv_compact_range_state",  # serial 4-write KV chain (r7 gate)
+        "stream_neardup_reps",  # bounded-state rep-election chain (r7)
         "stream_cdc_kv_state",  # 3 sequential streaming triggers
+        "stream_neardup_pairs",  # 2-trigger stateful minhash chain (r6)
         "ann_lsh_banded_topk",
         "dedup_ngram_prefix",
         "dedup_ngram_jaccard",
@@ -140,7 +141,13 @@ def main() -> None:
     # the chains are serial by construction and share no hot tables, so
     # per-chain minShares stop one chain's micro-batch jobs queuing behind
     # another's); other heavies share "heavy"; the rest "light"
-    streaming = [n for n in critical if n.startswith("stream_")]
+    # serial chains (streaming trigger chains + the sequential KV-write
+    # gate): each is a sequence of small jobs that can never parallelize
+    # internally, so each gets a dedicated minShare pool — the true
+    # critical path of the makespan
+    streaming = [
+        n for n in critical if n.startswith("stream_") or n.startswith("kv_")
+    ]
     heavy_names = {n for n, _ in sorted(prev_times.items(), key=lambda kv: -kv[1])[:25]}
     heavy_names |= {n for n, _ in items if n not in prev_times}
     pool_of = {
@@ -148,7 +155,7 @@ def main() -> None:
         for n in (set(critical) | heavy_names)
     }
     for i, n in enumerate(streaming):
-        pool_of[n] = f"stream{i % 5}"
+        pool_of[n] = f"stream{i % 6}"
 
     errs: dict[str, str] = {}
     retried: list[str] = []
