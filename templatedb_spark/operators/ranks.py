@@ -78,8 +78,17 @@ def _range_local(df: DataFrame, order_cols: list[Column]) -> DataFrame:
     never silent corruption. Cost: one executor-local materialization of the
     relation being ranked — the same spill the classic TeraSort-style
     external rank pays."""
+    return _range_local_plan(df, order_cols).localCheckpoint(eager=False)
+
+
+def _range_local_plan(df: DataFrame, order_cols: list[Column]) -> DataFrame:
+    """The pre-barrier shape (range exchange + pid projection) WITHOUT the
+    checkpoint — exposed so plan pins can assert the RangePartitioning
+    exchange, which the checkpoint's `Scan ExistingRDD` hides from the
+    final explain output (the exchange still executes, once, inside the
+    checkpointed subtree)."""
     parted = df.repartitionByRange(_num_parts(df), *order_cols)
-    return parted.withColumn(_PID, F.spark_partition_id()).localCheckpoint(eager=False)
+    return parted.withColumn(_PID, F.spark_partition_id())
 
 
 def global_row_number(

@@ -630,10 +630,27 @@ def test_distributed_rank_specs_use_range_partitioning(spark):
 
     from templatedb_spark.plans.explain import global_sort_window_lines, physical_plan
 
+    # r7: _range_local lazily localCheckpoints the pid-tagged relation
+    # (ADVICE r6 medium — one physical exchange execution for both
+    # consumers), so the final explain shows the barrier (`Scan
+    # ExistingRDD`) instead of the RangePartitioning exchange hidden inside
+    # the checkpointed subtree. Pin the exchange on the exposed pre-barrier
+    # builder, and the barrier + window-freedom on each spec's final plan.
+    from pyspark.sql import functions as F
+
+    from templatedb_spark.operators.ranks import _range_local_plan
+    from templatedb_spark.suite import table as _table
+
+    o = _table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    pre = physical_plan(
+        _range_local_plan(o, [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()])
+    )
+    assert "rangepartitioning" in pre.lower()  # the distributed sort shape
+
     specs = all_specs()
     for name in ("histogram_equidepth", "gini_revenue", "revenue_concentration"):
         plan = physical_plan(specs[name].spark(spark, SF_SMALL))
-        assert "rangepartitioning" in plan, name  # the distributed sort shape
+        assert "existingrdd" in plan.lower(), name  # the checkpoint barrier
         assert global_sort_window_lines(plan) == [], name
         # no Sort executes over a single-partition exchange: scan plan lines
         # pairwise — a Sort node directly above Exchange SinglePartition is
