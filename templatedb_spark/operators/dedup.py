@@ -342,14 +342,32 @@ _NGRAM_JACCARD_ORACLE = _ngram_jaccard_oracle(_JACCARD_THRESHOLD)
 # reduction — not worth the extra stages), t=0.8 keeps 20% (the design
 # point). The spec runs at t=0.8 accordingly; the plain self-join remains the
 # right plan for low thresholds.
+#
+# r7: the sf3 probe (SCALE.md) caught the bare prefix join going
+# SUPER-linear on the 10×→30× leg (21.5 → 107.5 s warm). Two classic
+# exactness-preserving PPJoin filters fixed it — the LENGTH filter inside
+# the join and the POSITIONAL bound after pair grouping (derivations at the
+# code below) — measured sf3 107.5 → 16.6 s, sf1 21.5 → 7.9 s, sf0.1
+# 3.98 → 2.89 s; 30× cost ratio 27× → 5.7×. All threshold comparisons are
+# exact integer arithmetic (t = p/q), so a pair sitting exactly ON the
+# threshold can never be lost to float rounding; equality with the plain
+# join is pinned by tests/test_prefix_filter.py incl. an engineered
+# J = 8/10 = t pair.
 # ---------------------------------------------------------------------------
 _PREFIX_THRESHOLD = 0.80
 
 
 def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fractions import Fraction
+
     from pyspark.sql.window import Window
 
     t = _PREFIX_THRESHOLD
+    # exact rational form of the threshold: every boundary comparison below
+    # is pure integer arithmetic (p/q = t), so a pair sitting exactly ON the
+    # threshold can never be lost to float rounding
+    frac = Fraction(str(t))
+    p, q = frac.numerator, frac.denominator
     sh = hashed_shingles(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df_h = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfh"))
@@ -366,15 +384,50 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .join(counts, "doc_id")
-        .filter(F.col("r") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
-        .select("doc_id", "h")
+        # prefix length n - ⌈t·n⌉ + 1, with ⌈t·n⌉ = ⌊(p·n + q - 1) / q⌋ exact
+        .filter(
+            F.col("r")
+            <= F.col("n") - F.floor((p * F.col("n") + q - 1) / q) + 1
+        )
+        .select("doc_id", "h", "dfh", "r", "n")
     )
     p1 = ranked.alias("p1")
     p2 = ranked.alias("p2")
-    cand = (
-        p1.join(p2, (F.col("p1.h") == F.col("p2.h")) & (F.col("p1.doc_id") < F.col("p2.doc_id")))
-        .select(F.col("p1.doc_id").alias("doc_a"), F.col("p2.doc_id").alias("doc_b"))
-        .distinct()
+    # r7 candidate pruning (PPJoin-family, both EXACTNESS-PRESERVING —
+    # the oracle stays the plain Jaccard join):
+    # 1. LENGTH filter in the join: J(A,B) ≥ t forces t·|A| ≤ |B| ≤ |A|/t
+    #    (J ≤ min/max), as q·n_small ≥ p·n_large in integers.
+    # 2. POSITIONAL filter after grouping: among a pair's shared PREFIX
+    #    tokens, take the one earliest in the GLOBAL (dfh, h) order — the
+    #    same order the per-doc ranks are built on. A shared token ordered
+    #    before it in both docs would itself be an earlier prefix collision
+    #    (positions in each doc are monotone in the global order), so every
+    #    OTHER common token sits after rank ra in A and after rank rb in B:
+    #    overlap ≤ ub = 1 + min(n_a − ra, n_b − rb). Prune unless
+    #    ub·(q + p) ≥ p·(n_a + n_b), the integer form of
+    #    J_max = ub/(n_a + n_b − ub) ≥ t.
+    matched = p1.join(
+        p2,
+        (F.col("p1.h") == F.col("p2.h"))
+        & (F.col("p1.doc_id") < F.col("p2.doc_id"))
+        & (q * F.col("p1.n") >= p * F.col("p2.n"))
+        & (q * F.col("p2.n") >= p * F.col("p1.n")),
+    )
+    pairs = matched.groupBy(
+        F.col("p1.doc_id").alias("doc_a"), F.col("p2.doc_id").alias("doc_b")
+    ).agg(
+        F.min_by(
+            F.struct(F.col("p1.r").alias("ra"), F.col("p2.r").alias("rb")),
+            F.struct(F.col("p1.dfh"), F.col("p1.h")),
+        ).alias("fm"),
+        F.min("p1.n").alias("na"),  # constant per group
+        F.min("p2.n").alias("nb"),
+    )
+    ub = F.lit(1) + F.least(
+        F.col("na") - F.col("fm.ra"), F.col("nb") - F.col("fm.rb")
+    )
+    cand = pairs.filter(ub * (q + p) >= p * (F.col("na") + F.col("nb"))).select(
+        "doc_a", "doc_b"
     )
     sa = sh.alias("sa")
     sb = sh.alias("sb")
