@@ -168,6 +168,19 @@ _CONTAINMENT_T = 0.8
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r7 NEGATIVE RESULT (measured, kept as guidance): an asymmetric
+    # PPJoin-style candidate path (prefix(contained) ⋈ full(container) +
+    # length/positional bounds + a separate verify join) was built, proven
+    # exact (tests/test_prefix_filter.py's containment cases ran green
+    # against it), and measured SLOWER at every tier — sf3 warm 50 → 280 s.
+    # Why the symmetric Jaccard win doesn't transfer: here the full
+    # self-join IS the verification (the pair intersection falls out of the
+    # one groupBy), so a prefix stage saves join mass only to pay it back
+    # re-joining full shingle sets for the surviving DIRECTED candidates —
+    # at t=0.8 the prefix keeps 20% of tokens against a FULL opposite side
+    # (0.4× mass for 2 directions), nowhere near the symmetric case's
+    # 0.04×. The shared one-pass join stays; the df-capped variant remains
+    # the documented at-scale path for this family (SCALE.md).
     pair_inter, counts = _pair_intersections(spark, sf_dir)
     inter = pair_inter.select(
         F.col("doc_a").alias("da"), F.col("doc_b").alias("db"), "inter"

@@ -107,6 +107,8 @@ def all_specs() -> dict[str, QuerySpec]:
         "histogram_equidepth", "gini_revenue", "revenue_concentration",
         "dedup_dup_clusters", "dedup_keep_policy", "dedup_cascade",
         "graph_pagerank", "graph_triangles", "graph_bfs_hops",
+        # PPJoin length+positional filters — same oracle, new candidate plan
+        "dedup_ngram_prefix",
     }
     covered -= changed_r7
     # The round-2 verdict singled out eleven specs that no driver round has

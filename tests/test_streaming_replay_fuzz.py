@@ -19,9 +19,14 @@ Why invariance holds per operator (the contracts under test):
 - near-dup (representatives) elects the FIRST arrival per bucket; the stage
   is doc_id-ordered, so the rep is min(doc_id) under every decomposition.
 
-The feed order itself is never shuffled — ts-ordered (events) / doc_id-
-ordered (documents) staging is part of each operator's documented contract;
-the randomness is WHERE the boundaries fall and how many there are.
+The feed's BATCH-LEVEL order is never shuffled — ts-ordered (events) /
+doc_id-ordered (documents) staging across batches is part of each
+operator's documented contract. WITHIN a batch, odd seeds additionally
+permute the rows randomly: no operator may depend on the physical row
+order inside a micro-batch (sessionize/CDC order by (ts, event_id)
+internally, near-dup sorts arrivals per group), so intra-batch shuffling
+must also leave the output invariant — the net that catches an operator
+silently relying on the stager's sort.
 """
 
 from __future__ import annotations
@@ -38,11 +43,17 @@ _OPS = ["sessionize", "cdc", "neardup_exact", "neardup_reps"]
 
 
 def _stage_random_batches(
-    src: str, out_dir: str, sort_keys: list[tuple[str, str]], rng: random.Random
+    src: str,
+    out_dir: str,
+    sort_keys: list[tuple[str, str]],
+    rng: random.Random,
+    shuffle_within: bool = False,
 ) -> int:
     """Stage `src` parquet as 1–5 ordered chunk files cut at random row
     boundaries, mtimes forcing file-source pickup order (the same pyarrow
-    discipline as streaming/gate.py's stagers)."""
+    discipline as streaming/gate.py's stagers). With `shuffle_within`, the
+    rows INSIDE each chunk are randomly permuted — batch boundaries and
+    cross-batch order stay intact, physical row order does not."""
     import os
 
     import pyarrow.compute as pc
@@ -56,6 +67,10 @@ def _stage_random_batches(
     bounds = [0, *cuts, n]
     for i in range(len(bounds) - 1):
         part = t.slice(bounds[i], bounds[i + 1] - bounds[i])
+        if shuffle_within:
+            perm = list(range(part.num_rows))
+            rng.shuffle(perm)
+            part = part.take(perm)
         p = f"{out_dir}/part-{i}.parquet"
         pq.write_table(part, p)
         os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
@@ -148,13 +163,15 @@ def test_streaming_replay_invariant_under_random_batching(spark, tmp_path, seed)
     src_name, keys = _SORT_KEYS[op]
     stage = tmp_path / "stage"
     stage.mkdir()
+    shuffle_within = seed % 2 == 1  # odd seeds also permute rows per batch
     n_batches = _stage_random_batches(
-        f"{SF_SMALL}/{src_name}", str(stage), keys, rng
+        f"{SF_SMALL}/{src_name}", str(stage), keys, rng,
+        shuffle_within=shuffle_within,
     )
     got = _drain(spark, str(stage), op, f"s{seed}")
     want = _reference_for(spark, op, tmp_path.parent)
     assert got == want, (
-        f"seed={seed} op={op} n_batches={n_batches}: output changed under "
-        f"re-batching (missing={sorted(want - got)[:3]}, "
-        f"extra={sorted(got - want)[:3]})"
+        f"seed={seed} op={op} n_batches={n_batches} "
+        f"shuffled={shuffle_within}: output changed under re-batching "
+        f"(missing={sorted(want - got)[:3]}, extra={sorted(got - want)[:3]})"
     )
