@@ -109,6 +109,8 @@ def all_specs() -> dict[str, QuerySpec]:
         "graph_pagerank", "graph_triangles", "graph_bfs_hops",
         # PPJoin length+positional filters — same oracle, new candidate plan
         "dedup_ngram_prefix",
+        # df cap via agg+join instead of unbounded window — same oracle
+        "dedup_ngram_capped",
     }
     covered -= changed_r7
     # The round-2 verdict singled out eleven specs that no driver round has
