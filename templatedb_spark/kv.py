@@ -667,10 +667,12 @@ class KVTable:
             shutil.rmtree(f"{self.path}/version={v}", ignore_errors=True)
         nxt = v + 1
         # out-of-range history: one rewritten version per old version, in the
-        # original ascending order (shadowing among surviving keys preserved)
+        # original ascending order (shadowing among surviving keys preserved).
+        # The manifest is stable inside the write lock — read it once.
+        mstate = self._load_manifest()
         for o in old_versions:
             rows = self._read_deltas(
-                [f"{self.path}/version={o}/bucket={b}" for b in self._load_manifest().get(o, [])]
+                [f"{self.path}/version={o}/bucket={b}" for b in mstate.get(o, [])]
             )
             if rows is None:
                 continue
