@@ -399,3 +399,66 @@ def test_streaming_signature_parity_with_batch_sql(spark):
     for d in want:
         assert got[d] == want[d], f"doc {d}: {got[d]} != {want[d]}"
         assert len(got[d]) == _MINHASH_K
+
+
+def test_stream_neardup_reps_eviction_end_to_end(spark, tmp_path):
+    """Drives evict_horizon through the REAL streaming machinery (the
+    functools.partial-wrapped applyInPandasWithState path the function-level
+    tests bypass): identical texts at doc_ids 1, 50, 5000 staged as two
+    micro-batches. With horizon=100, (1, 50) pairs in batch 1; by doc 5000
+    the representative is stale — batch 2 re-elects instead of pairing. The
+    control run without a horizon emits both pairs."""
+    import glob
+
+    from templatedb_spark.streaming.events import run_available_now
+    from templatedb_spark.streaming.neardup import (
+        read_documents_stream,
+        stream_neardup_pairs,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, text),
+        (50, text),
+        (40, "one two three four five six seven eight nine ten eleven"),
+        (5000, text),
+        (5100, "red orange yellow green blue indigo violet black white grey"),
+    ]
+
+    def stage(tag: str) -> str:
+        stage_dir = tmp_path / f"docs_{tag}"
+        stage_dir.mkdir()
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for i, pred in enumerate(["doc_id < 1000", "doc_id >= 1000"]):
+            w = tmp_path / f"w_{tag}_{i}"
+            df.filter(pred).orderBy("doc_id").coalesce(1).write.parquet(str(w))
+            src = glob.glob(str(w / "part-*.parquet"))[0]
+            import os
+            import shutil
+
+            dst = stage_dir / f"chunk-{i}.parquet"
+            shutil.copy(src, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        return str(stage_dir)
+
+    evicted = run_available_now(
+        stream_neardup_pairs(
+            read_documents_stream(spark, stage("evict")),
+            mode="representatives",
+            evict_horizon=100,
+        ),
+        "t_nd_evict",
+        output_mode="append",
+    )
+    got = {(r.doc_a, r.doc_b) for r in evicted}
+    assert got == {(1, 50)}  # (1, 5000) suppressed: rep stale at doc 5000
+
+    control = run_available_now(
+        stream_neardup_pairs(
+            read_documents_stream(spark, stage("ctrl")), mode="representatives"
+        ),
+        "t_nd_ctrl",
+        output_mode="append",
+    )
+    got_ctrl = {(r.doc_a, r.doc_b) for r in control}
+    assert got_ctrl == {(1, 50), (1, 5000)}  # no horizon: rep lives forever
