@@ -42,7 +42,7 @@ import threading
 import zlib
 from pathlib import Path
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -91,6 +91,19 @@ def bucket_of(key: str) -> int:
 
 def _bucket_col() -> Column:
     return F.pmod(F.crc32(F.col("key").cast("binary")), F.lit(_KV_BUCKETS)).cast("int")
+
+
+def _obs_range(obs: Observation) -> tuple[str | None, str | None]:
+    """Key range observed during a write job, tolerant of plans where the
+    CollectMetrics node was optimized away — AQE's empty-relation propagation
+    on an EMPTY write leaves no metrics row and Observation.get trips a JVM
+    assertion (toPyRow). Missing metrics degrade to unknown range (the
+    version simply isn't pruned), never to an error."""
+    try:
+        m = obs.get
+        return m.get("kmin"), m.get("kmax")
+    except Exception:
+        return None, None
 
 
 class KVTable:
@@ -224,6 +237,37 @@ class KVTable:
     def _committed_marker(self) -> Path:
         return Path(self.path) / "COMMITTED"
 
+    @property
+    def _floor_marker(self) -> Path:
+        return Path(self.path) / "FLOOR"
+
+    def _bump_floor(self, v: int) -> None:
+        """Record the compaction floor: every version number BELOW v is
+        retired — its directory is post-compaction garbage awaiting cleanup,
+        never live state. Written (tmp + atomic rename, monotone like the
+        COMMITTED marker) AFTER a compaction publishes its manifest snapshot
+        and BEFORE old directories are removed. The marker exists solely for
+        _recover_manifest: without it, losing the MANIFEST *mid-cleanup*
+        (after the snapshot, before every old rmtree finished) would let the
+        directory walk resurrect already-compacted-away versions — they
+        carry _SUCCESS and sit below the COMMITTED marker, so they look
+        committed (the r7 'double failure' residual). With the floor,
+        recovery quarantines them. The only remaining window is a crash in
+        the instant BETWEEN the snapshot rename and this rename combined
+        with manifest loss — two atomic renames apart, documented."""
+        cur = self._read_floor()
+        if cur is not None and cur >= v:
+            return
+        tmp = self._floor_marker.with_suffix(f".tmp.{os.getpid()}")
+        tmp.write_text(str(v), encoding="utf-8")
+        os.replace(tmp, self._floor_marker)
+
+    def _read_floor(self) -> int | None:
+        try:
+            return int(self._floor_marker.read_text(encoding="utf-8").strip())
+        except (OSError, ValueError):
+            return None
+
     def _bump_committed_marker(self, v: int) -> None:
         """Record the highest committed version in a secondary marker
         (tmp + atomic rename), updated AFTER every manifest commit. The
@@ -249,8 +293,16 @@ class KVTable:
         except (OSError, ValueError):
             return None
 
-    def _load_manifest(self) -> dict[int, list[int]]:
-        """Replay the edit log → {live version: sorted bucket ids}.
+    def _load_manifest(self) -> dict[int, dict]:
+        """Replay the edit log → {live version: {"buckets": sorted bucket
+        ids, "kmin": smallest key or None, "kmax": largest key or None}}.
+        kmin/kmax are the per-version key range — the LSM's per-SSTable
+        smallest/largest FileMetaData (reference: manager/version_edit.rs
+        keeps smallest/largest per file) — recorded at write time and used
+        to prune whole versions out of range scans, point reads, and
+        compact_range rewrites. Absent metadata (legacy records, recovered
+        manifests) means "unknown", which every consumer treats as
+        intersects-everything — pruning degrades, correctness doesn't.
 
         A torn record (crash mid-append) is SKIPPED: it was never a commit —
         its version number stays unassigned (latest_version won't count it)
@@ -261,7 +313,7 @@ class KVTable:
         """
         if not self._manifest.exists():
             return self._recover_manifest()
-        state: dict[int, list[int]] = {}
+        state: dict[int, dict] = {}
         with open(self._manifest, encoding="utf-8") as f:
             for line in f:
                 line = line.strip()
@@ -273,7 +325,11 @@ class KVTable:
                 except (ValueError, KeyError, TypeError):
                     continue  # torn append: never committed, skip
                 if op == "add":
-                    state[v] = rec.get("buckets", [])
+                    state[v] = {
+                        "buckets": rec.get("buckets", []),
+                        "kmin": rec.get("kmin"),
+                        "kmax": rec.get("kmax"),
+                    }
                 elif op == "drop":
                     state.pop(v, None)
         return state
@@ -308,21 +364,40 @@ class KVTable:
         inspectable/recoverable; hard deletion stays confined to the
         writer-locked _clear_orphan (ADVICE r5). Without a marker (legacy
         layout) every _SUCCESS dir is trusted — the pre-marker behavior,
-        documented best-effort."""
+        documented best-effort.
+
+        The FLOOR marker closes the mirror-image window at the BOTTOM: a
+        version dir below the compaction floor is retired garbage whose
+        post-compaction rmtree never finished — resurrecting it would splice
+        pre-compaction history (whose in-range tombstones compact_range
+        provably elided) back under the merged base, corrupting state (the
+        r7 'double failure' residual). Such dirs are quarantined too.
+        Recovered records carry no kmin/kmax (the ranges lived only in the
+        lost manifest); consumers treat that as unknown-range, so pruning
+        degrades but reads stay correct."""
         if self._manifest.exists():
             return self._load_manifest()
         high = self._read_committed_marker()
-        state: dict[int, list[int]] = {}
+        floor = self._read_floor()
+        state: dict[int, dict] = {}
         orphans: list[Path] = []
         for p in Path(self.path).glob("version=*"):
             if p.is_dir() and (p / "_SUCCESS").exists():
                 v = int(p.name.split("=")[1])
-                if high is not None and v > high:
+                if (high is not None and v > high) or (
+                    floor is not None and v < floor
+                ):
                     orphans.append(p)
                     continue
-                state[v] = sorted(
-                    int(b.name.split("=")[1]) for b in p.glob("bucket=*") if b.is_dir()
-                )
+                state[v] = {
+                    "buckets": sorted(
+                        int(b.name.split("=")[1])
+                        for b in p.glob("bucket=*")
+                        if b.is_dir()
+                    ),
+                    "kmin": None,
+                    "kmax": None,
+                }
         for p in orphans:
             self._quarantine(p)
         if state:
@@ -375,7 +450,18 @@ class KVTable:
         if record.get("op") == "add":
             self._bump_committed_marker(record["v"])
 
-    def _write_manifest_snapshot(self, state: dict[int, list[int]]) -> None:
+    @staticmethod
+    def _add_record(v: int, meta: dict | list) -> dict:
+        """Normalize a manifest 'add' record; meta is either a bare bucket
+        list (legacy) or {"buckets", "kmin", "kmax"} (None ranges omitted)."""
+        if isinstance(meta, list):
+            meta = {"buckets": meta}
+        rec = {"op": "add", "v": v, "buckets": meta.get("buckets", [])}
+        if meta.get("kmin") is not None and meta.get("kmax") is not None:
+            rec["kmin"], rec["kmax"] = meta["kmin"], meta["kmax"]
+        return rec
+
+    def _write_manifest_snapshot(self, state: dict[int, dict]) -> None:
         # pid-suffixed tmp: on platforms where the flock silently degrades
         # (see _acquire_flock) two processes snapshotting concurrently must
         # not interleave writes into ONE tmp file and then promote a torn
@@ -385,23 +471,25 @@ class KVTable:
         with open(tmp, "w", encoding="utf-8") as f:
             for v in sorted(state):
                 f.write(
-                    json.dumps(
-                        {"op": "add", "v": v, "buckets": state[v]},
-                        separators=(",", ":"),
-                    )
+                    json.dumps(self._add_record(v, state[v]), separators=(",", ":"))
                     + "\n"
                 )
         os.replace(tmp, self._manifest)  # atomic on POSIX
         if state:
             self._bump_committed_marker(max(state))
 
-    def _commit_version(self, v: int) -> None:
-        """Record a just-written delta dir in the manifest (the commit)."""
+    def _commit_version(
+        self, v: int, kmin: str | None = None, kmax: str | None = None
+    ) -> None:
+        """Record a just-written delta dir in the manifest (the commit),
+        with the version's key range when the writer knows it."""
         root = Path(f"{self.path}/version={v}")
         buckets = sorted(
             int(b.name.split("=")[1]) for b in root.glob("bucket=*") if b.is_dir()
         )
-        self._append_manifest({"op": "add", "v": v, "buckets": buckets})
+        self._append_manifest(
+            self._add_record(v, {"buckets": buckets, "kmin": kmin, "kmax": kmax})
+        )
 
     # -- versions -----------------------------------------------------------
     def _versions(self) -> list[int]:
@@ -437,7 +525,8 @@ class KVTable:
         df.repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
             "errorifexists"
         ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
-        self._commit_version(v)
+        keys = [r[0] for r in rows]  # driver-side batch: key range is free
+        self._commit_version(v, kmin=min(keys), kmax=max(keys))
         self._maybe_auto_compact()
         return v
 
@@ -464,9 +553,16 @@ class KVTable:
             F.lit(v).cast("long").alias("version"),
         ).withColumn("bucket", _bucket_col())
         self._clear_orphan(v)
-        out.repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
-            "errorifexists"
-        ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
+        # Observation piggybacks the key-range aggregate on the write job
+        # itself (zero extra Spark jobs — the streaming commit path stays
+        # one job per micro-batch); this is the LSM recording each file's
+        # smallest/largest key as it seals the SSTable.
+        obs = Observation()
+        out.observe(obs, F.min("key").alias("kmin"), F.max("key").alias("kmax")).repartition(
+            _KV_BUCKETS, F.col("bucket")
+        ).write.mode("errorifexists").partitionBy("bucket").parquet(
+            f"{self.path}/version={v}"
+        )
         root = Path(f"{self.path}/version={v}")
         buckets = sorted(
             int(b.name.split("=")[1]) for b in root.glob("bucket=*") if b.is_dir()
@@ -476,7 +572,10 @@ class KVTable:
 
             shutil.rmtree(root, ignore_errors=True)
             return self.latest_version()
-        self._append_manifest({"op": "add", "v": v, "buckets": buckets})
+        kmin, kmax = _obs_range(obs)
+        self._append_manifest(
+            self._add_record(v, {"buckets": buckets, "kmin": kmin, "kmax": kmax})
+        )
         self._maybe_auto_compact()
         return v
 
@@ -487,18 +586,47 @@ class KVTable:
         return self.write_batch(deletes=[key])
 
     # -- reads --------------------------------------------------------------
-    def _delta_paths(self, as_of: int | None = None, bucket: int | None = None) -> list[str]:
-        # resolved purely from the manifest: no directory stats on the read path
+    @staticmethod
+    def _intersects(meta: dict, start: str | None, end: str | None) -> bool:
+        """Does version range [kmin, kmax] (inclusive actual keys) intersect
+        the query range [start, end)? Unknown metadata → True (conservative:
+        pruning may be lost, correctness never)."""
+        kmin, kmax = meta.get("kmin"), meta.get("kmax")
+        if kmin is None or kmax is None:
+            return True
+        if start is not None and kmax < start:
+            return False
+        if end is not None and kmin >= end:
+            return False
+        return True
+
+    def _delta_paths(
+        self,
+        as_of: int | None = None,
+        bucket: int | None = None,
+        start: str | None = None,
+        end: str | None = None,
+    ) -> list[str]:
+        # resolved purely from the manifest: no directory stats on the read
+        # path. start/end prune WHOLE VERSIONS whose recorded key range
+        # misses [start, end) — sound for merge-on-read because a version
+        # with no in-range key contributes no row to any in-range key's
+        # merge window (the LSM's smallest/largest SSTable skip).
         state = self._load_manifest()
         vs = sorted(state)
         if as_of is not None:
             vs = [v for v in vs if v <= as_of]
         out: list[str] = []
         for v in vs:
+            meta = state[v]
+            if (start is not None or end is not None) and not self._intersects(
+                meta, start, end
+            ):
+                continue
             root = f"{self.path}/version={v}"
             if bucket is None:
-                out.extend(f"{root}/bucket={b}" for b in state[v])
-            elif bucket in state[v]:
+                out.extend(f"{root}/bucket={b}" for b in meta["buckets"])
+            elif bucket in meta["buckets"]:
                 out.append(f"{root}/bucket={bucket}")
         return out
 
@@ -516,9 +644,19 @@ class KVTable:
     def _deltas(self, as_of: int | None = None) -> DataFrame | None:
         return self._read_deltas(self._delta_paths(as_of))
 
-    def snapshot(self, as_of: int | None = None) -> DataFrame:
-        """Merged (key, value) state at a version — MVCC read (snapshot.rs:9-32)."""
-        deltas = self._deltas(as_of)
+    def snapshot(
+        self,
+        as_of: int | None = None,
+        key_range: tuple[str | None, str | None] | None = None,
+    ) -> DataFrame:
+        """Merged (key, value) state at a version — MVCC read (snapshot.rs:9-32).
+
+        key_range=[start, end) restricts the merge to versions whose
+        recorded key range intersects it (version-level pruning for range
+        scans); the caller still applies the exact row filter — pruning is
+        a superset guarantee, not the predicate."""
+        start, end = key_range if key_range else (None, None)
+        deltas = self._read_deltas(self._delta_paths(as_of, start=start, end=end))
         if deltas is None:
             return self.spark.createDataFrame([], "key string, value string")
         w = Window.partitionBy("key").orderBy(F.col("version").desc())
@@ -531,8 +669,14 @@ class KVTable:
     def _point_read_df(self, key: str, as_of: int | None = None) -> DataFrame | None:
         """Pruned merge-on-read for one key: scans ONLY the key's bucket dir
         under each version (1/B of the table's files — the LSM point-read
-        shape, db_trait.rs:17-34), with the key predicate pushed to parquet."""
-        deltas = self._read_deltas(self._delta_paths(as_of, bucket=bucket_of(key)))
+        shape, db_trait.rs:17-34), with the key predicate pushed to parquet;
+        versions whose recorded key range excludes the key are skipped
+        entirely (the smallest/largest SSTable check before the bloom)."""
+        deltas = self._read_deltas(
+            self._delta_paths(
+                as_of, bucket=bucket_of(key), start=key, end=key + "\x00"
+            )
+        )
         if deltas is None:
             return None
         w = Window.partitionBy("key").orderBy(F.col("version").desc())
@@ -551,8 +695,11 @@ class KVTable:
         return rows[0].value if rows else None
 
     def scan(self, start: str | None = None, end: str | None = None, as_of: int | None = None) -> DataFrame:
-        """Ordered range scan [start, end) — the LSM `iter` (db_iter.rs)."""
-        df = self.snapshot(as_of)
+        """Ordered range scan [start, end) — the LSM `iter` (db_iter.rs).
+        Versions whose manifest key range misses [start, end) are pruned
+        before any file is opened (see _delta_paths); the exact row filter
+        below is still applied on what remains."""
+        df = self.snapshot(as_of, key_range=(start, end))
         if start is not None:
             df = df.filter(F.col("key") >= start)
         if end is not None:
@@ -581,15 +728,26 @@ class KVTable:
         ).withColumn("bucket", _bucket_col())
         self._clear_orphan(v)
         # same one-file-per-bucket discipline as write_batch — the compacted
-        # base is the version every subsequent read opens
-        out.repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
+        # base is the version every subsequent read opens; Observation rides
+        # the write job to record the base's key range (no extra job)
+        obs = Observation()
+        out.observe(
+            obs, F.min("key").alias("kmin"), F.max("key").alias("kmax")
+        ).repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
             "errorifexists"
         ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
         root = Path(f"{self.path}/version={v}")
         buckets = sorted(
             int(b.name.split("=")[1]) for b in root.glob("bucket=*") if b.is_dir()
         )
-        self._write_manifest_snapshot({v: buckets})
+        kmin, kmax = _obs_range(obs)
+        self._write_manifest_snapshot(
+            {v: {"buckets": buckets, "kmin": kmin, "kmax": kmax}}
+        )
+        # floor BEFORE cleanup: if the manifest is lost while the rmtrees
+        # below are still running, recovery must not resurrect the retired
+        # versions (see _bump_floor)
+        self._bump_floor(v)
         import shutil
 
         for old in old_versions:
@@ -610,14 +768,20 @@ class KVTable:
         With both bounds None this degenerates to compact().
 
         Layout note: our buckets are HASH buckets (point-read pruning), so a
-        key range maps to every bucket and the rewrite touches all history
-        files once — the reference's ordered SSTables let it skip
-        non-overlapping files instead. The ordered-layout twin at cluster
-        scale is the Z-order/range-partitioned tier in operators/scale.py;
-        this API keeps the semantic contract. Like compact(), the operation
-        invalidates as_of reads of pre-compaction versions; the manifest
-        snapshot is published via atomic rename BEFORE old dirs are removed
-        (crash mid-cleanup leaves only invisible orphans)."""
+        key range maps to every bucket WITHIN a version — but versions whose
+        manifest key range [kmin, kmax] misses [start, end) are skipped
+        without a rewrite: their directories are HARDLINK-cloned under the
+        new version number (metadata-only, no data IO, no Spark job) — the
+        reference's ordered SSTables skipping non-overlapping files
+        (version_edit smallest/largest). The clone, not a rename, keeps the
+        OLD directory untouched until the manifest snapshot publishes, so a
+        crash at any point pre-publish leaves the previous state fully
+        intact. Versions without range metadata (legacy/recovered) are
+        conservatively rewritten. Like compact(), the operation invalidates
+        as_of reads of pre-compaction versions; the manifest snapshot is
+        published via atomic rename BEFORE old dirs are removed, and the
+        FLOOR marker is bumped before cleanup so a lost manifest
+        mid-cleanup cannot resurrect retired versions."""
         import shutil
 
         old_versions = self._versions()
@@ -634,23 +798,41 @@ class KVTable:
                 cond = cond & (col < end)
             return cond
 
-        state: dict[int, list[int]] = {}
+        state: dict[int, dict] = {}
 
-        def write_version(df: DataFrame, v: int) -> list[int]:
+        def write_version(df: DataFrame, v: int) -> tuple[list[int], dict]:
             self._clear_orphan(v)
-            df.repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
+            obs = Observation()
+            df.observe(
+                obs, F.min("key").alias("kmin"), F.max("key").alias("kmax")
+            ).repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
                 "errorifexists"
             ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
             root = Path(f"{self.path}/version={v}")
-            return sorted(
+            buckets = sorted(
                 int(b.name.split("=")[1]) for b in root.glob("bucket=*") if b.is_dir()
             )
+            kmin, kmax = _obs_range(obs)
+            return buckets, {"buckets": buckets, "kmin": kmin, "kmax": kmax}
+
+        def link_clone(o: int, v: int) -> None:
+            """Hardlink every file of version=o under version=v (same
+            filesystem — both live in the table dir). The effective version
+            of a row is re-derived from the directory name at read time
+            (_read_deltas), so the clone IS the renumbered version."""
+            self._clear_orphan(v)
+            src, dst = Path(f"{self.path}/version={o}"), Path(f"{self.path}/version={v}")
+            for sdir, _dirs, files in os.walk(src):
+                ddir = dst / Path(sdir).relative_to(src)
+                ddir.mkdir(parents=True, exist_ok=True)
+                for fn in files:
+                    os.link(Path(sdir) / fn, ddir / fn)
 
         # merged in-range base (new lowest version — disjoint keys from the
         # rewritten history, so relative position is irrelevant)
         v = self.latest_version() + 1
         base = (
-            self.snapshot()
+            self.snapshot(key_range=(start, end))
             .filter(in_range(F.col("key")))
             .select(
                 "key",
@@ -660,19 +842,29 @@ class KVTable:
             )
             .withColumn("bucket", _bucket_col())
         )
-        buckets = write_version(base, v)
+        buckets, meta = write_version(base, v)
         if buckets:
-            state[v] = buckets
+            state[v] = meta
         else:  # no live in-range keys: drop the empty dir, keep numbering dense
             shutil.rmtree(f"{self.path}/version={v}", ignore_errors=True)
         nxt = v + 1
-        # out-of-range history: one rewritten version per old version, in the
-        # original ascending order (shadowing among surviving keys preserved).
-        # The manifest is stable inside the write lock — read it once.
+        # out-of-range history: one version per old version, in the original
+        # ascending order (shadowing among surviving keys preserved — and
+        # preserved ACROSS cloned and rewritten versions, because both take
+        # their new numbers from the same ascending counter). The manifest
+        # is stable inside the write lock — read it once.
         mstate = self._load_manifest()
         for o in old_versions:
+            meta_o = mstate.get(o, {"buckets": []})
+            if not self._intersects(meta_o, start, end):
+                # no in-range key can exist in this version: clone, don't
+                # rewrite — carry the (exact) old key range forward
+                link_clone(o, nxt)
+                state[nxt] = dict(meta_o)
+                nxt += 1
+                continue
             rows = self._read_deltas(
-                [f"{self.path}/version={o}/bucket={b}" for b in mstate.get(o, [])]
+                [f"{self.path}/version={o}/bucket={b}" for b in meta_o["buckets"]]
             )
             if rows is None:
                 continue
@@ -686,13 +878,17 @@ class KVTable:
                 )
                 .withColumn("bucket", _bucket_col())
             )
-            kb = write_version(kept, nxt)
+            kb, kmeta = write_version(kept, nxt)
             if kb:
-                state[nxt] = kb
+                state[nxt] = kmeta
                 nxt += 1
             else:
                 shutil.rmtree(f"{self.path}/version={nxt}", ignore_errors=True)
         self._write_manifest_snapshot(state)
+        # floor BEFORE cleanup — every surviving version number is ≥ v, so a
+        # recovery after manifest loss mid-cleanup quarantines the retired
+        # old dirs instead of resurrecting them
+        self._bump_floor(v)
         for o in old_versions:
             if o not in state:
                 shutil.rmtree(f"{self.path}/version={o}", ignore_errors=True)
@@ -737,10 +933,14 @@ class MergeKVTable(KVTable):
             F.lit(v).cast("long").alias("version"),
         ).withColumn("bucket", _bucket_col())
         self._clear_orphan(v)
-        out.repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
+        obs = Observation()
+        out.observe(
+            obs, F.min("key").alias("kmin"), F.max("key").alias("kmax")
+        ).repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
             "errorifexists"
         ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
-        self._commit_version(v)
+        kmin, kmax = _obs_range(obs)
+        self._commit_version(v, kmin=kmin, kmax=kmax)
         self._maybe_auto_compact()
         return v
 
@@ -769,14 +969,22 @@ class MergeKVTable(KVTable):
             F.lit(v).cast("long").alias("version"),
         ).withColumn("bucket", _bucket_col())
         self._clear_orphan(v)
-        out.repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
+        obs = Observation()
+        out.observe(
+            obs, F.min("key").alias("kmin"), F.max("key").alias("kmax")
+        ).repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
             "errorifexists"
         ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
-        self._commit_version(v)
+        kmin, kmax = _obs_range(obs)
+        self._commit_version(v, kmin=kmin, kmax=kmax)
         self._maybe_auto_compact()
         return v
 
-    def snapshot(self, as_of: int | None = None) -> DataFrame:
+    def snapshot(
+        self,
+        as_of: int | None = None,
+        key_range: tuple[str | None, str | None] | None = None,
+    ) -> DataFrame:
         state = self._load_manifest()
         vs = sorted(state)
         if as_of is not None:
@@ -784,8 +992,12 @@ class MergeKVTable(KVTable):
         if not vs:
             return self.spark.createDataFrame([], "key string, value string")
         v = vs[-1]
+        if key_range and not self._intersects(state[v], *key_range):
+            # every version is complete state — a range miss on the live
+            # version means no in-range keys exist at all
+            return self.spark.createDataFrame([], "key string, value string")
         df = self._read_deltas(
-            [f"{self.path}/version={v}/bucket={b}" for b in state[v]]
+            [f"{self.path}/version={v}/bucket={b}" for b in state[v]["buckets"]]
         )
         if df is None:
             return self.spark.createDataFrame([], "key string, value string")
@@ -797,8 +1009,10 @@ class MergeKVTable(KVTable):
         if not vs:
             return None
         v, b = vs[-1], bucket_of(key)
-        if b not in state[v]:
+        if b not in state[v]["buckets"]:
             return None
+        if not self._intersects(state[v], key, key + "\x00"):
+            return None  # key outside the live state's recorded range
         df = self._read_deltas([f"{self.path}/version={v}/bucket={b}"])
         return df.filter(F.col("key") == key).select("key", "value")
 
@@ -811,7 +1025,8 @@ class MergeKVTable(KVTable):
     @_locked
     def compact(self) -> int:
         """State is already merged per version — compaction just drops history
-        (manifest snapshot first, directory cleanup after; see KVTable.compact)."""
+        (manifest snapshot first, then the FLOOR marker, directory cleanup
+        last; see KVTable.compact)."""
         import shutil
 
         state = self._load_manifest()
@@ -819,6 +1034,7 @@ class MergeKVTable(KVTable):
             return -1
         v = max(state)
         self._write_manifest_snapshot({v: state[v]})
+        self._bump_floor(v)
         for old in state:
             if old != v:
                 shutil.rmtree(f"{self.path}/version={old}", ignore_errors=True)

@@ -616,3 +616,130 @@ def test_lease_serializes_two_handles(spark, monkeypatch):
         for i in range(3):
             assert kv1.get(f"a{i}") == str(i)
             assert kv1.get(f"b{i}") == str(i)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 session 2: compaction FLOOR marker (the r7 'double failure'
+# residual — lost MANIFEST mid-cleanup must not resurrect retired versions)
+# and per-version key-range metadata (LSM smallest/largest parity: version
+# pruning for scans/points, hardlink-clone instead of rewrite in
+# compact_range for versions outside the compacted range).
+# ---------------------------------------------------------------------------
+def test_floor_quarantines_retired_versions_after_manifest_loss(kv):
+    """Simulate: compact() published its snapshot + FLOOR, crashed before the
+    old dirs' rmtree finished, and then the MANIFEST was lost. Recovery must
+    quarantine the retired leftover (it sits below the floor) instead of
+    splicing pre-compaction history back under the merged base."""
+    import os
+    import shutil
+
+    kv.put("a", "old")
+    kv.put("a", "new")
+    kv.delete("b")  # KVTable: tombstone that compaction elides
+    stale = os.path.join(kv.path, "_stale_copy")
+    shutil.copytree(os.path.join(kv.path, "version=0"), stale)
+    kv.compact()
+    # crash window: one retired dir survived the cleanup...
+    shutil.copytree(stale, os.path.join(kv.path, "version=0"))
+    shutil.rmtree(stale)
+    # ...and the manifest is lost
+    os.remove(str(kv._manifest))
+    reopened = type(kv)(kv.spark, kv.path)
+    assert reopened.get("a") == "new"  # not resurrected to "old"
+    state = reopened._load_manifest()
+    assert 0 not in state  # the retired version is not live
+    qdir = os.path.join(kv.path, "quarantine")
+    assert os.path.isdir(qdir) and any(
+        n.startswith("version=0") for n in os.listdir(qdir)
+    )
+
+
+def test_floor_marker_monotonic(spark):
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d)
+        kv._bump_floor(5)
+        kv._bump_floor(3)  # regression attempt ignored
+        assert kv._read_floor() == 5
+        kv._bump_floor(9)
+        assert kv._read_floor() == 9
+
+
+def test_compact_range_clones_nonintersecting_versions(spark):
+    """A version whose recorded key range misses [start, end) must be
+    HARDLINK-cloned, not rewritten: its parquet part files keep their exact
+    names (a Spark rewrite would mint fresh job-UUID names), and its
+    manifest kmin/kmax carry over verbatim."""
+    import glob
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d)
+        kv.write_batch(puts={"x1": "1", "z1": "2"})  # v0: entirely out of range
+        kv.write_batch(puts={"a1": "3", "b1": "4"})  # v1: entirely in range
+        kv.write_batch(puts={"a2": "5", "y1": "6"})  # v2: straddles → rewrite
+        before = {
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(d, "version=0", "bucket=*", "*.parquet"))
+        }
+        assert before
+        old_meta = kv._load_manifest()[0]
+        assert old_meta["kmin"] == "x1" and old_meta["kmax"] == "z1"
+        kv.compact_range("a", "n")
+        state = kv._load_manifest()
+        # find the cloned successor of v0 by its carried-over key range
+        clones = [v for v, m in state.items() if m.get("kmin") == "x1"]
+        assert len(clones) == 1
+        cv = clones[0]
+        after = {
+            os.path.basename(p)
+            for p in glob.glob(
+                os.path.join(d, f"version={cv}", "bucket=*", "*.parquet")
+            )
+        }
+        assert after == before  # same part files → cloned, not rewritten
+        assert state[cv]["kmax"] == "z1"
+        # semantics intact across clone + rewrite + merged base
+        for k, val in {"x1": "1", "z1": "2", "a1": "3", "b1": "4", "a2": "5", "y1": "6"}.items():
+            assert kv.get(k) == val
+
+
+def test_version_pruning_by_key_range(spark):
+    """Range metadata prunes whole versions out of range scans and point
+    reads before any file is opened (the LSM smallest/largest skip)."""
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d)
+        kv.write_batch(puts={"a1": "1", "c1": "2"})  # v0: [a1, c1]
+        kv.write_batch(puts={"x1": "3", "z1": "4"})  # v1: [x1, z1]
+        # scan of the low range must only open v0's files
+        low = kv._delta_paths(start="a", end="d")
+        assert low and all("version=0" in p for p in low)
+        high = kv._delta_paths(start="x", end="zz")
+        assert high and all("version=1" in p for p in high)
+        # point read: the other version's range excludes the key entirely
+        from templatedb_spark.kv import bucket_of
+
+        pt = kv._delta_paths(bucket=bucket_of("a1"), start="a1", end="a1\x00")
+        assert pt == [f"{d}/version=0/bucket={bucket_of('a1')}"]
+        # results are still exact
+        assert [r.key for r in kv.scan("a", "d").collect()] == ["a1", "c1"]
+        assert kv.get("x1") == "3"
+
+
+def test_recovered_manifest_degrades_to_unknown_ranges(spark):
+    """Recovery can't know key ranges (they lived in the lost manifest):
+    records come back range-less and every consumer treats that as
+    intersects-everything — reads stay exact, pruning is simply lost."""
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d)
+        kv.write_batch(puts={"a1": "1"})
+        kv.write_batch(puts={"z1": "2"})
+        os.remove(str(kv._manifest))
+        kv2 = KVTable(spark, d)
+        state = kv2._load_manifest()
+        assert all(m["kmin"] is None and m["kmax"] is None for m in state.values())
+        # no pruning: both versions considered for any range...
+        assert len({p.split("/bucket=")[0] for p in kv2._delta_paths(start="a", end="b")}) == 2
+        # ...and the data is still exact
+        assert kv2.get("a1") == "1" and kv2.get("z1") == "2"
