@@ -48,6 +48,21 @@ from pyspark.sql.window import Window
 
 _SCHEMA = "key string, value string, op string, version long"
 _KV_BUCKETS = 16
+_LAYOUTS = ("hash", "range")
+
+
+def _range_intersects(rng, start: str | None, end: str | None) -> bool:
+    """Does the recorded inclusive key range `rng` = (kmin, kmax) intersect
+    the query range [start, end)? Unknown/absent range → True (pruning may
+    be lost, correctness never)."""
+    if not rng or rng[0] is None or rng[1] is None:
+        return True
+    kmin, kmax = rng[0], rng[1]
+    if start is not None and kmax < start:
+        return False
+    if end is not None and kmin >= end:
+        return False
+    return True
 
 
 def _locked(fn):
@@ -110,13 +125,38 @@ class KVTable:
     """Ordered, versioned key-value table over parquet delta files."""
 
     def __init__(
-        self, spark: SparkSession, path: str, auto_compact_every: int | None = None
+        self,
+        spark: SparkSession,
+        path: str,
+        auto_compact_every: int | None = None,
+        layout: str | None = None,
     ):
         """auto_compact_every=N makes compaction threshold-driven: after a
         commit that leaves ≥N live versions, compact() runs inside the same
         write lock — the semantic twin of the reference's leveled trigger
         (level-0 file count reaching its limit schedules a compaction,
-        db_impl/mod.rs:950-975). None (default) keeps compaction manual."""
+        db_impl/mod.rs:950-975). None (default) keeps compaction manual.
+
+        layout picks the physical bucketing of every version directory:
+
+        - "hash" (default): bucket = crc32(key) % B. Point reads prune to
+          one bucket by hashing the key; range scans cannot prune buckets
+          (a key range maps to every hash bucket).
+        - "range": each version is range-partitioned and key-sorted — the
+          LSM's sorted SSTable run (sstable/table_builder.rs builds sorted
+          blocks; manager/version_edit.rs records each file's
+          smallest/largest). Every bucket's key range is recorded in the
+          manifest, so BOTH point reads and range scans/compactions prune
+          at bucket granularity before any file is opened.
+
+        The layout is pinned by a LAYOUT marker next to the MANIFEST on
+        first use; reopening a table adopts the marker (passing a
+        conflicting explicit layout raises). Versions written before a
+        layout existed carry no bucket ranges and degrade to no bucket
+        pruning — correctness is unaffected in every mixed case because
+        pruning always derives from per-version manifest metadata, never
+        from the table-level default.
+        """
         self.spark = spark
         self.path = path
         self.auto_compact_every = auto_compact_every
@@ -125,6 +165,25 @@ class KVTable:
         self._flock_fd: int | None = None
         self._lease_held = False  # O_EXCL lease fallback, see _acquire_flock
         os.makedirs(path, exist_ok=True)
+        if layout is not None and layout not in _LAYOUTS:
+            raise ValueError(f"layout must be one of {_LAYOUTS}, got {layout!r}")
+        marker = Path(path) / "LAYOUT"
+        existing: str | None = None
+        try:
+            existing = marker.read_text(encoding="utf-8").strip() or None
+        except OSError:
+            pass
+        if existing is not None and layout is not None and layout != existing:
+            raise ValueError(
+                f"table at {path} has layout {existing!r}; cannot reopen as {layout!r}"
+            )
+        self.layout = existing or layout or "hash"
+        # only the non-default layout needs the marker: absence == hash, so
+        # hash tables (incl. every pre-existing one) never gain a new file
+        if self.layout == "range" and existing is None:
+            tmp = marker.with_suffix(f".tmp.{os.getpid()}")
+            tmp.write_text(self.layout, encoding="utf-8")
+            os.replace(tmp, marker)
 
     def _acquire_flock(self) -> None:
         """Blocking exclusive flock on <table>/.lock (cross-handle writer
@@ -325,11 +384,17 @@ class KVTable:
                 except (ValueError, KeyError, TypeError):
                     continue  # torn append: never committed, skip
                 if op == "add":
-                    state[v] = {
+                    meta = {
                         "buckets": rec.get("buckets", []),
                         "kmin": rec.get("kmin"),
                         "kmax": rec.get("kmax"),
                     }
+                    if rec.get("bucket_ranges"):
+                        meta["bucket_ranges"] = {
+                            int(b): (r[0], r[1])
+                            for b, r in rec["bucket_ranges"].items()
+                        }
+                    state[v] = meta
                 elif op == "drop":
                     state.pop(v, None)
         return state
@@ -453,12 +518,18 @@ class KVTable:
     @staticmethod
     def _add_record(v: int, meta: dict | list) -> dict:
         """Normalize a manifest 'add' record; meta is either a bare bucket
-        list (legacy) or {"buckets", "kmin", "kmax"} (None ranges omitted)."""
+        list (legacy) or {"buckets", "kmin", "kmax"[, "bucket_ranges"]}
+        (None ranges omitted; bucket_ranges JSON-encodes bucket ids as
+        string keys)."""
         if isinstance(meta, list):
             meta = {"buckets": meta}
         rec = {"op": "add", "v": v, "buckets": meta.get("buckets", [])}
         if meta.get("kmin") is not None and meta.get("kmax") is not None:
             rec["kmin"], rec["kmax"] = meta["kmin"], meta["kmax"]
+        if meta.get("bucket_ranges"):
+            rec["bucket_ranges"] = {
+                str(b): [r[0], r[1]] for b, r in meta["bucket_ranges"].items()
+            }
         return rec
 
     def _write_manifest_snapshot(self, state: dict[int, dict]) -> None:
@@ -477,6 +548,118 @@ class KVTable:
         os.replace(tmp, self._manifest)  # atomic on POSIX
         if state:
             self._bump_committed_marker(max(state))
+
+    def _bucket_key_ranges(
+        self, v: int, buckets: list[int]
+    ) -> dict[int, tuple[str, str]] | None:
+        """Per-bucket key ranges from parquet FOOTER statistics — the LSM
+        reading each sealed SSTable's smallest/largest out of its own file
+        metadata (manager/version_edit.rs FileMetaData), driver-side, no
+        data IO and no extra Spark job. Parquet writers may truncate or
+        omit long binary min/max stats: a truncated min is a prefix of the
+        true min (still a sound lower bound) and parquet-mr omits rather
+        than weakens an oversized max, so harvested bounds are sound or
+        absent. ANY absence → None: the version commits without bucket
+        ranges and simply isn't bucket-pruned (correctness unaffected)."""
+        import pyarrow.parquet as pq
+
+        out: dict[int, tuple[str, str]] = {}
+        for b in buckets:
+            bdir = Path(f"{self.path}/version={v}/bucket={b}")
+            mins: list[str] = []
+            maxs: list[str] = []
+            for fp in sorted(bdir.glob("*.parquet")):
+                try:
+                    md = pq.ParquetFile(fp).metadata
+                except Exception:
+                    return None
+                idx = next(
+                    (
+                        i
+                        for i in range(md.num_columns)
+                        if md.schema.column(i).name == "key"
+                    ),
+                    None,
+                )
+                if idx is None:
+                    return None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        mn = mn.decode("utf-8", errors="surrogateescape")
+                    if isinstance(mx, bytes):
+                        mx = mx.decode("utf-8", errors="surrogateescape")
+                    mins.append(mn)
+                    maxs.append(mx)
+            if not mins:
+                return None
+            out[b] = (min(mins), max(maxs))
+        return out
+
+    def _write_version_df(
+        self,
+        rows: DataFrame,
+        v: int,
+        known_range: tuple[str, str] | None = None,
+        allow_empty: bool = False,
+    ) -> dict | None:
+        """Shuffle + write one version directory in the table's layout and
+        return its manifest meta ({"buckets", "kmin", "kmax"
+        [, "bucket_ranges"]}). An empty batch removes the directory and
+        returns None — unless allow_empty (MergeKVTable commits complete
+        states, and an all-deleted state is a legitimate empty version).
+
+        hash layout: crc32(key) % B shuffle; the global key range rides the
+        write job as an Observation (zero extra jobs) unless the caller
+        already knows it (driver-side dict batches).
+        range layout: repartitionByRange(key) + sortWithinPartitions(key) —
+        each bucket is a key-sorted, range-disjoint run (the sorted
+        SSTable); per-bucket smallest/largest are harvested from the
+        parquet footers afterwards (see _bucket_key_ranges). The extra
+        range-boundary sampling job is the LSM's sort cost."""
+        import shutil
+
+        root = Path(f"{self.path}/version={v}")
+        self._clear_orphan(v)
+        obs: Observation | None = None
+        if self.layout == "range":
+            out = (
+                rows.repartitionByRange(_KV_BUCKETS, F.col("key"))
+                .sortWithinPartitions("key")
+                .withColumn("bucket", F.spark_partition_id())
+            )
+        else:
+            out = rows.withColumn("bucket", _bucket_col())
+            if known_range is None:
+                obs = Observation()
+                out = out.observe(
+                    obs, F.min("key").alias("kmin"), F.max("key").alias("kmax")
+                )
+            out = out.repartition(_KV_BUCKETS, F.col("bucket"))
+        out.write.mode("errorifexists").partitionBy("bucket").parquet(str(root))
+        buckets = sorted(
+            int(b.name.split("=")[1]) for b in root.glob("bucket=*") if b.is_dir()
+        )
+        if not buckets:
+            if allow_empty:
+                return {"buckets": []}
+            shutil.rmtree(root, ignore_errors=True)
+            return None
+        if self.layout == "range":
+            meta: dict = {"buckets": buckets}
+            ranges = self._bucket_key_ranges(v, buckets)
+            if ranges:
+                meta["bucket_ranges"] = ranges
+                meta["kmin"] = min(r[0] for r in ranges.values())
+                meta["kmax"] = max(r[1] for r in ranges.values())
+            elif known_range is not None:
+                meta["kmin"], meta["kmax"] = known_range
+            return meta
+        kmin, kmax = known_range if known_range is not None else _obs_range(obs)
+        return {"buckets": buckets, "kmin": kmin, "kmax": kmax}
 
     def _commit_version(
         self, v: int, kmin: str | None = None, kmax: str | None = None
@@ -517,16 +700,16 @@ class KVTable:
         rows += [(k, None, "del", v) for k in dels]
         if not rows:
             return self.latest_version()
-        df = self.spark.createDataFrame(rows, _SCHEMA).withColumn("bucket", _bucket_col())
-        # one shuffle to co-locate buckets → exactly one file per bucket dir;
-        # without it every input slice writes its own sliver into every bucket
-        # (32 slices × 16 buckets = hundreds of tiny files per version)
-        self._clear_orphan(v)
-        df.repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
-            "errorifexists"
-        ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
-        keys = [r[0] for r in rows]  # driver-side batch: key range is free
-        self._commit_version(v, kmin=min(keys), kmax=max(keys))
+        df = self.spark.createDataFrame(rows, _SCHEMA)
+        # the layout-specific shuffle co-locates buckets → exactly one file
+        # per bucket dir; without it every input slice writes its own sliver
+        # into every bucket (32 slices × 16 buckets = hundreds of tiny files
+        # per version). Driver-side batch: the key range is free.
+        keys = [r[0] for r in rows]
+        meta = self._write_version_df(df, v, known_range=(min(keys), max(keys)))
+        if meta is None:
+            return self.latest_version()
+        self._append_manifest(self._add_record(v, meta))
         self._maybe_auto_compact()
         return v
 
@@ -551,31 +734,17 @@ class KVTable:
             F.col("value").cast("string").alias("value"),
             F.col("op").cast("string").alias("op"),
             F.lit(v).cast("long").alias("version"),
-        ).withColumn("bucket", _bucket_col())
-        self._clear_orphan(v)
-        # Observation piggybacks the key-range aggregate on the write job
-        # itself (zero extra Spark jobs — the streaming commit path stays
-        # one job per micro-batch); this is the LSM recording each file's
-        # smallest/largest key as it seals the SSTable.
-        obs = Observation()
-        out.observe(obs, F.min("key").alias("kmin"), F.max("key").alias("kmax")).repartition(
-            _KV_BUCKETS, F.col("bucket")
-        ).write.mode("errorifexists").partitionBy("bucket").parquet(
-            f"{self.path}/version={v}"
         )
-        root = Path(f"{self.path}/version={v}")
-        buckets = sorted(
-            int(b.name.split("=")[1]) for b in root.glob("bucket=*") if b.is_dir()
-        )
-        if not buckets:  # empty batch: no data dirs were produced — no commit
-            import shutil
-
-            shutil.rmtree(root, ignore_errors=True)
+        # hash layout: an Observation piggybacks the key-range aggregate on
+        # the write job itself (zero extra Spark jobs — the streaming commit
+        # path stays one job per micro-batch); range layout harvests exact
+        # per-bucket ranges from the parquet footers instead. Either way
+        # this is the LSM recording each file's smallest/largest key as it
+        # seals the SSTable.
+        meta = self._write_version_df(out, v)
+        if meta is None:  # empty batch: no data dirs were produced — no commit
             return self.latest_version()
-        kmin, kmax = _obs_range(obs)
-        self._append_manifest(
-            self._add_record(v, {"buckets": buckets, "kmin": kmin, "kmax": kmax})
-        )
+        self._append_manifest(self._add_record(v, meta))
         self._maybe_auto_compact()
         return v
 
@@ -591,14 +760,20 @@ class KVTable:
         """Does version range [kmin, kmax] (inclusive actual keys) intersect
         the query range [start, end)? Unknown metadata → True (conservative:
         pruning may be lost, correctness never)."""
-        kmin, kmax = meta.get("kmin"), meta.get("kmax")
-        if kmin is None or kmax is None:
-            return True
-        if start is not None and kmax < start:
-            return False
-        if end is not None and kmin >= end:
-            return False
-        return True
+        return _range_intersects((meta.get("kmin"), meta.get("kmax")), start, end)
+
+    def _version_bucket_paths(
+        self, v: int, meta: dict, start: str | None = None, end: str | None = None
+    ) -> list[str]:
+        """Bucket dirs of one version, pruned to [start, end) when the
+        manifest recorded per-bucket key ranges (range layout) — the LSM
+        skipping SSTables whose smallest/largest miss the query. Buckets
+        without a recorded range stay in (conservative)."""
+        bs = meta["buckets"]
+        branges = meta.get("bucket_ranges")
+        if branges and (start is not None or end is not None):
+            bs = [b for b in bs if _range_intersects(branges.get(b), start, end)]
+        return [f"{self.path}/version={v}/bucket={b}" for b in bs]
 
     def _delta_paths(
         self,
@@ -623,11 +798,10 @@ class KVTable:
                 meta, start, end
             ):
                 continue
-            root = f"{self.path}/version={v}"
             if bucket is None:
-                out.extend(f"{root}/bucket={b}" for b in meta["buckets"])
+                out.extend(self._version_bucket_paths(v, meta, start, end))
             elif bucket in meta["buckets"]:
-                out.append(f"{root}/bucket={bucket}")
+                out.append(f"{self.path}/version={v}/bucket={bucket}")
         return out
 
     def _read_deltas(self, paths: list[str]) -> DataFrame | None:
@@ -671,10 +845,16 @@ class KVTable:
         under each version (1/B of the table's files — the LSM point-read
         shape, db_trait.rs:17-34), with the key predicate pushed to parquet;
         versions whose recorded key range excludes the key are skipped
-        entirely (the smallest/largest SSTable check before the bloom)."""
+        entirely (the smallest/largest SSTable check before the bloom).
+        Hash layout finds the bucket by hashing the key; range layout finds
+        it through the manifest's per-bucket ranges (the same start/end
+        parameters drive _version_bucket_paths)."""
         deltas = self._read_deltas(
             self._delta_paths(
-                as_of, bucket=bucket_of(key), start=key, end=key + "\x00"
+                as_of,
+                bucket=bucket_of(key) if self.layout == "hash" else None,
+                start=key,
+                end=key + "\x00",
             )
         )
         if deltas is None:
@@ -725,25 +905,13 @@ class KVTable:
         v = self.latest_version() + 1
         out = state.withColumn("version", F.lit(v).cast("long")).select(
             "key", "value", "op", "version"
-        ).withColumn("bucket", _bucket_col())
-        self._clear_orphan(v)
+        )
         # same one-file-per-bucket discipline as write_batch — the compacted
-        # base is the version every subsequent read opens; Observation rides
-        # the write job to record the base's key range (no extra job)
-        obs = Observation()
-        out.observe(
-            obs, F.min("key").alias("kmin"), F.max("key").alias("kmax")
-        ).repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
-            "errorifexists"
-        ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
-        root = Path(f"{self.path}/version={v}")
-        buckets = sorted(
-            int(b.name.split("=")[1]) for b in root.glob("bucket=*") if b.is_dir()
-        )
-        kmin, kmax = _obs_range(obs)
-        self._write_manifest_snapshot(
-            {v: {"buckets": buckets, "kmin": kmin, "kmax": kmax}}
-        )
+        # base is the version every subsequent read opens. allow_empty keeps
+        # the historical contract that compacting an all-deleted table still
+        # publishes the (empty) base version.
+        meta = self._write_version_df(out, v, allow_empty=True)
+        self._write_manifest_snapshot({v: meta})
         # floor BEFORE cleanup: if the manifest is lost while the rmtrees
         # below are still running, recovery must not resurrect the retired
         # versions (see _bump_floor)
@@ -800,33 +968,27 @@ class KVTable:
 
         state: dict[int, dict] = {}
 
-        def write_version(df: DataFrame, v: int) -> tuple[list[int], dict]:
-            self._clear_orphan(v)
-            obs = Observation()
-            df.observe(
-                obs, F.min("key").alias("kmin"), F.max("key").alias("kmax")
-            ).repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
-                "errorifexists"
-            ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
-            root = Path(f"{self.path}/version={v}")
-            buckets = sorted(
-                int(b.name.split("=")[1]) for b in root.glob("bucket=*") if b.is_dir()
-            )
-            kmin, kmax = _obs_range(obs)
-            return buckets, {"buckets": buckets, "kmin": kmin, "kmax": kmax}
-
-        def link_clone(o: int, v: int) -> None:
-            """Hardlink every file of version=o under version=v (same
-            filesystem — both live in the table dir). The effective version
-            of a row is re-derived from the directory name at read time
-            (_read_deltas), so the clone IS the renumbered version."""
-            self._clear_orphan(v)
+        def link_clone(o: int, v: int, buckets: list[int] | None = None) -> None:
+            """Hardlink version=o's files under version=v (same filesystem —
+            both live in the table dir); buckets=None clones the whole
+            version, a list clones only those bucket dirs (range layout's
+            non-overlapping SSTables carried forward file-by-file). The
+            effective version of a row is re-derived from the directory name
+            at read time (_read_deltas), so the clone IS the renumbered
+            version. Links into an existing version dir are fine — the
+            Spark write that created it owns disjoint bucket ids."""
+            if buckets is None:
+                self._clear_orphan(v)
             src, dst = Path(f"{self.path}/version={o}"), Path(f"{self.path}/version={v}")
-            for sdir, _dirs, files in os.walk(src):
-                ddir = dst / Path(sdir).relative_to(src)
-                ddir.mkdir(parents=True, exist_ok=True)
-                for fn in files:
-                    os.link(Path(sdir) / fn, ddir / fn)
+            roots = (
+                [src] if buckets is None else [src / f"bucket={b}" for b in buckets]
+            )
+            for r in roots:
+                for sdir, _dirs, files in os.walk(r):
+                    ddir = dst / Path(sdir).relative_to(src)
+                    ddir.mkdir(parents=True, exist_ok=True)
+                    for fn in files:
+                        os.link(Path(sdir) / fn, ddir / fn)
 
         # merged in-range base (new lowest version — disjoint keys from the
         # rewritten history, so relative position is irrelevant)
@@ -840,13 +1002,12 @@ class KVTable:
                 F.lit("put").alias("op"),
                 F.lit(v).cast("long").alias("version"),
             )
-            .withColumn("bucket", _bucket_col())
         )
-        buckets, meta = write_version(base, v)
-        if buckets:
+        # no live in-range keys → _write_version_df drops the empty dir and
+        # returns None; numbering stays dense either way
+        meta = self._write_version_df(base, v)
+        if meta is not None:
             state[v] = meta
-        else:  # no live in-range keys: drop the empty dir, keep numbering dense
-            shutil.rmtree(f"{self.path}/version={v}", ignore_errors=True)
         nxt = v + 1
         # out-of-range history: one version per old version, in the original
         # ascending order (shadowing among surviving keys preserved — and
@@ -863,27 +1024,76 @@ class KVTable:
                 state[nxt] = dict(meta_o)
                 nxt += 1
                 continue
+            # range layout records per-bucket key ranges: rewrite ONLY the
+            # buckets overlapping [start, end) and hardlink-clone the rest —
+            # the LSM rewriting only the SSTables the range touches. Hash
+            # layout (or absent metadata) rewrites every bucket.
+            branges = meta_o.get("bucket_ranges")
+            if branges and set(branges) >= set(meta_o["buckets"]):
+                hit = [
+                    b
+                    for b in meta_o["buckets"]
+                    if _range_intersects(branges.get(b), start, end)
+                ]
+                miss = [b for b in meta_o["buckets"] if b not in set(hit)]
+            else:
+                hit, miss = list(meta_o["buckets"]), []
             rows = self._read_deltas(
-                [f"{self.path}/version={o}/bucket={b}" for b in meta_o["buckets"]]
+                [f"{self.path}/version={o}/bucket={b}" for b in hit]
             )
-            if rows is None:
-                continue
-            kept = (
-                rows.filter(~in_range(F.col("key")))
-                .select(
+            self._clear_orphan(nxt)
+            wrote: list[int] = []
+            if rows is not None:
+                # preserve each kept row's ORIGINAL bucket id (derived from
+                # its file path) so cloned and rewritten buckets share one
+                # consistent id space — and, for range layout, so every
+                # bucket keeps its range-disjointness
+                kept = rows.filter(~in_range(F.col("key"))).select(
                     "key",
                     "value",
                     "op",
                     F.lit(nxt).cast("long").alias("version"),
+                    F.regexp_extract(F.input_file_name(), r"bucket=(\d+)", 1)
+                    .cast("int")
+                    .alias("bucket"),
                 )
-                .withColumn("bucket", _bucket_col())
-            )
-            kb, kmeta = write_version(kept, nxt)
-            if kb:
-                state[nxt] = kmeta
-                nxt += 1
-            else:
+                kept = kept.repartition(
+                    max(len(hit), 1), F.col("bucket")
+                ).sortWithinPartitions("bucket", "key")
+                kept.write.mode("errorifexists").partitionBy("bucket").parquet(
+                    f"{self.path}/version={nxt}"
+                )
+                vroot = Path(f"{self.path}/version={nxt}")
+                wrote = sorted(
+                    int(b.name.split("=")[1])
+                    for b in vroot.glob("bucket=*")
+                    if b.is_dir()
+                )
+            if miss:
+                link_clone(o, nxt, buckets=miss)
+            buckets = sorted(set(wrote) | set(miss))
+            if not buckets:
                 shutil.rmtree(f"{self.path}/version={nxt}", ignore_errors=True)
+                continue
+            kmeta: dict = {"buckets": buckets}
+            if branges:
+                nr = {b: branges[b] for b in miss if b in branges}
+                wr = self._bucket_key_ranges(nxt, wrote) if wrote else {}
+                if wr is not None:
+                    nr.update(wr)
+                    if nr:
+                        kmeta["bucket_ranges"] = nr
+                        kmeta["kmin"] = min(r[0] for r in nr.values())
+                        kmeta["kmax"] = max(r[1] for r in nr.values())
+            if (
+                "kmin" not in kmeta
+                and meta_o.get("kmin") is not None
+                and meta_o.get("kmax") is not None
+            ):
+                # superset of the kept rows' true range — sound for pruning
+                kmeta["kmin"], kmeta["kmax"] = meta_o["kmin"], meta_o["kmax"]
+            state[nxt] = kmeta
+            nxt += 1
         self._write_manifest_snapshot(state)
         # floor BEFORE cleanup — every surviving version number is ≥ v, so a
         # recovery after manifest loss mid-cleanup quarantines the retired
@@ -931,16 +1141,11 @@ class MergeKVTable(KVTable):
             "value",
             F.lit("put").alias("op"),
             F.lit(v).cast("long").alias("version"),
-        ).withColumn("bucket", _bucket_col())
-        self._clear_orphan(v)
-        obs = Observation()
-        out.observe(
-            obs, F.min("key").alias("kmin"), F.max("key").alias("kmax")
-        ).repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
-            "errorifexists"
-        ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
-        kmin, kmax = _obs_range(obs)
-        self._commit_version(v, kmin=kmin, kmax=kmax)
+        )
+        # allow_empty: deleting the last live key legitimately commits an
+        # empty complete-state version (the live state IS empty)
+        meta = self._write_version_df(out, v, allow_empty=True)
+        self._append_manifest(self._add_record(v, meta))
         self._maybe_auto_compact()
         return v
 
@@ -967,16 +1172,9 @@ class MergeKVTable(KVTable):
             "value",
             F.lit("put").alias("op"),
             F.lit(v).cast("long").alias("version"),
-        ).withColumn("bucket", _bucket_col())
-        self._clear_orphan(v)
-        obs = Observation()
-        out.observe(
-            obs, F.min("key").alias("kmin"), F.max("key").alias("kmax")
-        ).repartition(_KV_BUCKETS, F.col("bucket")).write.mode(
-            "errorifexists"
-        ).partitionBy("bucket").parquet(f"{self.path}/version={v}")
-        kmin, kmax = _obs_range(obs)
-        self._commit_version(v, kmin=kmin, kmax=kmax)
+        )
+        meta = self._write_version_df(out, v, allow_empty=True)
+        self._append_manifest(self._add_record(v, meta))
         self._maybe_auto_compact()
         return v
 
@@ -996,9 +1194,8 @@ class MergeKVTable(KVTable):
             # every version is complete state — a range miss on the live
             # version means no in-range keys exist at all
             return self.spark.createDataFrame([], "key string, value string")
-        df = self._read_deltas(
-            [f"{self.path}/version={v}/bucket={b}" for b in state[v]["buckets"]]
-        )
+        start, end = key_range if key_range else (None, None)
+        df = self._read_deltas(self._version_bucket_paths(v, state[v], start, end))
         if df is None:
             return self.spark.createDataFrame([], "key string, value string")
         return df.select("key", "value")
@@ -1008,12 +1205,21 @@ class MergeKVTable(KVTable):
         vs = sorted(v for v in state if as_of is None or v <= as_of)
         if not vs:
             return None
-        v, b = vs[-1], bucket_of(key)
-        if b not in state[v]["buckets"]:
-            return None
+        v = vs[-1]
         if not self._intersects(state[v], key, key + "\x00"):
             return None  # key outside the live state's recorded range
-        df = self._read_deltas([f"{self.path}/version={v}/bucket={b}"])
+        if self.layout == "hash":
+            b = bucket_of(key)
+            if b not in state[v]["buckets"]:
+                return None
+            paths = [f"{self.path}/version={v}/bucket={b}"]
+        else:
+            # range layout: the manifest's per-bucket ranges locate the
+            # key's bucket(s); absent ranges degrade to all buckets
+            paths = self._version_bucket_paths(v, state[v], key, key + "\x00")
+        if not paths:
+            return None
+        df = self._read_deltas(paths)
         return df.filter(F.col("key") == key).select("key", "value")
 
     def compact_range(self, start: str | None = None, end: str | None = None) -> int:

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import tempfile
+from pathlib import Path
 
 import pytest
 
@@ -743,3 +744,191 @@ def test_recovered_manifest_degrades_to_unknown_ranges(spark):
         assert len({p.split("/bucket=")[0] for p in kv2._delta_paths(start="a", end="b")}) == 2
         # ...and the data is still exact
         assert kv2.get("a1") == "1" and kv2.get("z1") == "2"
+
+
+# ---------------------------------------------------------------------------
+# Range layout (round 8): range-partitioned, key-sorted buckets with
+# per-bucket key ranges in the manifest — the LSM's sorted SSTable run
+# (reference: sstable/table_builder.rs sorted blocks; manager/version_edit.rs
+# FileMetaData smallest/largest). Hash layout cannot prune buckets for a key
+# RANGE; range layout prunes both point reads and range scans/compactions at
+# bucket granularity.
+# ---------------------------------------------------------------------------
+@pytest.fixture(params=["lsm", "merge"])
+def kv_range(spark, request):
+    cls = KVTable if request.param == "lsm" else MergeKVTable
+    with tempfile.TemporaryDirectory() as d:
+        yield cls(spark, d, layout="range")
+
+
+def test_range_layout_core_semantics(kv_range):
+    """Full put/get/delete/batch/MVCC/scan/compact contract is layout-
+    independent — the layout only changes the physical bucketing."""
+    kv = kv_range
+    v1 = kv.put("k", "first")
+    kv.put("k", "second")
+    kv.write_batch(puts={"b": "2", "a": "1", "d": "4"}, deletes=[])
+    kv.delete("d")
+    assert kv.get("k") == "second"
+    assert kv.get("k", as_of=v1) == "first"
+    assert kv.get("d") is None
+    assert [r.key for r in kv.scan(start="a", end="c").collect()] == ["a", "b"]
+    kv.compact()
+    assert kv.get("k") == "second"
+    assert kv.get("a") == "1"
+    assert kv.get("d") is None
+    assert len(kv._versions()) == 1
+
+
+def test_range_layout_marker_pins_layout(spark):
+    """LAYOUT marker: written on first range use, adopted on reopen,
+    conflicting explicit layout refused; hash tables never gain the file."""
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d, layout="range")
+        kv.put("a", "1")
+        assert (Path(d) / "LAYOUT").read_text().strip() == "range"
+        reopened = KVTable(spark, d)  # no explicit layout: adopts marker
+        assert reopened.layout == "range"
+        assert reopened.get("a") == "1"
+        with pytest.raises(ValueError, match="layout"):
+            KVTable(spark, d, layout="hash")
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d)  # default hash
+        kv.put("a", "1")
+        assert kv.layout == "hash"
+        assert not os.path.exists(os.path.join(d, "LAYOUT"))
+    with pytest.raises(ValueError, match="layout must be"):
+        KVTable(spark, "/tmp/never-created-kv", layout="zorder")
+
+
+def test_range_layout_buckets_sorted_and_disjoint(spark):
+    """Each bucket is a key-sorted run and the manifest's per-bucket ranges
+    are pairwise disjoint — the range-partitioned SSTable invariant that
+    makes bucket pruning sound."""
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d, layout="range")
+        v = kv.write_batch(puts={f"k{i:03d}": str(i) for i in range(200)})
+        meta = kv._load_manifest()[v]
+        branges = meta["bucket_ranges"]
+        assert len(branges) > 4  # really spread over multiple buckets
+        spans = sorted(branges.values())
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 < lo2, "bucket ranges overlap"
+        assert meta["kmin"] == "k000" and meta["kmax"] == "k199"
+        for b, (lo, hi) in branges.items():
+            files = sorted(Path(f"{d}/version={v}/bucket={b}").glob("*.parquet"))
+            keys = []
+            for fp in files:
+                keys.extend(pq.read_table(fp, columns=["key"])["key"].to_pylist())
+            assert keys == sorted(keys), "bucket not key-sorted"
+            assert keys and keys[0] == lo and keys[-1] == hi
+
+
+def test_range_layout_scan_prunes_buckets(spark):
+    """A subrange scan opens only the buckets whose recorded range
+    intersects it — hash layout must touch every bucket for the same scan."""
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d, layout="range")
+        kv.write_batch(puts={f"k{i:03d}": str(i) for i in range(200)})
+        all_paths = kv._delta_paths(None)
+        pruned = kv._delta_paths(None, start="k050", end="k060")
+        assert len(pruned) < len(all_paths)
+        got = [r.key for r in kv.scan(start="k050", end="k060").collect()]
+        assert got == [f"k{i:03d}" for i in range(50, 60)]
+        # the scan's physical read touches only the pruned buckets
+        df = kv.snapshot(key_range=("k050", "k060"))
+        assert set(df.inputFiles()) <= {
+            f"file://{p}/{f.name}" if not f.name.startswith("file:") else f.name
+            for p in pruned
+            for f in Path(p).glob("*.parquet")
+        } | {f"file:{p}/{f.name}" for p in pruned for f in Path(p).glob("*.parquet")}
+
+
+def test_range_layout_point_read_prunes(spark):
+    """Point reads locate the key's bucket through the manifest ranges (no
+    hash function involved) and open exactly the covering bucket(s)."""
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d, layout="range")
+        v = kv.write_batch(puts={f"k{i:03d}": str(i) for i in range(200)})
+        paths = kv._delta_paths(None, start="k123", end="k123\x00")
+        assert len(paths) == 1  # disjoint ranges → exactly one covering bucket
+        assert kv.get("k123") == "123"
+        assert kv.get("nope") is None
+        # version-level pruning still composes: a later far-away batch is
+        # skipped entirely when reading a key outside its range
+        kv.write_batch(puts={"zzz": "far"})
+        paths2 = kv._delta_paths(None, start="k123", end="k123\x00")
+        assert [p for p in paths2 if f"version={v + 1}" in p] == []
+
+
+def test_range_layout_compact_range_clones_untouched_buckets(spark):
+    """compact_range on a range-layout table rewrites ONLY the buckets whose
+    recorded range intersects [start, end); every other bucket of the same
+    version is hardlink-cloned (identical part filenames — no Spark job
+    touched it). Hash layout must rewrite all buckets (a key range maps to
+    every hash bucket)."""
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d, layout="range")
+        v1 = kv.write_batch(puts={f"k{i:03d}": "old" for i in range(200)})
+        kv.write_batch(puts={f"k{i:03d}": "new" for i in range(40, 60)})
+        meta1 = kv._load_manifest()[v1]
+        touched = {
+            b
+            for b, rng in meta1["bucket_ranges"].items()
+            if not (rng[1] < "k040" or rng[0] >= "k060")
+        }
+        untouched = set(meta1["buckets"]) - touched
+        assert untouched, "need at least one non-intersecting bucket"
+        before = {
+            b: sorted(
+                f.name for f in Path(f"{d}/version={v1}/bucket={b}").glob("*.parquet")
+            )
+            for b in untouched
+        }
+        kv.compact_range("k040", "k060")
+        state = kv._load_manifest()
+        # v1's renumbered successor still carries every original bucket id;
+        # untouched buckets kept their exact part files (clone, not rewrite)
+        succ = [
+            v
+            for v, m in state.items()
+            if set(m["buckets"]) == set(meta1["buckets"])
+            and (m.get("kmin"), m.get("kmax")) == (meta1["kmin"], meta1["kmax"])
+        ]
+        assert len(succ) == 1
+        sv = succ[0]
+        for b in untouched:
+            after = sorted(
+                f.name
+                for f in Path(f"{d}/version={sv}/bucket={b}").glob("*.parquet")
+            )
+            assert after == before[b], "untouched bucket was rewritten"
+        # and the merged state is exactly right
+        assert kv.get("k045") == "new"
+        assert kv.get("k100") == "old"
+        assert kv.scan().count() == 200
+
+
+def test_range_layout_merge_table_prunes(spark):
+    """MergeKVTable under range layout: point get and key_range snapshot go
+    through the manifest's per-bucket ranges."""
+    with tempfile.TemporaryDirectory() as d:
+        kv = MergeKVTable(spark, d, layout="range")
+        kv.write_batch(puts={f"k{i:03d}": str(i) for i in range(200)})
+        kv.write_batch(puts={"k050": "updated"}, deletes=["k051"])
+        assert kv.get("k050") == "updated"
+        assert kv.get("k051") is None
+        assert kv.get("k199") == "199"
+        v = kv.latest_version()
+        meta = kv._load_manifest()[v]
+        if meta.get("bucket_ranges"):
+            sub = kv._version_bucket_paths(v, meta, "k000", "k010")
+            assert len(sub) < len(meta["buckets"])
+        # snapshot(key_range) prunes as a SUPERSET guarantee; scan applies
+        # the exact row filter on top of the pruned read
+        got = [r.key for r in kv.scan(start="k049", end="k054").collect()]
+        assert got == ["k049", "k050", "k052", "k053"]
