@@ -552,3 +552,85 @@ register(
         "keyed-subrange compaction under the oracle: 3 disjoint-key KV versions, compact_range over a key subrange, state == whole-feed net-effect compaction",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Seventh gated spec (round 8): the KV RANGE layout end-to-end. Same CDC
+# feed, but the table is layout="range": every version is written as
+# key-sorted, range-disjoint buckets whose smallest/largest are recorded in
+# the manifest (the LSM's sorted SSTable run + FileMetaData,
+# reference: src/storage_engine/src/sstable/table_builder.rs,
+# src/storage_engine/src/manager/version_edit.rs) — so BOTH the keyed-
+# subrange compaction and the final range scan prune at bucket granularity
+# before any file is opened. The audited invariant: a pruned scan over
+# [start, end) on a range-layout table that was subrange-compacted equals
+# the whole-feed net-effect state restricted to the same key range. The
+# scan window (142..152) deliberately straddles the compaction boundary
+# (145): its result merges the in-range compacted base, rewritten
+# out-of-range history, AND hardlink-cloned untouched buckets — a pruning
+# bug on any of the three (bucket range mis-recorded after clone, footer
+# stats mis-harvested, boundary off-by-one in _range_intersects)
+# hash-mismatches.
+# ---------------------------------------------------------------------------
+def kv_range_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from templatedb_spark.kv import KVTable
+    from templatedb_spark.streaming.cdc import (
+        changes_from_events,
+        compact_net_effect,
+        kv_value_col,
+    )
+    from templatedb_spark.suite import table
+
+    kv_dir = tempfile.mkdtemp(prefix="rl_kv_")
+    atexit.register(shutil.rmtree, kv_dir, ignore_errors=True)
+    kv = KVTable(spark, kv_dir, layout="range")
+    feed = changes_from_events(table(spark, sf_dir, "events"))
+    for i in range(3):
+        net = compact_net_effect(feed.filter(F.col("key") % 3 == i))
+        kv.write_batch_df(
+            net.select(
+                F.col("key").cast("string").alias("key"),
+                F.when(F.col("event_type") != "error", kv_value_col()).alias("value"),
+                F.when(F.col("event_type") == "error", F.lit("del"))
+                .otherwise(F.lit("put"))
+                .alias("op"),
+            )
+        )
+    kv.compact_range("145", "155")  # lexicographic: keys 1450-1549
+    snap = kv.scan(start="142", end="152")  # straddles the 1450 boundary
+    parts = F.split(F.col("value"), r"\|", 2)
+    return snap.select(
+        F.col("key").cast("long").alias("key"),
+        parts.getItem(0).alias("event_type"),
+        parts.getItem(1).cast("double").alias("value"),
+    )
+
+
+_KV_RANGE_SCAN_ORACLE = f"""
+WITH changes AS (
+  SELECT user_id + {CDC_KEY_OFFSET} AS key, ts, event_id, event_type, value
+  FROM events
+),
+latest AS (
+  SELECT key, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+)
+SELECT key::BIGINT AS key, event_type, value::DOUBLE AS value
+FROM latest
+WHERE event_type <> 'error'
+  AND key::VARCHAR >= '142' AND key::VARCHAR < '152'
+"""
+
+register(
+    QuerySpec(
+        "kv_range_layout_scan",
+        kv_range_layout_scan,
+        _KV_RANGE_SCAN_ORACLE,
+        "range-layout KV: sorted range-disjoint buckets + manifest key ranges; subrange compaction then a bucket-pruned scan straddling the compaction boundary == net-effect state restricted to the scan range",
+    )
+)

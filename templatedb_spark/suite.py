@@ -113,6 +113,15 @@ def all_specs() -> dict[str, QuerySpec]:
         "dedup_ngram_capped",
     }
     covered -= changed_r7
+    # Round-8 churn: the KV write path was refactored into the layout-aware
+    # _write_version_df (kv.py — range layout, per-bucket key ranges,
+    # bucket-granular compact_range). Same semantics and same physical shape
+    # for the default hash layout, but every KV-backed spec now commits
+    # through the new code, so their prior-round rows no longer vouch.
+    changed_r8 = {
+        "stream_cdc_kv_state", "cdc_apply", "kv_compact_range_state",
+    }
+    covered -= changed_r8
     # The round-2 verdict singled out eleven specs that no driver round has
     # ever audited ("close the CORRECTNESS union"); the driver caps how many
     # entries it records per round, so those eleven outrank every other
