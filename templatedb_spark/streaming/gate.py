@@ -634,3 +634,99 @@ register(
         "range-layout KV: sorted range-disjoint buckets + manifest key ranges; subrange compaction then a bucket-pruned scan straddling the compaction boundary == net-effect state restricted to the scan range",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Eighth gated spec (round 8): bounded-state streaming EXACT dedup on ingest
+# — Spark's native dropDuplicatesWithinWatermark (streaming/ingest.py), the
+# production ingest-dedup shape whose state is bounded by the watermark
+# horizon instead of the corpus. The synthetic corpus has no exact twins, so
+# the stager deterministically injects them: every doc_id % 50 == 0 gains a
+# verbatim clone (+10000) and every doc_id % 70 == 0 a whitespace variant
+# (+20000, ' ' -> '  ' — same fingerprint after normalization, which puts
+# the Spark-vs-DuckDB normalization parity itself under the gate). Batch
+# routing is by rank within fingerprint group (i-th copy -> micro-batch i),
+# so EVERY duplicate pair straddles a micro-batch boundary by construction —
+# a green row proves cross-batch state suppression for all 18 groups, not
+# one sentinel pair. The oracle reconstructs the same augmented corpus in
+# SQL and elects min(doc_id) per fingerprint; any admitted duplicate is a
+# row-count mismatch, any wrong survivor a hash mismatch.
+# ---------------------------------------------------------------------------
+def _stage_ingest_microbatches(sf_dir: str, out_dir: str, n_batches: int = 3) -> None:
+    """Augment documents with deterministic dup tiers and stage each
+    fingerprint's i-th copy into micro-batch i (pandas rank routing — the
+    normalization here only decides ROUTING; the audited fingerprint parity
+    is Spark-vs-DuckDB, both of which compute md5 over their own
+    regexp_replace)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    clones = df[df.doc_id % 50 == 0].copy()
+    clones["doc_id"] += 10_000
+    ws = df[df.doc_id % 70 == 0].copy()
+    ws["doc_id"] += 20_000
+    ws["text"] = ws["text"].str.replace(" ", "  ", regex=False)
+    aug = (
+        pd.concat([df, clones, ws], ignore_index=True)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    norm = aug["text"].str.lower().str.replace(r"\s+", " ", regex=True)
+    aug["batch_idx"] = aug.groupby(norm).cumcount().clip(upper=n_batches - 1)
+    for i in range(n_batches):
+        part = aug[aug.batch_idx == i][["doc_id", "text", "batch_idx"]]
+        p = f"{out_dir}/part-{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def stream_dedup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from templatedb_spark.streaming.ingest import stream_dedup_ingest
+    from templatedb_spark.streaming.neardup import read_documents_stream
+
+    stage = tempfile.mkdtemp(prefix="ing_stage_")
+    _stage_ingest_microbatches(sf_dir, stage)
+    name = f"gate_ingest_{os.path.basename(stage).split('_')[-1]}"
+    q = (
+        stream_dedup_ingest(read_documents_stream(spark, stage))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)  # memory sink holds the rows now
+    return spark.table(name)
+
+
+_INGEST_DEDUP_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 20000, replace(text, ' ', '  ') FROM documents WHERE doc_id % 70 = 0
+)
+SELECT MIN(doc_id)::BIGINT AS doc_id,
+       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+FROM aug GROUP BY 2
+"""
+
+register(
+    QuerySpec(
+        "stream_dedup_ingest",
+        stream_dedup_ingest_gate,
+        _INGEST_DEDUP_ORACLE,
+        "bounded-state streaming exact dedup on ingest (native dropDuplicatesWithinWatermark, 3 micro-batches, every dup pair straddles a batch boundary) vs batch min-doc_id election oracle",
+    )
+)
