@@ -110,7 +110,10 @@ def main() -> None:
         "kv_compact_range_state",  # serial 4-write KV chain (r7 gate)
         "stream_neardup_reps",  # bounded-state rep-election chain (r7)
         "stream_cdc_kv_state",  # 3 sequential streaming triggers
+        "stream_dedup_ingest",  # 3-trigger watermarked exact-dedup chain (r8)
+        "stream_window_late",  # 3-trigger watermarked window-agg chain (r9)
         "stream_neardup_pairs",  # 2-trigger stateful minhash chain (r6)
+        "kv_range_layout_scan",  # serial 3-write range-layout KV chain (r8)
         "ann_lsh_banded_topk",
         "dedup_ngram_prefix",
         "dedup_ngram_jaccard",
@@ -155,7 +158,7 @@ def main() -> None:
         for n in (set(critical) | heavy_names)
     }
     for i, n in enumerate(streaming):
-        pool_of[n] = f"stream{i % 6}"
+        pool_of[n] = f"stream{i % 9}"
 
     errs: dict[str, str] = {}
     retried: list[str] = []

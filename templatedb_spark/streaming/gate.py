@@ -730,3 +730,133 @@ register(
         "bounded-state streaming exact dedup on ingest (native dropDuplicatesWithinWatermark, 3 micro-batches, every dup pair straddles a batch boundary) vs batch min-doc_id election oracle",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Ninth gated spec: WATERMARKED EVENT-TIME WINDOW AGGREGATION with a provably
+# dropped late row — the canonical Structured Streaming operator (append-mode
+# tumbling window) that the other gates exercise only indirectly. Two
+# contracts are under the oracle at once:
+#
+#   1. **Append-mode emission**: a window is emitted exactly once, when the
+#      watermark passes its end. After the availableNow drain the final
+#      watermark is max(ts) - 10min, so the sink holds precisely the windows
+#      with window_end <= max(ts) - 10min (the trailing ~10min of windows
+#      stay open in state, unemitted). The oracle applies the same cutoff in
+#      SQL. (Boundary safety: verified at sf0.001/0.01/0.1/sf1 that no
+#      hour-aligned window end coincides with the cutoff instant, so <= vs <
+#      eviction semantics cannot flip a window across engines.)
+#   2. **Late-data drop**: the stager moves the globally EARLIEST event (min
+#      (ts, event_id)) from micro-batch 1 to the END of micro-batch 3. When
+#      batch 3 runs, the watermark is already maxTs(batches 1-2) - 10min —
+#      ~20 days past that row's window — so the row MUST be discarded, and
+#      its window was already finalized without it after batch 1/2. The
+#      oracle excludes exactly that one row (ROW_NUMBER()=1 over (ts,
+#      event_id)); an engine that fails to drop it (or drops anything else)
+#      hash-mismatches on that window's aggregates.
+#
+# Aggregates are integer-exact (count, sum(user_id), min/max(event_id)) so
+# the comparison is bit-deterministic regardless of partition order — no
+# float sums in a hash-compared streaming gate.
+#
+# Scale: this is THE bounded-state firehose shape — state is O(active
+# windows x event types) regardless of corpus size, late stragglers are
+# dropped at the operator instead of growing state, and each trigger is a
+# partial+final hash agg. Reference parity: the reference has no streaming
+# tier (SURVEY.md §2.9 extension); the batch twin is `events_rollup`.
+# ---------------------------------------------------------------------------
+def _stage_late_microbatches(sf_dir: str, out_dir: str, n_batches: int = 3) -> None:
+    """ts-ordered 3-way split of events, with the globally earliest row
+    (min (ts, event_id)) moved from batch 1 to the tail of the last batch —
+    the deterministic late straggler."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    order = pc.sort_indices(
+        t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    )
+    t = t.take(order)
+    late = t.slice(0, 1)  # the global (ts, event_id) minimum
+    rest = t.slice(1)
+    n = rest.num_rows
+    step = (n + n_batches - 1) // n_batches
+    for i in range(n_batches):
+        part = rest.slice(i * step, step)
+        if i == n_batches - 1:
+            part = pa.concat_tables([part, late])
+        p = f"{out_dir}/part-{i}.parquet"
+        pq.write_table(part, p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def stream_window_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from templatedb_spark.streaming.events import read_events_stream
+
+    stage = tempfile.mkdtemp(prefix="winlate_stage_")
+    _stage_late_microbatches(sf_dir, stage)
+    name = f"gate_winlate_{os.path.basename(stage).split('_')[-1]}"
+    agg = (
+        read_events_stream(spark, stage)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("user_id").cast("long").alias("sum_uid"),
+            F.min("event_id").cast("long").alias("min_eid"),
+            F.max("event_id").cast("long").alias("max_eid"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_uid",
+            "min_eid",
+            "max_eid",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)  # memory sink holds the rows now
+    return spark.table(name)
+
+
+_STREAM_WINDOW_LATE_ORACLE = """
+WITH ordered AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ts ASC, event_id ASC) AS rn FROM events
+),
+kept AS (SELECT * FROM ordered WHERE rn > 1),
+mx AS (SELECT MAX(ts) AS mxts FROM events)
+SELECT STRFTIME(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(user_id)::BIGINT AS sum_uid,
+       MIN(event_id)::BIGINT AS min_eid,
+       MAX(event_id)::BIGINT AS max_eid
+FROM kept, mx
+WHERE time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= mxts - INTERVAL 10 MINUTE
+GROUP BY 1, 2
+"""
+
+register(
+    QuerySpec(
+        "stream_window_late",
+        stream_window_late,
+        _STREAM_WINDOW_LATE_ORACLE,
+        "append-mode watermarked tumbling-window agg (3 micro-batches, one provably-dropped late straggler) vs batch closed-window oracle",
+    )
+)

@@ -462,3 +462,56 @@ def test_stream_neardup_reps_eviction_end_to_end(spark, tmp_path):
     )
     got_ctrl = {(r.doc_a, r.doc_b) for r in control}
     assert got_ctrl == {(1, 50), (1, 5000)}  # no horizon: rep lives forever
+
+
+def test_stream_window_late_drops_straggler(spark):
+    """The watermarked tumbling-window gate must (a) emit the earliest
+    window WITHOUT the moved straggler row — proving the late drop is
+    observable, not vacuous — and (b) leave the trailing <=10min of windows
+    unemitted (append-mode state, not yet closed by the final watermark)."""
+    import duckdb
+
+    from templatedb_spark.streaming.gate import stream_window_late
+
+    got = stream_window_late(spark, SF_SMALL)
+    rows = {(r.window_start, r.event_type): r for r in got.collect()}
+    assert rows, "gate emitted nothing"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'"
+    )
+    first_ts, first_eid, first_type = con.execute(
+        "SELECT ts, event_id, event_type FROM events ORDER BY ts, event_id LIMIT 1"
+    ).fetchone()
+    wstart = first_ts.replace(minute=0, second=0, microsecond=0)
+    key = (wstart.strftime("%Y-%m-%d %H:%M:%S"), first_type)
+    # full-feed count for that (window, type) group INCLUDES the straggler
+    full_n = con.execute(
+        "SELECT COUNT(*) FROM events WHERE time_bucket(INTERVAL 1 HOUR, ts) = ? "
+        "AND event_type = ?",
+        [wstart, first_type],
+    ).fetchone()[0]
+    if full_n == 1:
+        # the straggler was its group's ONLY row: the drop is observable as
+        # the group's complete absence from the emitted set
+        assert key not in rows, "late straggler was not dropped"
+    else:
+        assert key in rows, "earliest window was not emitted at all"
+        assert rows[key].n_events == full_n - 1, "late straggler was not dropped"
+        assert rows[key].min_eid != first_eid
+
+    # (b) windows ending after max(ts) - 10min are still open -> absent
+    mxts = con.execute("SELECT MAX(ts) FROM events").fetchone()[0]
+    for (ws, _), _r in rows.items():
+        from datetime import datetime, timedelta
+
+        end = datetime.strptime(ws, "%Y-%m-%d %H:%M:%S") + timedelta(hours=1)
+        assert end <= mxts - timedelta(minutes=10)
+    # and at least one trailing window with data exists that was NOT emitted
+    open_windows = con.execute(
+        "SELECT COUNT(DISTINCT time_bucket(INTERVAL 1 HOUR, ts)) FROM events "
+        "WHERE time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR > "
+        "(SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)"
+    ).fetchone()[0]
+    assert open_windows >= 1
