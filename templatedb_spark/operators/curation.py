@@ -1248,3 +1248,77 @@ register(
         "per-val-doc fraction of trigrams unseen in the train split (memorization/novelty probe)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair construction (round 9): the RLHF / reward-model data-prep
+# op — per prompt group, turn scalar feedback over candidate responses into
+# one (chosen, rejected) training pair. Events stand in as the feedback
+# stream: user_id is the prompt group, each event a scored candidate
+# (value = reward), and the emitted pair is the max-margin one — argmax vs
+# argmin of (value, event_id), ties broken by event_id so the pair is
+# deterministic. Groups with no strict preference (all candidates tied, or
+# a single candidate) emit nothing.
+#
+# Scale: ONE hash aggregation on the group key — the argmax/argmin ride the
+# same partial+final agg as any min/max (struct ordering), so there is no
+# window, no self-join, and above all no all-pairs expansion (the naive
+# "every (better, worse) combination" construction is quadratic per group
+# and is exactly what this operator avoids at 100 TB).
+# ---------------------------------------------------------------------------
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    agg = cand.groupBy("user_id").agg(
+        F.max(F.struct(F.col("value"), F.col("event_id"))).alias("ch"),
+        F.min(F.struct(F.col("value"), F.col("event_id"))).alias("rj"),
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+    )
+    return agg.filter(F.col("ch.value") > F.col("rj.value")).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ch.event_id").cast("long").alias("chosen_event_id"),
+        F.col("rj.event_id").cast("long").alias("rejected_event_id"),
+        F.col("ch.value").cast("double").alias("chosen_value"),
+        F.col("rj.value").cast("double").alias("rejected_value"),
+        (F.col("ch.value") - F.col("rj.value")).cast("double").alias("margin"),
+        "n_candidates",
+    )
+
+
+_PREF_ORACLE = """
+WITH cand AS (
+  SELECT user_id, event_id, value FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rb,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rw,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM cand
+),
+pairs AS (
+  SELECT user_id,
+         MAX(CASE WHEN rb = 1 THEN event_id END) AS chosen_event_id,
+         MAX(CASE WHEN rw = 1 THEN event_id END) AS rejected_event_id,
+         MAX(CASE WHEN rb = 1 THEN value END) AS chosen_value,
+         MAX(CASE WHEN rw = 1 THEN value END) AS rejected_value,
+         MAX(n) AS n_candidates
+  FROM r GROUP BY user_id
+)
+SELECT user_id::BIGINT AS user_id,
+       chosen_event_id::BIGINT AS chosen_event_id,
+       rejected_event_id::BIGINT AS rejected_event_id,
+       chosen_value::DOUBLE AS chosen_value,
+       rejected_value::DOUBLE AS rejected_value,
+       (chosen_value - rejected_value)::DOUBLE AS margin,
+       n_candidates::BIGINT AS n_candidates
+FROM pairs WHERE chosen_value > rejected_value
+"""
+
+register(
+    QuerySpec(
+        "preference_pairs",
+        preference_pairs,
+        _PREF_ORACLE,
+        "RLHF preference-pair construction: per-group max-margin (chosen, rejected) election via struct argmax/argmin — one hash agg, no all-pairs expansion",
+    )
+)

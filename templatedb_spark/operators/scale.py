@@ -659,3 +659,84 @@ register(
         "ORC write->read roundtrip rollup vs the parquet-sourced oracle (format-independence check)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planner (round 9): the table-maintenance op every
+# 100-TB lakehouse needs — given a file inventory (partition, file, bytes),
+# bin-pack files into target-size compaction groups so the rewrite job turns
+# thousands of small files into near-target outputs. The policy here is
+# next-fit-decreasing by cumulative volume: within each table partition,
+# order files by (bytes DESC, file_id ASC) and cut a new bin every TARGET
+# bytes of running volume — deterministic, one window per partition, and
+# SQL-expressible, so the whole plan is auditable against the oracle.
+#
+# Scale: the planner runs on METADATA (the file inventory — millions of rows
+# at 100 TB, not the data itself), and its only window partitions by table
+# partition, so no global sort and no unbounded partition exists. The
+# inventory here is derived from lineitem (a (returnflag||linestatus,
+# orderkey%40) grid standing in for real file listings) purely so the spec
+# is reproducible from the shipped tables.
+# ---------------------------------------------------------------------------
+_COMPACT_TARGET = 65_536  # target bin volume (bytes) for the synthetic inventory
+_COMPACT_FILES_PER_PART = 40
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from templatedb_spark.suite import table
+
+    li = table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.concat("l_returnflag", "l_linestatus").alias("part"),
+        (F.col("l_orderkey") % _COMPACT_FILES_PER_PART).cast("long").alias("file_id"),
+    ).agg(
+        (F.count(F.lit(1)) * 64 + F.sum("l_quantity").cast("long"))
+        .cast("long")
+        .alias("bytes")
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy(F.col("bytes").desc(), F.col("file_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = files.withColumn(
+        "bin",
+        F.floor((F.sum("bytes").over(w) - 1) / _COMPACT_TARGET).cast("long"),
+    )
+    return binned.groupBy("part", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("tot_bytes"),
+        F.max("bytes").cast("long").alias("max_file_bytes"),
+    )
+
+
+_COMPACT_ORACLE = f"""
+WITH files AS (
+  SELECT l_returnflag || l_linestatus AS part,
+         (l_orderkey % {_COMPACT_FILES_PER_PART})::BIGINT AS file_id,
+         (COUNT(*) * 64 + SUM(l_quantity)::BIGINT)::BIGINT AS bytes
+  FROM lineitem GROUP BY 1, 2
+),
+binned AS (
+  SELECT part, file_id, bytes,
+         FLOOR((SUM(bytes) OVER (PARTITION BY part
+                                 ORDER BY bytes DESC, file_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - 1) / {_COMPACT_TARGET})::BIGINT AS bin
+  FROM files
+)
+SELECT part, bin, COUNT(*)::BIGINT AS n_files, SUM(bytes)::BIGINT AS tot_bytes,
+       MAX(bytes)::BIGINT AS max_file_bytes
+FROM binned GROUP BY 1, 2
+"""
+
+register(
+    QuerySpec(
+        "compaction_plan",
+        compaction_plan,
+        _COMPACT_ORACLE,
+        "small-file compaction planner: next-fit-decreasing bin packing of a file inventory into target-size rewrite groups (metadata-scale windows, partitioned per table partition)",
+    )
+)
