@@ -233,3 +233,33 @@ def run_available_now(
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(query_name).collect()
+
+
+def windowed_exact_rollup(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Append-mode tumbling-window agg with INTEGER-EXACT aggregates — the
+    hash-compared twin of `windowed_rollup` (no float sums, so the output is
+    bit-deterministic under any partition order and any micro-batch split).
+    Used by the driver gate (streaming/gate.py stream_window_late) and the
+    replay-determinism fuzz (grammar 10)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("user_id").cast("long").alias("sum_uid"),
+            F.min("event_id").cast("long").alias("min_eid"),
+            F.max("event_id").cast("long").alias("max_eid"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_uid",
+            "min_eid",
+            "max_eid",
+        )
+    )

@@ -797,32 +797,15 @@ def stream_window_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from templatedb_spark.streaming.events import read_events_stream
+    from templatedb_spark.streaming.events import (
+        read_events_stream,
+        windowed_exact_rollup,
+    )
 
     stage = tempfile.mkdtemp(prefix="winlate_stage_")
     _stage_late_microbatches(sf_dir, stage)
     name = f"gate_winlate_{os.path.basename(stage).split('_')[-1]}"
-    agg = (
-        read_events_stream(spark, stage)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum("user_id").cast("long").alias("sum_uid"),
-            F.min("event_id").cast("long").alias("min_eid"),
-            F.max("event_id").cast("long").alias("max_eid"),
-        )
-        .select(
-            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                "window_start"
-            ),
-            "event_type",
-            "n_events",
-            "sum_uid",
-            "min_eid",
-            "max_eid",
-        )
-    )
+    agg = windowed_exact_rollup(read_events_stream(spark, stage))
     q = (
         agg.writeStream.format("memory")
         .queryName(name)

@@ -38,8 +38,8 @@ import pytest
 
 from tests.conftest import SF_SMALL
 
-_N_SEEDS = 28  # 7 per operator — "25+ seeded splits" (VERDICT r6 #6)
-_OPS = ["sessionize", "cdc", "neardup_exact", "neardup_reps"]
+_N_SEEDS = 35  # 7 per operator — "25+ seeded splits" (VERDICT r6 #6)
+_OPS = ["sessionize", "cdc", "neardup_exact", "neardup_reps", "window_agg"]
 
 
 def _stage_random_batches(
@@ -112,6 +112,22 @@ def _drain(spark, stage_dir: str, op: str, tag: str) -> frozenset:
 
         shutil.rmtree(kv_dir, ignore_errors=True)
         return out
+    if op == "window_agg":
+        # watermarked tumbling-window agg: the emitted (closed-window) set
+        # depends only on the final watermark — max(ts) - delay — which is
+        # decomposition-invariant, and the ordered cuts guarantee no row is
+        # ever late, so every split must drain the identical window set.
+        from templatedb_spark.streaming.events import windowed_exact_rollup
+
+        rows = run_available_now(
+            windowed_exact_rollup(read_events_stream(spark, stage_dir)),
+            f"t_replay_win_{tag}",
+            output_mode="append",
+        )
+        return frozenset(
+            (r.window_start, r.event_type, r.n_events, r.sum_uid, r.min_eid, r.max_eid)
+            for r in rows
+        )
     # near-dup modes
     from templatedb_spark.streaming.neardup import (
         read_documents_stream,
@@ -134,6 +150,7 @@ _SORT_KEYS = {
     "cdc": ("events.parquet", [("ts", "ascending"), ("event_id", "ascending")]),
     "neardup_exact": ("documents.parquet", [("doc_id", "ascending")]),
     "neardup_reps": ("documents.parquet", [("doc_id", "ascending")]),
+    "window_agg": ("events.parquet", [("ts", "ascending"), ("event_id", "ascending")]),
 }
 
 _reference: dict[str, frozenset] = {}
