@@ -113,6 +113,7 @@ def main() -> None:
         "stream_dedup_ingest",  # 3-trigger watermarked exact-dedup chain (r8)
         "stream_window_late",  # 3-trigger watermarked window-agg chain (r9)
         "stream_neardup_pairs",  # 2-trigger stateful minhash chain (r6)
+        "stream_static_enrich",  # 3-trigger stream-static broadcast join chain (r9)
         "kv_range_layout_scan",  # serial 3-write range-layout KV chain (r8)
         "ann_lsh_banded_topk",
         "dedup_ngram_prefix",
@@ -158,7 +159,7 @@ def main() -> None:
         for n in (set(critical) | heavy_names)
     }
     for i, n in enumerate(streaming):
-        pool_of[n] = f"stream{i % 9}"
+        pool_of[n] = f"stream{i % 10}"
 
     errs: dict[str, str] = {}
     retried: list[str] = []

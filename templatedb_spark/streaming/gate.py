@@ -843,3 +843,83 @@ register(
         "append-mode watermarked tumbling-window agg (3 micro-batches, one provably-dropped late straggler) vs batch closed-window oracle",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Tenth gated spec: STREAM-STATIC broadcast enrichment — the third join
+# shape Structured Streaming supports (after stream-stream, gated above, and
+# the batch tier's joins): every micro-batch of the event stream joins a
+# STATIC dimension (customer) that Spark re-resolves and broadcasts per
+# trigger. This is the canonical firehose-enrichment topology at 100 TB —
+# the dim is small and broadcast, the stream never shuffles on the join key,
+# and no join state accumulates (unlike stream-stream, there is nothing to
+# watermark: matches are complete within each micro-batch by definition).
+#
+# The gate drains 3 ts-ordered micro-batches through the enrichment join in
+# append mode (raw enriched rows — no streaming agg, so nothing is held
+# back), then rolls the sink up as BATCH per (mktsegment, event_type); the
+# oracle is the same inner join + rollup over the whole feed. A divergence
+# in per-batch dim resolution, join semantics, or row loss across triggers
+# is a count/hash mismatch. Aggregates are integer-exact.
+# ---------------------------------------------------------------------------
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from templatedb_spark.streaming.events import read_events_stream
+    from templatedb_spark.suite import table
+
+    stage = tempfile.mkdtemp(prefix="enrich_stage_")
+    _stage_microbatches(sf_dir, stage)
+    name = f"gate_enrich_{os.path.basename(stage).split('_')[-1]}"
+    dim = F.broadcast(
+        table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+        )
+    )
+    enriched = (
+        read_events_stream(spark, stage)
+        .join(dim, "user_id")  # stream-static inner join, broadcast per trigger
+        .select("event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey")
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)  # memory sink holds the rows now
+    return (
+        spark.table(name)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("c_nationkey").cast("long").alias("sum_nation"),
+            F.min("event_id").cast("long").alias("min_eid"),
+            F.max("event_id").cast("long").alias("max_eid"),
+        )
+    )
+
+
+_STREAM_ENRICH_ORACLE = """
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(DISTINCT e.user_id)::BIGINT AS n_users,
+       SUM(c.c_nationkey)::BIGINT AS sum_nation,
+       MIN(e.event_id)::BIGINT AS min_eid,
+       MAX(e.event_id)::BIGINT AS max_eid
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+register(
+    QuerySpec(
+        "stream_static_enrich",
+        stream_static_enrich,
+        _STREAM_ENRICH_ORACLE,
+        "stream-static broadcast enrichment (3 micro-batches, dim re-broadcast per trigger, no join state) vs batch inner-join rollup oracle",
+    )
+)
