@@ -394,6 +394,8 @@ class KVTable:
                             int(b): (r[0], r[1])
                             for b, r in rec["bucket_ranges"].items()
                         }
+                    if rec.get("tag"):
+                        meta["tag"] = rec["tag"]
                     state[v] = meta
                 elif op == "drop":
                     state.pop(v, None)
@@ -530,6 +532,11 @@ class KVTable:
             rec["bucket_ranges"] = {
                 str(b): [r[0], r[1]] for b, r in meta["bucket_ranges"].items()
             }
+        if meta.get("tag"):
+            # idempotency tag (exactly-once streaming sink): the version
+            # carries the (query, batch_id) that produced it, so a replayed
+            # micro-batch is recognized and skipped instead of re-applied
+            rec["tag"] = meta["tag"]
         return rec
 
     def _write_manifest_snapshot(self, state: dict[int, dict]) -> None:
@@ -714,7 +721,7 @@ class KVTable:
         return v
 
     @_locked
-    def write_batch_df(self, changes: DataFrame) -> int:
+    def write_batch_df(self, changes: DataFrame, tag: str | None = None) -> int:
         """Atomic batch from a DISTRIBUTED (key, value, op) DataFrame — the
         streaming-ingest shape: no driver materialization anywhere, the
         change set flows shuffle→write entirely on executors (the dict-based
@@ -727,7 +734,23 @@ class KVTable:
         reference WriteBatch expects pre-deduplicated records. Returns the
         committed version, or the current latest for an empty batch (no
         empty versions, same as write_batch).
+
+        `tag` makes the write EXACTLY-ONCE under micro-batch replay: the tag
+        (caller supplies e.g. "query:b<batch_id>") is committed atomically
+        with the version in its manifest record; a later call with a tag the
+        manifest already holds is a recognized replay and returns the
+        existing version without writing. Structured Streaming re-runs the
+        last uncommitted micro-batch after a failure — with tags the sink
+        commit and the dedup marker are ONE atomic manifest append, the
+        transactional-sink recipe. After a compaction collapses tagged
+        versions the tags are gone and a replay re-applies; that degrades to
+        value-level idempotency, which the net-effect contract (same puts,
+        deletes of already-absent keys) already guarantees for final state.
         """
+        if tag is not None:
+            hit = self._tag_version(tag)
+            if hit is not None:
+                return hit  # replayed micro-batch: already committed
         v = self.latest_version() + 1
         out = changes.select(
             F.col("key").cast("string").alias("key"),
@@ -744,9 +767,21 @@ class KVTable:
         meta = self._write_version_df(out, v)
         if meta is None:  # empty batch: no data dirs were produced — no commit
             return self.latest_version()
+        if tag is not None:
+            meta["tag"] = tag
         self._append_manifest(self._add_record(v, meta))
         self._maybe_auto_compact()
         return v
+
+    def _tag_version(self, tag: str) -> int | None:
+        """Version committed under `tag`, or None (see write_batch_df)."""
+        for v, m in self._load_manifest().items():
+            if m.get("tag") == tag:
+                return v
+        return None
+
+    def has_tag(self, tag: str) -> bool:
+        return self._tag_version(tag) is not None
 
     def put(self, key: str, value: str) -> int:
         return self.write_batch(puts={key: value})
@@ -1150,11 +1185,19 @@ class MergeKVTable(KVTable):
         return v
 
     @_locked
-    def write_batch_df(self, changes: DataFrame) -> int:
+    def write_batch_df(self, changes: DataFrame, tag: str | None = None) -> int:
         """Distributed-changes twin of write_batch (see KVTable.write_batch_df
         for the contract): the three-branch MERGE runs entirely as a
         DataFrame plan — anti-join drops touched keys from the previous
-        state, the batch's puts union in. No driver materialization."""
+        state, the batch's puts union in. No driver materialization.
+        `tag` gives the same exactly-once replay skip as the base class —
+        doubly important here, where re-applying a replayed batch is NOT
+        value-idempotent at the version level (each apply rewrites a full
+        state version)."""
+        if tag is not None:
+            hit = self._tag_version(tag)
+            if hit is not None:
+                return hit  # replayed micro-batch: already committed
         if changes.isEmpty():
             return self.latest_version()
         v = self.latest_version() + 1
@@ -1174,6 +1217,8 @@ class MergeKVTable(KVTable):
             F.lit(v).cast("long").alias("version"),
         )
         meta = self._write_version_df(out, v, allow_empty=True)
+        if tag is not None:
+            meta["tag"] = tag
         self._append_manifest(self._add_record(v, meta))
         self._maybe_auto_compact()
         return v

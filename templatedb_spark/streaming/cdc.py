@@ -11,8 +11,14 @@ Asserted against the batch twin in tests/test_streaming.py.
 
 This is the foreachBatch "merge into sink" pattern from the Structured
 Streaming guide — the exactly-once recipe for CDC into stores without
-native streaming MERGE. Replayed batches overwrite the same keys with the
-same values (idempotent).
+native streaming MERGE. Exactly-once is transactional, not just idempotent:
+each micro-batch commits with a (query, batch_id) tag in the KV manifest
+record itself (kv.write_batch_df(tag=...)), so a replayed batch — Spark
+re-runs the last uncommitted one after any failure — is recognized and
+skipped instead of burning a duplicate version. (Post-compaction the tags
+of collapsed versions are gone and the guarantee degrades to value-level
+idempotency: same puts, deletes of already-absent keys — final state still
+exact.)
 
 Scale: compaction is one window per batch partitioned by key; since round 4
 the apply is FULLY distributed (KVTable.write_batch_df — shuffle → bucketed
@@ -86,7 +92,11 @@ def stream_cdc_to_kv(changes_stream: DataFrame, kv, query_name: str = "cdc_to_kv
             .otherwise(F.lit("put"))
             .alias("op"),
         )
-        kv.write_batch_df(changes)
+        # the tag makes the sink transactional: Structured Streaming re-runs
+        # the last uncommitted micro-batch after a failure, and the (query,
+        # batch_id) tag — committed atomically with the KV version — turns
+        # that replay into a recognized no-op instead of a duplicate version
+        kv.write_batch_df(changes, tag=f"{query_name}:b{batch_id}")
 
     q = (
         changes_stream.writeStream.foreachBatch(apply_batch)

@@ -122,6 +122,11 @@ def all_specs() -> dict[str, QuerySpec]:
         "stream_cdc_kv_state", "cdc_apply", "kv_compact_range_state",
     }
     covered -= changed_r8
+    # Round-9 churn: the streaming CDC sink now commits each micro-batch
+    # with an idempotency tag in its manifest record (exactly-once under
+    # replay, kv.write_batch_df(tag=...)) — same state, new commit path.
+    changed_r9 = {"stream_cdc_kv_state"}
+    covered -= changed_r9
     # The round-2 verdict singled out eleven specs that no driver round has
     # ever audited ("close the CORRECTNESS union"); the driver caps how many
     # entries it records per round, so those eleven outrank every other

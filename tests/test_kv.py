@@ -932,3 +932,79 @@ def test_range_layout_merge_table_prunes(spark):
         # the exact row filter on top of the pruned read
         got = [r.key for r in kv.scan(start="k049", end="k054").collect()]
         assert got == ["k049", "k050", "k052", "k053"]
+
+
+# -- exactly-once tagged writes (round 9) -----------------------------------
+
+
+def test_tagged_write_skips_replay(kv):
+    """write_batch_df(tag=...): a second call with the SAME tag is a replayed
+    micro-batch — it must return the existing version and leave both the
+    version count and the state untouched (both backends)."""
+    spark = kv.spark
+    df1 = spark.createDataFrame(
+        [("a", "1", "put"), ("b", "2", "put")], "key string, value string, op string"
+    )
+    v1 = kv.write_batch_df(df1, tag="q:b0")
+    # replay delivers equivalent content under the same tag
+    v_replay = kv.write_batch_df(df1, tag="q:b0")
+    assert v_replay == v1
+    assert kv.latest_version() == v1
+    # a DIFFERENT tag is a new batch, not a replay
+    df2 = spark.createDataFrame(
+        [("b", None, "del"), ("c", "3", "put")], "key string, value string, op string"
+    )
+    v2 = kv.write_batch_df(df2, tag="q:b1")
+    assert v2 == v1 + 1
+    assert kv.write_batch_df(df2, tag="q:b1") == v2  # replay of b1 too
+    assert kv.latest_version() == v2
+    assert {(r.key, r.value) for r in kv.snapshot().collect()} == {
+        ("a", "1"),
+        ("c", "3"),
+    }
+    assert kv.has_tag("q:b0") and kv.has_tag("q:b1") and not kv.has_tag("q:b2")
+
+
+def test_tag_survives_manifest_snapshot(spark):
+    """Tags are part of the manifest record, so a snapshot rewrite (what
+    compact_range/recovery emit) must preserve the tags of versions it
+    keeps — otherwise a replay after any maintenance re-applies."""
+    with tempfile.TemporaryDirectory() as d:
+        kv = KVTable(spark, d)
+        df = spark.createDataFrame([("a", "1", "put")], "key string, value string, op string")
+        kv.write_batch_df(df, tag="q:b0")
+        state = kv._load_manifest()
+        kv._write_manifest_snapshot(state)
+        assert kv.has_tag("q:b0")
+
+
+def test_cdc_full_redrain_is_noop(spark, tmp_path):
+    """End-to-end exactly-once: drain the same staged feed TWICE with the
+    same query name (checkpointless availableNow restart = every batch is a
+    replay). The second drain must add zero versions and leave the state
+    bit-identical."""
+    import shutil
+
+    from templatedb_spark.streaming.cdc import changes_from_events, stream_cdc_to_kv
+    from templatedb_spark.streaming.events import read_events_stream
+    from templatedb_spark.streaming.gate import _stage_microbatches
+    from tests.conftest import SF_SMALL
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    _stage_microbatches(SF_SMALL, str(stage), n_batches=3)
+    kv_dir = tmp_path / "kv"
+    kv = KVTable(spark, str(kv_dir))
+    stream_cdc_to_kv(
+        changes_from_events(read_events_stream(spark, str(stage))), kv, "redrain_q"
+    )
+    v_first = kv.latest_version()
+    state_first = sorted((r.key, r.value) for r in kv.snapshot().collect())
+    assert len(kv._load_manifest()) == 3 and state_first  # one version per batch
+
+    stream_cdc_to_kv(
+        changes_from_events(read_events_stream(spark, str(stage))), kv, "redrain_q"
+    )
+    assert kv.latest_version() == v_first  # zero new versions
+    assert sorted((r.key, r.value) for r in kv.snapshot().collect()) == state_first
+    shutil.rmtree(stage, ignore_errors=True)
