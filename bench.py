@@ -114,6 +114,7 @@ def main() -> None:
         "stream_window_late",  # 3-trigger watermarked window-agg chain (r9)
         "stream_neardup_pairs",  # 2-trigger stateful minhash chain (r6)
         "stream_static_enrich",  # 3-trigger stream-static broadcast join chain (r9)
+        "stream_hll_users",  # 3-trigger mergeable-sketch KV chain (r9)
         "kv_range_layout_scan",  # serial 3-write range-layout KV chain (r8)
         "ann_lsh_banded_topk",
         "dedup_ngram_prefix",
@@ -159,7 +160,7 @@ def main() -> None:
         for n in (set(critical) | heavy_names)
     }
     for i, n in enumerate(streaming):
-        pool_of[n] = f"stream{i % 10}"
+        pool_of[n] = f"stream{i % 11}"
 
     errs: dict[str, str] = {}
     retried: list[str] = []

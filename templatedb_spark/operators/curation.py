@@ -1322,3 +1322,74 @@ register(
         "RLHF preference-pair construction: per-group max-margin (chosen, rejected) election via struct argmax/argmin — one hash agg, no all-pairs expansion",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# GDPR/right-to-erasure propagation (round 9): the compliance op a lakehouse
+# runs on every deletion request — a tombstone identity set scrubbed from
+# EVERY table that carries the key, with an auditable per-table accounting
+# (rows before / purged / after) that the DPO can sign. The tombstone set is
+# derived deterministically here (user_id % 37 == 2 among observed event
+# users) so the spec is reproducible from the shipped tables.
+#
+# Scale: the tombstone list is small relative to the corpus — each scrub is
+# a BROADCAST anti-join (no shuffle of the fact side); at a tombstone
+# cardinality that outgrows broadcast, the bloom_semi_join spec's shape
+# (broadcast bitmap prefilter + exact join on survivors) is the documented
+# upgrade path. The audit rollup is a per-table aggregate, one pass each.
+# ---------------------------------------------------------------------------
+def gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tomb = (
+        table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("k"))
+        .filter(F.col("k") % 37 == 2)
+        .distinct()
+    )
+
+    def audit(df: DataFrame, key: str, tbl: str) -> DataFrame:
+        keyed = df.select(F.col(key).alias("k"))
+        kept = keyed.join(F.broadcast(tomb), "k", "left_anti")
+        return keyed.agg(
+            F.lit(tbl).alias("tbl"), F.count(F.lit(1)).cast("long").alias("n_before")
+        ).crossJoin(kept.agg(F.count(F.lit(1)).cast("long").alias("n_after"))).select(
+            "tbl",
+            "n_before",
+            (F.col("n_before") - F.col("n_after")).cast("long").alias("n_purged"),
+            "n_after",
+        )
+
+    return (
+        audit(table(spark, sf_dir, "events"), "user_id", "events")
+        .unionByName(audit(table(spark, sf_dir, "orders"), "o_custkey", "orders"))
+        .unionByName(audit(table(spark, sf_dir, "customer"), "c_custkey", "customer"))
+    )
+
+
+_GDPR_ORACLE = """
+WITH tomb AS (
+  SELECT DISTINCT user_id AS k FROM events WHERE user_id % 37 = 2
+),
+a AS (
+  SELECT 'events' AS tbl, COUNT(*)::BIGINT AS n_before,
+         COUNT(*) FILTER (WHERE user_id IN (SELECT k FROM tomb))::BIGINT AS n_purged
+  FROM events
+  UNION ALL
+  SELECT 'orders', COUNT(*)::BIGINT,
+         COUNT(*) FILTER (WHERE o_custkey IN (SELECT k FROM tomb))::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'customer', COUNT(*)::BIGINT,
+         COUNT(*) FILTER (WHERE c_custkey IN (SELECT k FROM tomb))::BIGINT
+  FROM customer
+)
+SELECT tbl, n_before, n_purged, (n_before - n_purged)::BIGINT AS n_after FROM a
+"""
+
+register(
+    QuerySpec(
+        "gdpr_erasure",
+        gdpr_erasure,
+        _GDPR_ORACLE,
+        "right-to-erasure propagation: broadcast anti-join scrub of a tombstone identity set across every keyed table, with per-table audit counts",
+    )
+)

@@ -370,22 +370,44 @@ _HLL_WBITS = 40  # rank-hash width
 _HLL_ALPHA = 0.709  # alpha_64 = 0.7213/(1 + 1.079/64), conventional constant
 
 
-def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("u"))
+def hll_partial_registers(u_df: DataFrame) -> DataFrame:
+    """(reg, m) partial register vector over a column `u` of string ids —
+    the mergeable unit: register vectors from any row partition (or any
+    micro-batch) merge into the exact whole-input vector by elementwise MAX.
+    Reused by the streaming gate (streaming/gate.py stream_hll_users)."""
     reg = (md5_long(F.concat(F.col("u"), F.lit(":hllr"))) % _HLL_M).alias("reg")
     w = (md5_long(F.concat(F.col("u"), F.lit(":hllw"))) % F.lit(2**_HLL_WBITS)).alias("w")
     # rho = leading zeros of the WBITS-wide w, + 1 (string ops — no log2)
-    hashed = e.select(reg, w)
+    hashed = u_df.select(reg, w)
     rho = F.expr(
         f"{_HLL_WBITS + 1} - length(ltrim('0', lpad(bin(w), {_HLL_WBITS}, '0')))"
     ).alias("rho")
-    regs = hashed.select("reg", rho).groupBy("reg").agg(F.max("rho").alias("m"))
-    all_regs = (
+    return hashed.select("reg", rho).groupBy("reg").agg(F.max("rho").alias("m"))
+
+
+def hll_fill_registers(spark: SparkSession, regs: DataFrame) -> DataFrame:
+    """Densify a partial (reg, m) vector to all m=64 registers (absent = 0)."""
+    return (
         spark.range(_HLL_M)
         .select(F.col("id").alias("reg"))
         .join(regs, "reg", "left")
         .select("reg", F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("m"))
     )
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("u"))
+    all_regs = hll_fill_registers(spark, hll_partial_registers(e))
+    truth = (
+        table(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_true"))
+    )
+    return hll_finalize(all_regs, truth)
+
+
+def hll_finalize(all_regs: DataFrame, truth: DataFrame) -> DataFrame:
+    """Estimate + fingerprint from a dense 64-register vector (see module
+    comment: exact-integer harmonic sum, linear-counting small-range)."""
     # exact integer harmonic denominator: S = sum(2^(41 - M_j))
     scaled = all_regs.select(
         "reg",
@@ -393,10 +415,6 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"shiftleft(cast(1 as bigint), cast({_HLL_WBITS + 1} - m as int))"
         ).alias("term"),
-    )
-    truth = (
-        table(spark, sf_dir, "events")
-        .agg(F.countDistinct("user_id").cast("long").alias("n_true"))
     )
     est_num = _HLL_ALPHA * _HLL_M * _HLL_M * float(2 ** (_HLL_WBITS + 1))
     summary = scaled.agg(

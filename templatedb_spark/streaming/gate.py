@@ -923,3 +923,94 @@ register(
         "stream-static broadcast enrichment (3 micro-batches, dim re-broadcast per trigger, no join state) vs batch inner-join rollup oracle",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Eleventh gated spec: MERGEABLE-SKETCH STREAMING STATE — the deterministic
+# HyperLogLog register vector maintained across micro-batches. This is the
+# species of streaming state none of the other gates exercise: not rows, not
+# per-key latest, but a BOUNDED commutative monoid (64 registers merged by
+# elementwise max). Each micro-batch computes its partial register vector
+# distributed (the same hll_partial_registers the batch spec uses), and
+# foreachBatch folds it into a KV-persisted vector under an exactly-once
+# batch tag. Because max-merge is associative/commutative and the register
+# derivation is md5-deterministic, the drained vector must be BIT-IDENTICAL
+# to the batch spec's single-pass vector — so the oracle is the batch HLL
+# oracle itself, fingerprint and all. A wrong merge, a lost batch, or a
+# double-applied replay flips the registers_fp hash.
+#
+# Driver-side state here is 64 longs per trigger (two ≤64-row collects) —
+# bounded by the sketch's m, never by the corpus; that boundedness is the
+# entire point of sketch-shaped state at 100 TB.
+# ---------------------------------------------------------------------------
+def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from templatedb_spark.kv import KVTable
+    from templatedb_spark.operators.textstats import (
+        hll_fill_registers,
+        hll_finalize,
+        hll_partial_registers,
+    )
+    from templatedb_spark.streaming.events import read_events_stream
+    from templatedb_spark.suite import table
+
+    stage = tempfile.mkdtemp(prefix="hll_stage_")
+    _stage_microbatches(sf_dir, stage)
+    kv_dir = tempfile.mkdtemp(prefix="hll_kv_")
+    atexit.register(shutil.rmtree, kv_dir, ignore_errors=True)
+    kv = KVTable(spark, kv_dir)
+    qname = f"gate_hll_{abs(hash(stage))}"
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        u = batch_df.select(F.col("user_id").cast("string").alias("u"))
+        partial = {r.reg: r.m for r in hll_partial_registers(u).collect()}
+        if not partial:
+            return
+        cur = {int(r.key): int(r.value) for r in kv.snapshot().collect()}
+        bumps = {
+            reg: m for reg, m in partial.items() if m > cur.get(reg, -1)
+        }
+        if not bumps:
+            return
+        rows = [(f"{reg:02d}", str(m), "put") for reg, m in sorted(bumps.items())]
+        kv.write_batch_df(
+            spark.createDataFrame(rows, "key string, value string, op string"),
+            tag=f"{qname}:b{batch_id}",
+        )
+
+    q = (
+        read_events_stream(spark, stage)
+        .writeStream.foreachBatch(apply_batch)
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    regs = kv.snapshot().select(
+        F.col("key").cast("long").alias("reg"),
+        F.col("value").cast("long").alias("m"),
+    )
+    truth = (
+        table(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_true"))
+    )
+    return hll_finalize(hll_fill_registers(spark, regs), truth)
+
+
+def _stream_hll_oracle() -> str:
+    from templatedb_spark.operators.textstats import _hll_oracle
+
+    return _hll_oracle()
+
+
+register(
+    QuerySpec(
+        "stream_hll_users",
+        stream_hll_users,
+        _stream_hll_oracle(),
+        "mergeable-sketch streaming state: per-micro-batch HLL partial registers max-merged into KV under exactly-once tags vs the batch sketch oracle (bit-identical registers_fp)",
+    )
+)
