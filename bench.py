@@ -115,6 +115,7 @@ def main() -> None:
         "stream_neardup_pairs",  # 2-trigger stateful minhash chain (r6)
         "stream_static_enrich",  # 3-trigger stream-static broadcast join chain (r9)
         "stream_hll_users",  # 3-trigger mergeable-sketch KV chain (r9)
+        "stream_cms_tokens",  # 3-trigger counter-sketch KV chain (r9)
         "kv_range_layout_scan",  # serial 3-write range-layout KV chain (r8)
         "ann_lsh_banded_topk",
         "dedup_ngram_prefix",
@@ -160,7 +161,7 @@ def main() -> None:
         for n in (set(critical) | heavy_names)
     }
     for i, n in enumerate(streaming):
-        pool_of[n] = f"stream{i % 11}"
+        pool_of[n] = f"stream{i % 12}"
 
     errs: dict[str, str] = {}
     retried: list[str] = []

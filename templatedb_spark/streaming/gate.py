@@ -1014,3 +1014,145 @@ register(
         "mergeable-sketch streaming state: per-micro-batch HLL partial registers max-merged into KV under exactly-once tags vs the batch sketch oracle (bit-identical registers_fp)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Twelfth gated spec: COUNTER-SKETCH STREAMING STATE (Count-Min over the
+# document token stream). The companion to stream_hll_users with the
+# opposite algebra: HLL registers merge by MAX (idempotent — a replayed
+# merge is harmless), CMS cells merge by SUM (NOT idempotent — a replayed
+# micro-batch double-counts and corrupts every estimate). So this gate is
+# the end-to-end proof that the KV's exactly-once batch tags are
+# load-bearing: drain the corpus in 3 micro-batches, sum each batch's
+# 4x8-cell partial sketch into the KV under a (query, batch_id) tag, then
+# estimate the top-20 heavy hitters from the merged sketch. The oracle is
+# the batch CMS oracle verbatim — any duplicate apply, lost batch, or wrong
+# sum shifts cms_n/overestimate and hash-mismatches.
+#
+# Driver state per trigger: d*w = 32 cells (two <=32-row collects) — bounded
+# by the sketch dimensions, never the corpus.
+# ---------------------------------------------------------------------------
+def _stage_full_doc_microbatches(sf_dir: str, out_dir: str, n_batches: int = 3) -> None:
+    """doc_id-ordered N-way split of the raw documents table (full corpus —
+    unlike the near-dup stagers there is no slice and no augmentation)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    n = t.num_rows
+    step = (n + n_batches - 1) // n_batches
+    for i in range(n_batches):
+        p = f"{out_dir}/part-{i}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def stream_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from templatedb_spark.functions.hashing import h32
+    from templatedb_spark.kv import KVTable
+    from templatedb_spark.operators.dedup import tokens_col
+    from templatedb_spark.operators.textstats import _CMS_D, _CMS_K, _CMS_W
+    from templatedb_spark.streaming.neardup import read_documents_stream
+    from templatedb_spark.suite import table
+
+    stage = tempfile.mkdtemp(prefix="cms_stage_")
+    _stage_full_doc_microbatches(sf_dir, stage)
+    kv_dir = tempfile.mkdtemp(prefix="cms_kv_")
+    atexit.register(shutil.rmtree, kv_dir, ignore_errors=True)
+    kv = KVTable(spark, kv_dir)
+    qname = f"gate_cms_{abs(hash(stage))}"
+
+    def cell_structs():
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (h32(F.concat(F.lit(f"cms{j}:"), F.col("tok"))) % _CMS_W).alias(
+                        "b"
+                    ),
+                )
+                for j in range(_CMS_D)
+            ]
+        )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        cells = (
+            batch_df.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+            .select(F.explode(cell_structs()).alias("jb"))
+            .groupBy(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        partial = {(r.j, r.b): r.cnt for r in cells.collect()}  # <= d*w rows
+        if not partial:
+            return
+        cur = {r.key: int(r.value) for r in kv.snapshot().collect()}  # <= d*w
+        rows = [
+            (key, str(cur.get(key, 0) + cnt), "put")
+            for (j, b), cnt in sorted(partial.items())
+            for key in [f"{j}:{b:03d}"]
+        ]
+        kv.write_batch_df(
+            spark.createDataFrame(rows, "key string, value string, op string"),
+            tag=f"{qname}:b{batch_id}",  # SUM-merge: the tag IS correctness
+        )
+
+    q = (
+        read_documents_stream(spark, stage)
+        .writeStream.foreachBatch(apply_batch)
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    sketch = kv.snapshot().select(
+        F.split(F.col("key"), ":").getItem(0).cast("int").alias("j"),
+        F.split(F.col("key"), ":").getItem(1).cast("int").alias("b"),
+        F.col("value").cast("long").alias("cnt"),
+    )
+    # candidate selection is the exact top-K over the full corpus (same as
+    # the batch spec) — the streamed, audited artifact is the sketch itself
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    )
+    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cand = tf.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(_CMS_K)
+    cand_b = cand.select(
+        F.col("tok").alias("ctok"),
+        F.col("n").alias("true_n"),
+        F.explode(cell_structs()).alias("jb"),
+    ).select("ctok", "true_n", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    est = (
+        cand_b.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("ctok", "true_n")
+        .agg(F.min("cnt").cast("long").alias("cms_n"))
+    )
+    return est.select(
+        F.col("ctok").alias("tok"),
+        "true_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("true_n")).cast("long").alias("overestimate"),
+    )
+
+
+def _stream_cms_oracle() -> str:
+    from templatedb_spark.operators.textstats import _cms_oracle
+
+    return _cms_oracle()
+
+
+register(
+    QuerySpec(
+        "stream_cms_tokens",
+        stream_cms_tokens,
+        _stream_cms_oracle(),
+        "counter-sketch streaming state: per-micro-batch Count-Min partials SUM-merged into KV under exactly-once tags (non-idempotent monoid - the tag IS correctness) vs the batch CMS oracle",
+    )
+)

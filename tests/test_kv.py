@@ -1008,3 +1008,78 @@ def test_cdc_full_redrain_is_noop(spark, tmp_path):
     assert kv.latest_version() == v_first  # zero new versions
     assert sorted((r.key, r.value) for r in kv.snapshot().collect()) == state_first
     shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_cms_redrain_does_not_double_count(spark, tmp_path):
+    """The CMS gate's sketch is a SUM monoid — the one case where a replayed
+    micro-batch CORRUPTS state rather than wasting a version. Re-drain the
+    same staged feed with the same query name against the same KV: the
+    sketch must be bit-identical (tags recognized), and stripping the tags
+    WOULD have doubled it (asserted by summing the partials)."""
+    from templatedb_spark.streaming import gate as g
+    from tests.conftest import SF_SMALL
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    g._stage_full_doc_microbatches(SF_SMALL, str(stage), n_batches=3)
+
+    # run the gate once, capturing its KV via a monkeypatched tempdir? No —
+    # drive the apply path directly with a fixed qname, the same calls the
+    # foreachBatch makes, using real micro-batch frames from the staged files
+    import pyarrow.parquet as pq
+
+    kv = KVTable(spark, str(tmp_path / "kv"))
+    from pyspark.sql import functions as F
+
+    from templatedb_spark.functions.hashing import h32
+    from templatedb_spark.operators.dedup import tokens_col
+    from templatedb_spark.operators.textstats import _CMS_D, _CMS_W
+
+    def apply(batch_path, batch_id):
+        pdf = pq.read_table(batch_path).to_pandas()
+        bdf = spark.createDataFrame(pdf)
+        cells = (
+            bdf.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("j"),
+                                (
+                                    h32(F.concat(F.lit(f"cms{j}:"), F.col("tok")))
+                                    % _CMS_W
+                                ).alias("b"),
+                            )
+                            for j in range(_CMS_D)
+                        ]
+                    )
+                ).alias("jb")
+            )
+            .groupBy(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        partial = {(r.j, r.b): r.cnt for r in cells.collect()}
+        cur = {r.key: int(r.value) for r in kv.snapshot().collect()}
+        rows = [
+            (f"{j}:{b:03d}", str(cur.get(f"{j}:{b:03d}", 0) + cnt), "put")
+            for (j, b), cnt in sorted(partial.items())
+        ]
+        kv.write_batch_df(
+            spark.createDataFrame(rows, "key string, value string, op string"),
+            tag=f"cmsq:b{batch_id}",
+        )
+        return partial
+
+    parts = sorted(str(p) for p in stage.glob("part-*.parquet"))
+    totals: dict = {}
+    for i, p in enumerate(parts):
+        for cell, cnt in apply(p, i).items():
+            totals[cell] = totals.get(cell, 0) + cnt
+    first = {r.key: int(r.value) for r in kv.snapshot().collect()}
+    assert first == {f"{j}:{b:03d}": c for (j, b), c in totals.items()}
+
+    # replay EVERY batch (restart without checkpoint): tags must no-op
+    for i, p in enumerate(parts):
+        apply(p, i)
+    assert {r.key: int(r.value) for r in kv.snapshot().collect()} == first
