@@ -72,7 +72,12 @@ def kv_value_col():
     return F.concat_ws("|", F.col("event_type"), F.col("value").cast("string"))
 
 
-def stream_cdc_to_kv(changes_stream: DataFrame, kv, query_name: str = "cdc_to_kv"):
+def stream_cdc_to_kv(
+    changes_stream: DataFrame,
+    kv,
+    query_name: str = "cdc_to_kv",
+    checkpoint_dir: str | None = None,
+):
     """Drain the CDC stream into `kv` with availableNow, one atomic KV write
     batch per micro-batch.
 
@@ -98,11 +103,17 @@ def stream_cdc_to_kv(changes_stream: DataFrame, kv, query_name: str = "cdc_to_kv
         # that replay into a recognized no-op instead of a duplicate version
         kv.write_batch_df(changes, tag=f"{query_name}:b{batch_id}")
 
-    q = (
+    writer = (
         changes_stream.writeStream.foreachBatch(apply_batch)
         .queryName(query_name)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        # durable progress: a restarted query resumes from the checkpoint's
+        # source offsets (already-drained files are never re-read) and batch
+        # ids continue, so the KV's exactly-once tags stay unique across
+        # restarts — the production deployment shape
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     q.awaitTermination()
     return kv

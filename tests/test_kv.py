@@ -1083,3 +1083,60 @@ def test_cms_redrain_does_not_double_count(spark, tmp_path):
     for i, p in enumerate(parts):
         apply(p, i)
     assert {r.key: int(r.value) for r in kv.snapshot().collect()} == first
+
+
+def test_cdc_checkpoint_restart_continues(spark, tmp_path):
+    """Durable-progress contract: a CDC drain with a checkpoint, restarted
+    after new files arrive, must (a) never re-read drained files, (b) apply
+    exactly one KV version per NEW micro-batch with batch ids (and tags)
+    continuing from the checkpoint, and (c) land the same final state as a
+    single whole-feed drain. A third restart with no new data applies
+    nothing."""
+    import shutil
+
+    from templatedb_spark.streaming.cdc import changes_from_events, stream_cdc_to_kv
+    from templatedb_spark.streaming.events import read_events_stream
+    from templatedb_spark.streaming.gate import _stage_microbatches
+    from tests.conftest import SF_SMALL
+
+    full = tmp_path / "full"
+    full.mkdir()
+    _stage_microbatches(SF_SMALL, str(full), n_batches=3)
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copy(full / "part-0.parquet", stage / "part-0.parquet")
+    kv = KVTable(spark, str(tmp_path / "kv"))
+    stream_cdc_to_kv(
+        changes_from_events(read_events_stream(spark, str(stage))),
+        kv, "ckpt_q", checkpoint_dir=ckpt,
+    )
+    assert len(kv._load_manifest()) == 1
+
+    for i in (1, 2):  # new files arrive; restart the query
+        shutil.copy(full / f"part-{i}.parquet", stage / f"part-{i}.parquet")
+    stream_cdc_to_kv(
+        changes_from_events(read_events_stream(spark, str(stage))),
+        kv, "ckpt_q", checkpoint_dir=ckpt,
+    )
+    manifest = kv._load_manifest()
+    assert len(manifest) == 3  # exactly one version per new micro-batch
+    tags = sorted(m.get("tag") for m in manifest.values())
+    assert tags == ["ckpt_q:b0", "ckpt_q:b1", "ckpt_q:b2"]  # ids continued
+
+    # reference: one whole-feed drain into a fresh KV
+    ref = KVTable(spark, str(tmp_path / "kv_ref"))
+    stream_cdc_to_kv(
+        changes_from_events(read_events_stream(spark, str(full))), ref, "ref_q"
+    )
+    got = sorted((r.key, r.value) for r in kv.snapshot().collect())
+    want = sorted((r.key, r.value) for r in ref.snapshot().collect())
+    assert got == want and got
+
+    # restart with nothing new: zero versions added
+    stream_cdc_to_kv(
+        changes_from_events(read_events_stream(spark, str(stage))),
+        kv, "ckpt_q", checkpoint_dir=ckpt,
+    )
+    assert len(kv._load_manifest()) == 3
