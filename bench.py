@@ -116,6 +116,7 @@ def main() -> None:
         "stream_static_enrich",  # 3-trigger stream-static broadcast join chain (r9)
         "stream_hll_users",  # 3-trigger mergeable-sketch KV chain (r9)
         "stream_cms_tokens",  # 3-trigger counter-sketch KV chain (r9)
+        "pyds_stream_source",  # python streaming-source drain chain (r9)
         "kv_range_layout_scan",  # serial 3-write range-layout KV chain (r8)
         "ann_lsh_banded_topk",
         "dedup_ngram_prefix",
@@ -152,7 +153,9 @@ def main() -> None:
     # internally, so each gets a dedicated minShare pool — the true
     # critical path of the makespan
     streaming = [
-        n for n in critical if n.startswith("stream_") or n.startswith("kv_")
+        n
+        for n in critical
+        if n.startswith(("stream_", "kv_", "pyds_stream"))
     ]
     heavy_names = {n for n, _ in sorted(prev_times.items(), key=lambda kv: -kv[1])[:25]}
     heavy_names |= {n for n, _ in items if n not in prev_times}
@@ -161,7 +164,7 @@ def main() -> None:
         for n in (set(critical) | heavy_names)
     }
     for i, n in enumerate(streaming):
-        pool_of[n] = f"stream{i % 12}"
+        pool_of[n] = f"stream{i % 13}"
 
     errs: dict[str, str] = {}
     retried: list[str] = []

@@ -466,3 +466,83 @@ def _register_jsondir_spec() -> None:
 
 
 _register_jsondir_spec()
+
+
+# ---------------------------------------------------------------------------
+# Third gated spec (round 9): the Python STREAMING SOURCE protocol —
+# DataSource.streamReader (initialOffset → latestOffset → partitions →
+# executor read → commit) under the driver oracle. The bounded kvgen
+# backlog drains with availableNow in rowsPerBatch-sized micro-batches
+# (600 rows / 250 per trigger = 3 genuine batches); the appended union of
+# every batch must equal the SQL-generated keyspace exactly — a lost
+# offset range, an overlapping re-read, or value drift in the executor
+# read() is a row-count or hash mismatch. This closes the protocol
+# surface: batch read (pyds_kvgen_scan), 2PC write (pyds_jsondir_roundtrip),
+# streaming write (inside pyds_jsondir_roundtrip's sink), streaming read
+# (this spec).
+# ---------------------------------------------------------------------------
+_KVGEN_STREAM_ROWS = 600
+_KVGEN_STREAM_PER_BATCH = 250
+
+
+def pyds_stream_source(spark: SparkSession, sf_dir: str):
+    import threading
+
+    from pyspark.sql import functions as F
+
+    register_python_sources(spark)
+    name = f"pyds_stream_{os.getpid()}_{threading.get_ident()}"
+    q = (
+        spark.readStream.format("kvgen")
+        .option("numRows", _KVGEN_STREAM_ROWS)
+        .option("rowsPerBatch", _KVGEN_STREAM_PER_BATCH)
+        .option("numPartitions", 4)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        # availableNow pins the drain's end at the FIRST latestOffset (one
+        # batch of a backlog whose clock advances per poll), so the bounded
+        # backlog drains under processingTime until the row cap is reached —
+        # the same discipline as tests/test_pyds.py's stream drains
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        q.processAllAvailable()
+        if spark.table(name).count() >= _KVGEN_STREAM_ROWS:
+            break
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("key").cast("long").alias("key"),
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("value").alias("value"),
+    )
+
+
+_KVGEN_STREAM_ORACLE = f"""
+SELECT range::BIGINT AS key,
+       (range % 16)::INT AS bucket,
+       substr(md5('k' || range), 1, 12) AS value
+FROM range({_KVGEN_STREAM_ROWS})
+"""
+
+
+def _register_stream_source_spec() -> None:
+    from templatedb_spark.suite import QuerySpec, register
+
+    register(
+        QuerySpec(
+            "pyds_stream_source",
+            pyds_stream_source,
+            _KVGEN_STREAM_ORACLE,
+            "Python DataSource STREAMING READ protocol (offsets -> partitions -> executor read, 3 micro-batches drained append) vs SQL keyspace oracle",
+        )
+    )
+
+
+_register_stream_source_spec()
