@@ -1537,3 +1537,70 @@ for spec in [
     QuerySpec("gini_revenue", gini_revenue, _GINI_ORACLE, "exact Gini coefficient of customer revenue (rank-weighted DECIMAL sums)"),
 ]:
     register(spec)
+
+
+# ---------------------------------------------------------------------------
+# Pareto front / skyline (round 9): per return-flag group, the set of
+# (price, quantity) points not dominated by any other point (dominator:
+# price <= AND quantity >= with one strict). The naive formulation is the
+# quadratic NOT-EXISTS self-join; the distributed algorithm here is the
+# classic 2-D sweep that makes skylines tractable at 100 TB:
+#
+#   1. collapse equal prices to their best quantity (hash agg — after this,
+#      dominance only flows from strictly-cheaper rows);
+#   2. per group, sort by price ascending and take the running max of
+#      quantity over all STRICTLY preceding rows; a row survives iff its
+#      quantity exceeds that prefix max.
+#
+# One agg + one partitioned window over the collapsed (distinct-price)
+# relation — no pair join anywhere. At extreme per-group cardinality the
+# sorted sweep range-partitions by price and merges per-partition frontiers
+# with broadcast prefix maxima (the operators/ranks.py two-pass shape).
+# The oracle runs the IDENTICAL sweep in SQL (provably equivalent to the
+# NOT-EXISTS definition on the collapsed points, and float-comparison-
+# identical across engines since no arithmetic is performed on the values).
+# ---------------------------------------------------------------------------
+def pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    best = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.max("l_quantity").alias("qty"))
+    w = (
+        W.partitionBy("grp")
+        .orderBy(F.col("price").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    swept = best.withColumn("prefix_max", F.max("qty").over(w))
+    return swept.filter(
+        F.col("prefix_max").isNull() | (F.col("qty") > F.col("prefix_max"))
+    ).select("grp", "price", "qty")
+
+
+_PARETO_ORACLE = """
+WITH best AS (
+  SELECT l_returnflag AS grp, l_extendedprice AS price,
+         MAX(l_quantity) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+swept AS (
+  SELECT grp, price, qty,
+         MAX(qty) OVER (PARTITION BY grp ORDER BY price ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prefix_max
+  FROM best
+)
+SELECT grp, price, qty FROM swept
+WHERE prefix_max IS NULL OR qty > prefix_max
+"""
+
+register(
+    QuerySpec(
+        "pareto_front",
+        pareto_front,
+        _PARETO_ORACLE,
+        "Pareto front / 2-D skyline: price-collapse + per-group sorted prefix-max sweep (no pair join) vs the identical SQL sweep",
+    )
+)

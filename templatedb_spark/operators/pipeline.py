@@ -1435,3 +1435,75 @@ for spec in [
     QuerySpec("dedup_cascade", dedup_cascade, _cascade_oracle(), "staged dedup funnel: exact fingerprint stage, then LSH near-dup over survivors, with per-doc drop lineage"),
 ]:
     register(spec)
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (round 9): the delta-propagation algebra
+# for a materialized JOIN — the piece `mv_incremental_refresh` (single-table
+# agg merge) deliberately leaves out. With base relations A (orders), B
+# (customer) and deltas dA, dB arriving since the last refresh, the view over
+# (A u dA) JOIN (B u dB) decomposes into FOUR join terms
+#
+#     A JOIN B   (the already-materialized state — never recomputed)
+#   + dA JOIN B  + A JOIN dB + dA JOIN dB   (the delta terms)
+#
+# and the refreshed aggregate is the partial-state merge of the four term
+# rollups. The spec EXECUTES that incremental plan (the materialized term
+# stands in as its rollup, the three delta terms are genuinely small joins)
+# and the oracle is the full recompute — any missed/duplicated term or a
+# non-distributive merge is a hash mismatch.
+#
+# Scale: this is the refresh shape that makes a 100 TB join view affordable —
+# the delta terms touch |dA|·|B| etc. via broadcast of the small delta side,
+# never re-shuffling A JOIN B; partial states merge by groupBy-sum (the same
+# distributive-aggregate contract as the agg MV).
+# ---------------------------------------------------------------------------
+def mv_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    a = o.filter(F.col("o_orderkey") % 10 != 0)
+    da = o.filter(F.col("o_orderkey") % 10 == 0)
+    b = c.filter(F.col("c_custkey") % 20 != 0)
+    db = c.filter(F.col("c_custkey") % 20 == 0)
+
+    def state(orders: DataFrame, cust: DataFrame, broadcast_dim: bool) -> DataFrame:
+        dim = F.broadcast(cust) if broadcast_dim else cust
+        return (
+            orders.join(dim, orders.o_custkey == dim.c_custkey)
+            .groupBy("c_mktsegment", "o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"),
+            )
+        )
+
+    terms = (
+        state(a, b, True)  # the materialized term (stands in as its rollup)
+        .unionByName(state(da, b, True))  # dA ⋈ B
+        .unionByName(state(a, db, True))  # A ⋈ dB (delta side broadcast)
+        .unionByName(state(da, db, True))  # dA ⋈ dB
+    )
+    return terms.groupBy("c_mktsegment", "o_orderstatus").agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
+
+
+_MV_JOIN_ORACLE = """
+SELECT c.c_mktsegment, o.o_orderstatus,
+       COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+register(
+    QuerySpec(
+        "mv_join_delta",
+        mv_join_delta,
+        _MV_JOIN_ORACLE,
+        "incremental JOIN-view maintenance: four-term delta propagation (A⋈B + dA⋈B + A⋈dB + dA⋈dB) partial-state merge vs full-recompute oracle",
+    )
+)
