@@ -486,12 +486,13 @@ _KVGEN_STREAM_PER_BATCH = 250
 
 
 def pyds_stream_source(spark: SparkSession, sf_dir: str):
-    import threading
-
     from pyspark.sql import functions as F
 
     register_python_sources(spark)
-    name = f"pyds_stream_{os.getpid()}_{threading.get_ident()}"
+    # uuid, not pid/thread: a bench worker thread can run this spec twice
+    # (warmup + timed), and a reused memory-sink queryName must never risk
+    # appending into a previous drain's table
+    name = f"pyds_stream_{uuid.uuid4().hex[:12]}"
     q = (
         spark.readStream.format("kvgen")
         .option("numRows", _KVGEN_STREAM_ROWS)
