@@ -117,6 +117,7 @@ def main() -> None:
         "stream_hll_users",  # 3-trigger mergeable-sketch KV chain (r9)
         "stream_cms_tokens",  # 3-trigger counter-sketch KV chain (r9)
         "pyds_stream_source",  # python streaming-source drain chain (r9)
+        "stream_mv_join",  # 3-trigger incremental join-view chain (r9)
         "kv_range_layout_scan",  # serial 3-write range-layout KV chain (r8)
         "ann_lsh_banded_topk",
         "dedup_ngram_prefix",
@@ -164,7 +165,7 @@ def main() -> None:
         for n in (set(critical) | heavy_names)
     }
     for i, n in enumerate(streaming):
-        pool_of[n] = f"stream{i % 13}"
+        pool_of[n] = f"stream{i % 14}"
 
     errs: dict[str, str] = {}
     retried: list[str] = []

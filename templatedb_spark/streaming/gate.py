@@ -1156,3 +1156,127 @@ register(
         "counter-sketch streaming state: per-micro-batch Count-Min partials SUM-merged into KV under exactly-once tags (non-idempotent monoid - the tag IS correctness) vs the batch CMS oracle",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Thirteenth gated spec: STREAMING MATERIALIZED JOIN VIEW — the production
+# pattern that ties this round's machinery together. A materialized rollup
+# over orders JOIN customer is maintained INCREMENTALLY from an order
+# stream: each micro-batch dA contributes dA ⋈ B (B static, broadcast per
+# trigger — no stream shuffle, no join state), the delta rollup SUM-merges
+# into the KV-persisted view state under an exactly-once batch tag, and the
+# final state must equal the full-recompute oracle (the same SQL as the
+# batch mv_join_delta spec). This composes: stream-static join + delta
+# propagation + non-idempotent merge + transactional sink — a replayed or
+# lost batch, a wrong delta term, or a float-unsafe merge all flip the hash.
+# Money sums ride java.math-free: per-batch rollups are DECIMAL(12,2), the
+# merge accumulates in Python Decimal (exact), and only the final output
+# casts to DOUBLE — the same order-independence rule as the batch specs.
+#
+# Driver state per trigger is O(view group cardinality) (15 rows here —
+# two bounded collects); a view keyed wider than the driver swaps the merge
+# for the fully distributed KVTable.write_batch_df path the CDC gate uses,
+# same tags, same contract.
+# ---------------------------------------------------------------------------
+def _stage_order_microbatches(sf_dir: str, out_dir: str, n_batches: int = 3) -> None:
+    """o_orderkey-ordered N-way split of orders (the arriving fact deltas)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet")
+    t = t.take(pc.sort_indices(t, sort_keys=[("o_orderkey", "ascending")]))
+    n = t.num_rows
+    step = (n + n_batches - 1) // n_batches
+    for i in range(n_batches):
+        p = f"{out_dir}/part-{i}.parquet"
+        pq.write_table(t.slice(i * step, step), p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def stream_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    from decimal import Decimal
+
+    from templatedb_spark.kv import KVTable
+    from templatedb_spark.suite import table
+
+    stage = tempfile.mkdtemp(prefix="mvj_stage_")
+    _stage_order_microbatches(sf_dir, stage)
+    kv_dir = tempfile.mkdtemp(prefix="mvj_kv_")
+    atexit.register(shutil.rmtree, kv_dir, ignore_errors=True)
+    kv = KVTable(spark, kv_dir)
+    qname = f"gate_mvj_{abs(hash(stage))}"
+
+    dim = F.broadcast(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        delta = (
+            batch_df.join(dim, batch_df.o_custkey == dim.c_custkey)
+            .groupBy("c_mktsegment", "o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"),
+            )
+        )
+        part = {
+            (r.c_mktsegment, r.o_orderstatus): (r.n, Decimal(str(r.rev)))
+            for r in delta.collect()  # bounded by the view's group count
+        }
+        if not part:
+            return
+        cur = {}
+        for r in kv.snapshot().collect():  # bounded by the view's group count
+            n_s, rev_s = r.value.split("|", 1)
+            cur[tuple(r.key.split("|", 1))] = (int(n_s), Decimal(rev_s))
+        rows = []
+        for key, (dn, drev) in sorted(part.items()):
+            n0, rev0 = cur.get(key, (0, Decimal("0")))
+            rows.append((f"{key[0]}|{key[1]}", f"{n0 + dn}|{rev0 + drev}", "put"))
+        kv.write_batch_df(
+            spark.createDataFrame(rows, "key string, value string, op string"),
+            tag=f"{qname}:b{batch_id}",  # SUM-merge: replay would double-count
+        )
+
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(apply_batch)
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    parts = F.split(F.col("key"), r"\|", 2)
+    vals = F.split(F.col("value"), r"\|", 2)
+    return kv.snapshot().select(
+        parts.getItem(0).alias("c_mktsegment"),
+        parts.getItem(1).alias("o_orderstatus"),
+        vals.getItem(0).cast("long").alias("n_orders"),
+        vals.getItem(1).cast("decimal(38,2)").cast("double").alias("revenue"),
+    )
+
+
+_STREAM_MV_JOIN_ORACLE = """
+SELECT c.c_mktsegment, o.o_orderstatus,
+       COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+register(
+    QuerySpec(
+        "stream_mv_join",
+        stream_mv_join,
+        _STREAM_MV_JOIN_ORACLE,
+        "streaming materialized JOIN view: per-trigger dA broadcast-join + DECIMAL-exact delta rollup SUM-merged into KV under exactly-once tags vs full-recompute oracle",
+    )
+)
