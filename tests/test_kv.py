@@ -1114,8 +1114,17 @@ def test_cdc_checkpoint_restart_continues(spark, tmp_path):
     )
     assert len(kv._load_manifest()) == 1
 
+    import os
+    import time
+
+    now = time.time()
     for i in (1, 2):  # new files arrive; restart the query
-        shutil.copy(full / f"part-{i}.parquet", stage / f"part-{i}.parquet")
+        dst = stage / f"part-{i}.parquet"
+        shutil.copy(full / f"part-{i}.parquet", dst)
+        # pin ascending mtimes: the file source orders new files by mtime,
+        # and two fast copies under suite load can collide or invert —
+        # flipping batch order and with it every last-writer-wins outcome
+        os.utime(dst, (now + i, now + i))
     stream_cdc_to_kv(
         changes_from_events(read_events_stream(spark, str(stage))),
         kv, "ckpt_q", checkpoint_dir=ckpt,
