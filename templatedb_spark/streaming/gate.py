@@ -963,12 +963,24 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     kv = KVTable(spark, kv_dir)
     qname = f"gate_hll_{abs(hash(stage))}"
 
+    # committed-state cache: the sink re-reads the KV only on (re)start —
+    # per-trigger it merges against its own last-committed view, saving one
+    # Spark job per trigger on the serial chain (the production sink shape;
+    # the tag check first keeps a replayed batch from touching the cache)
+    cache: dict = {"cur": None}
+
     def apply_batch(batch_df, batch_id: int) -> None:
+        if kv.has_tag(f"{qname}:b{batch_id}"):
+            return  # replayed batch: already committed, cache untouched
         u = batch_df.select(F.col("user_id").cast("string").alias("u"))
         partial = {r.reg: r.m for r in hll_partial_registers(u).collect()}
         if not partial:
             return
-        cur = {int(r.key): int(r.value) for r in kv.snapshot().collect()}
+        if cache["cur"] is None:
+            cache["cur"] = {
+                int(r.key): int(r.value) for r in kv.snapshot().collect()
+            }
+        cur = cache["cur"]
         bumps = {
             reg: m for reg, m in partial.items() if m > cur.get(reg, -1)
         }
@@ -979,6 +991,7 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.createDataFrame(rows, "key string, value string, op string"),
             tag=f"{qname}:b{batch_id}",
         )
+        cur.update(bumps)
 
     q = (
         read_events_stream(spark, stage)
@@ -1081,7 +1094,14 @@ def stream_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
+    # committed-state cache (see the HLL gate): KV re-read only on (re)start;
+    # the tag check FIRST is what keeps a replayed batch out of the cache —
+    # on this SUM monoid a cache touched by a replay would double-count
+    cache: dict = {"cur": None}
+
     def apply_batch(batch_df, batch_id: int) -> None:
+        if kv.has_tag(f"{qname}:b{batch_id}"):
+            return  # replayed batch: already committed, cache untouched
         cells = (
             batch_df.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
             .select(F.explode(cell_structs()).alias("jb"))
@@ -1091,16 +1111,21 @@ def stream_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial = {(r.j, r.b): r.cnt for r in cells.collect()}  # <= d*w rows
         if not partial:
             return
-        cur = {r.key: int(r.value) for r in kv.snapshot().collect()}  # <= d*w
-        rows = [
-            (key, str(cur.get(key, 0) + cnt), "put")
+        if cache["cur"] is None:  # <= d*w rows, once per (re)start
+            cache["cur"] = {r.key: int(r.value) for r in kv.snapshot().collect()}
+        cur = cache["cur"]
+        merged = {
+            f"{j}:{b:03d}": cur.get(f"{j}:{b:03d}", 0) + cnt
             for (j, b), cnt in sorted(partial.items())
-            for key in [f"{j}:{b:03d}"]
-        ]
+        }
         kv.write_batch_df(
-            spark.createDataFrame(rows, "key string, value string, op string"),
+            spark.createDataFrame(
+                [(k, str(v), "put") for k, v in merged.items()],
+                "key string, value string, op string",
+            ),
             tag=f"{qname}:b{batch_id}",  # SUM-merge: the tag IS correctness
         )
+        cur.update(merged)
 
     q = (
         read_documents_stream(spark, stage)
@@ -1214,7 +1239,13 @@ def stream_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     )
 
+    # committed-state cache (see the HLL/CMS gates): KV re-read only on
+    # (re)start; tag check first so a replay can never reach the cache
+    cache: dict = {"cur": None}
+
     def apply_batch(batch_df, batch_id: int) -> None:
+        if kv.has_tag(f"{qname}:b{batch_id}"):
+            return  # replayed batch: already committed, cache untouched
         delta = (
             batch_df.join(dim, batch_df.o_custkey == dim.c_custkey)
             .groupBy("c_mktsegment", "o_orderstatus")
@@ -1229,14 +1260,17 @@ def stream_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         if not part:
             return
-        cur = {}
-        for r in kv.snapshot().collect():  # bounded by the view's group count
-            n_s, rev_s = r.value.split("|", 1)
-            cur[tuple(r.key.split("|", 1))] = (int(n_s), Decimal(rev_s))
+        if cache["cur"] is None:  # bounded by the view's group count
+            cache["cur"] = {}
+            for r in kv.snapshot().collect():
+                n_s, rev_s = r.value.split("|", 1)
+                cache["cur"][tuple(r.key.split("|", 1))] = (int(n_s), Decimal(rev_s))
+        cur = cache["cur"]
         rows = []
         for key, (dn, drev) in sorted(part.items()):
             n0, rev0 = cur.get(key, (0, Decimal("0")))
-            rows.append((f"{key[0]}|{key[1]}", f"{n0 + dn}|{rev0 + drev}", "put"))
+            cur[key] = (n0 + dn, rev0 + drev)
+            rows.append((f"{key[0]}|{key[1]}", f"{cur[key][0]}|{cur[key][1]}", "put"))
         kv.write_batch_df(
             spark.createDataFrame(rows, "key string, value string, op string"),
             tag=f"{qname}:b{batch_id}",  # SUM-merge: replay would double-count
