@@ -72,6 +72,21 @@ def main() -> None:
     # race on session conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+    # Load tripwire (round 9): /proc/stat steal% detects noisy NEIGHBORS
+    # (hypervisor steal) but is blind to same-host self-contention — another
+    # process hammering the CPUs inflates both engines without a tick of
+    # steal (observed: a concurrent verification sweep produced a 42.96 s
+    # artifact that passed the steal budget). The 1-min load average BEFORE
+    # the bench creates any load of its own is the honest pre-condition: on
+    # this box nothing else should be running, so a high load1 here means a
+    # foreign workload and the artifact must not claim `clean`.
+    try:
+        with open("/proc/loadavg", encoding="ascii") as _f:
+            load1_before = float(_f.read().split()[0])
+    except OSError:
+        load1_before = None
+    load_budget = float(os.environ.get("SPARK_GRAFT_LOAD_BUDGET", "3.0"))
+
     # warmup: one pass of the whole suite at the TARGET sf — the exact twin of
     # the DuckDB baseline protocol (tools/bench_baseline.py warms each query
     # once at the target sf before timing it). This JIT-compiles every codegen
@@ -391,10 +406,12 @@ def main() -> None:
     for p in phases:
         last[p["phase"]] = p
     result["steal_budget_pct"] = steal_budget
+    result["load1_before"] = load1_before
+    result["load_budget"] = load_budget
     result["clean"] = all(
         p["steal_pct"] is not None and p["steal_pct"] <= steal_budget
         for p in last.values()
-    )
+    ) and (load1_before is not None and load1_before <= load_budget)
     result["phases"] = phases
     (out_dir / "latest.json").write_text(json.dumps(result, indent=2) + "\n")
     sys.stderr.flush()
