@@ -80,12 +80,34 @@ def main() -> None:
     # the bench creates any load of its own is the honest pre-condition: on
     # this box nothing else should be running, so a high load1 here means a
     # foreign workload and the artifact must not claim `clean`.
-    try:
-        with open("/proc/loadavg", encoding="ascii") as _f:
-            load1_before = float(_f.read().split()[0])
-    except OSError:
-        load1_before = None
+    def _load1() -> float | None:
+        try:
+            with open("/proc/loadavg", encoding="ascii") as _f:
+                return float(_f.read().split()[0])
+        except OSError:
+            return None
+
     load_budget = float(os.environ.get("SPARK_GRAFT_LOAD_BUDGET", "3.0"))
+    # bounded settle-wait: a bench started right after other heavy work (a
+    # previous bench, a test suite) sees that work's undecayed 1-min average;
+    # waiting out the decay keeps back-to-back runs honest without a human
+    # in the loop. A FOREIGN workload that is still running won't decay —
+    # the loop times out and the artifact records the dirty pre-condition.
+    load1_before = _load1()
+    settle_deadline = time.time() + float(
+        os.environ.get("SPARK_GRAFT_LOAD_SETTLE_S", "120")
+    )
+    while (
+        load1_before is not None
+        and load1_before > load_budget
+        and time.time() < settle_deadline
+    ):
+        print(
+            f"LOAD TRIPWIRE: load1 {load1_before} > {load_budget} — settling",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        load1_before = _load1()
 
     # warmup: one pass of the whole suite at the TARGET sf — the exact twin of
     # the DuckDB baseline protocol (tools/bench_baseline.py warms each query
