@@ -869,6 +869,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from templatedb_spark.streaming.events import read_events_stream
     from templatedb_spark.suite import table
 
+    import atexit
+
     stage = tempfile.mkdtemp(prefix="enrich_stage_")
     _stage_microbatches(sf_dir, stage)
     name = f"gate_enrich_{os.path.basename(stage).split('_')[-1]}"
@@ -882,17 +884,28 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dim, "user_id")  # stream-static inner join, broadcast per trigger
         .select("event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey")
     )
+    # parquet FILE sink, not memory: enriched rows are corpus-sized (1:1 with
+    # the stream), so the sink must stay off the driver — the memory sink
+    # OOMed the sf10 engine probe at 10M rows, the exactly-once file sink
+    # ships them executor-side (the production enrichment topology end to
+    # end). The rollup then reads the committed files as batch.
+    sink = tempfile.mkdtemp(prefix="enrich_sink_")
+    ckpt = tempfile.mkdtemp(prefix="enrich_ckpt_")
+    atexit.register(shutil.rmtree, sink, ignore_errors=True)
     q = (
-        enriched.writeStream.format("memory")
+        enriched.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    shutil.rmtree(stage, ignore_errors=True)  # memory sink holds the rows now
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return (
-        spark.table(name)
+        spark.read.parquet(sink)
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
