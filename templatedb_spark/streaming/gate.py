@@ -1115,11 +1115,19 @@ def stream_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply_batch(batch_df, batch_id: int) -> None:
         if kv.has_tag(f"{qname}:b{batch_id}"):
             return  # replayed batch: already committed, cache untouched
-        cells = (
+        # tf FIRST, cells second: aggregating to term frequencies before the
+        # d-way cell explode keeps the explode at vocab size instead of
+        # token-instance size (at sf10 that is ~thousands of rows ×4 vs
+        # ~20M instances ×4 per batch — the same order the batch spec uses)
+        tf_b = (
             batch_df.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
-            .select(F.explode(cell_structs()).alias("jb"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        cells = (
+            tf_b.select("n", F.explode(cell_structs()).alias("jb"))
             .groupBy(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .agg(F.sum("n").cast("long").alias("cnt"))
         )
         partial = {(r.j, r.b): r.cnt for r in cells.collect()}  # <= d*w rows
         if not partial:
@@ -1155,11 +1163,12 @@ def stream_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("long").alias("cnt"),
     )
     # candidate selection is the exact top-K over the full corpus (same as
-    # the batch spec) — the streamed, audited artifact is the sketch itself
-    tok = (
-        table(spark, sf_dir, "documents")
-        .select(F.explode(tokens_col(F.col("text"))).alias("tok"))
-    )
+    # the batch spec) — the streamed, audited artifact is the sketch itself.
+    # Reuse the suite-wide CACHED tokenized relation (operators/dedup) so
+    # this pass costs a cache read, not a third full-corpus tokenization.
+    from templatedb_spark.operators.dedup import tokenized
+
+    tok = tokenized(spark, sf_dir).select(F.explode("t").alias("tok"))
     tf = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
     cand = tf.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(_CMS_K)
     cand_b = cand.select(
