@@ -1604,3 +1604,89 @@ register(
         "Pareto front / 2-D skyline: price-collapse + per-group sorted prefix-max sweep (no pair join) vs the identical SQL sweep",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution (round 9): the companion to
+# attribution_last_touch — every click/view in the 7 days BEFORE a purchase
+# shares the credit equally (1/n per touch), purchases with no in-window
+# touch credit 'direct'. Equal splitting is where float determinism usually
+# dies (value/n summed in arbitrary partition order), so credit is computed
+# in INTEGER micro-units: floor(value·1e6) DIV n — floor and integer
+# division agree bit-for-bit across engines, sums are exact BIGINTs, and
+# the rounding loss (< n micro-units per purchase) is part of the defined
+# semantics on both sides.
+#
+# Scale: the touch↔purchase pairing is a per-user interval join (bounded by
+# per-user activity, never corpus×corpus); the credit rollup is one hash
+# agg. The same shape as range_join_clicks, which documents the at-scale
+# bucketing for this join family.
+# ---------------------------------------------------------------------------
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        F.expr("cast(floor(value * 1000000) as bigint)").alias("micro"),
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch"),
+    )
+    j = p.join(t, "u").filter(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAY"))
+    )
+    n = j.groupBy("pid").agg(F.count(F.lit(1)).alias("n_t"))
+    credited = j.join(n, "pid").select(
+        "touch", "pid", F.expr("micro div n_t").alias("cr")
+    )
+    direct = (
+        p.join(n.select("pid"), "pid", "left_anti")
+        .select(F.lit("direct").alias("touch"), "pid", F.col("micro").alias("cr"))
+    )
+    return credited.unionByName(direct).groupBy("touch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        F.countDistinct("pid").cast("long").alias("n_purchases"),
+        F.sum("cr").cast("long").alias("attributed_micros"),
+    )
+
+
+_ATTRIBUTION_LINEAR_ORACLE = """
+WITH p AS (
+  SELECT user_id AS u, event_id AS pid, ts AS pts,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS micro
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id AS u, ts AS tts, event_type AS touch
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT p.pid, p.micro, t.touch
+  FROM p JOIN t ON p.u = t.u
+   AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY
+),
+n AS (SELECT pid, COUNT(*) AS n_t FROM j GROUP BY pid),
+credits AS (
+  SELECT j.touch, j.pid, j.micro // n.n_t AS cr FROM j JOIN n USING (pid)
+  UNION ALL
+  SELECT 'direct', p.pid, p.micro FROM p
+  WHERE pid NOT IN (SELECT pid FROM n)
+)
+SELECT touch, COUNT(*)::BIGINT AS n_credits,
+       COUNT(DISTINCT pid)::BIGINT AS n_purchases,
+       SUM(cr)::BIGINT AS attributed_micros
+FROM credits GROUP BY touch
+"""
+
+register(
+    QuerySpec(
+        "attribution_linear",
+        attribution_linear,
+        _ATTRIBUTION_LINEAR_ORACLE,
+        "linear multi-touch attribution: 7-day window interval join, equal credit split in exact integer micro-units (floor + DIV — no float accumulation)",
+    )
+)
