@@ -1393,3 +1393,192 @@ register(
         "right-to-erasure propagation: broadcast anti-join scrub of a tombstone identity set across every keyed table, with per-table audit counts",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / K-minimum-values) cross-source overlap estimation
+# (round 9): the cheap pre-dedup PLANNING op — before paying for a full
+# cross-source dedup, estimate every source pair's union cardinality and
+# Jaccard from k-sized sketches. Each source group keeps only its k
+# smallest distinct 40-bit md5 fingerprint hashes; a pair's union estimate
+# is (k-1)·2^40 DIV h_k over the merged sketch (exact integer arithmetic),
+# and its Jaccard estimate is the fraction of the merged bottom-k present
+# in BOTH sketches (j_cnt/k — a dyadic rational, float-exact). Exact truth
+# columns ride along so the spec doubles as an error report.
+#
+# Scale: sketch construction is one bounded window per group (k rows
+# survive); the pair stage then works on k-sized sketches — CONSTANT cost
+# per pair regardless of corpus size, which is the entire point: estimating
+# N² source overlaps without N² corpus joins. (`source_overlap` is the
+# exact twin that pays the real join.)
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_SPACE = 2**40
+_KMV_GROUPS = 4
+
+
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    fps = d.select(
+        (md5_long(F.col("source")) % _KMV_GROUPS).alias("g"),
+        _prefix_fp_spark().alias("fp"),
+    )
+    hashes = fps.select(
+        "g",
+        (md5_long(F.concat(F.lit("kmv|"), F.col("fp"))) % _KMV_SPACE).alias("h"),
+    ).distinct()
+    wg = W.partitionBy("g").orderBy(F.col("h").asc())
+    sk = (
+        hashes.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("g", "h")
+    )
+    a = sk.select(F.col("g").alias("ga"), F.col("h").alias("h"))
+    b = sk.select(F.col("g").alias("gb"), F.col("h").alias("h"))
+    merged = (
+        a.select("ga").distinct()
+        .join(b.select("gb").distinct(), F.col("ga") < F.col("gb"))
+        .join(a, "ga")
+        .unionByName(
+            a.select("ga").distinct()
+            .join(b.select("gb").distinct(), F.col("ga") < F.col("gb"))
+            .join(b, "gb")
+            .select("ga", "gb", "h")
+        )
+        .select("ga", "gb", "h")
+        .distinct()
+    )
+    wp = W.partitionBy("ga", "gb").orderBy(F.col("h").asc())
+    bot = merged.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    in_a = a.withColumnRenamed("ga", "g_")
+    in_b = b.withColumnRenamed("gb", "g_")
+    marked = (
+        bot.join(
+            in_a.select(F.col("g_").alias("ga"), "h", F.lit(1).alias("ia")),
+            ["ga", "h"],
+            "left",
+        )
+        .join(
+            in_b.select(F.col("g_").alias("gb"), "h", F.lit(1).alias("ib")),
+            ["gb", "h"],
+            "left",
+        )
+    )
+    est = marked.groupBy("ga", "gb").agg(
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+        F.sum(
+            F.when(F.col("ia").isNotNull() & F.col("ib").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("j_cnt"),
+    )
+    # exact truth per pair via the distinct-fp sets (union by |A|+|B|-|A∩B|)
+    fa = fps.select("g", "fp").distinct()
+    ga_sets = fa.select(F.col("g").alias("ga"), "fp")
+    gb_sets = fa.select(F.col("g").alias("gb"), "fp")
+    inter = (
+        ga_sets.join(gb_sets, "fp")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.countDistinct("fp").cast("long").alias("n_inter"))
+    )
+    sizes = fa.groupBy("g").agg(F.countDistinct("fp").cast("long").alias("n"))
+    pairs = (
+        sizes.select(F.col("g").alias("ga"), F.col("n").alias("na"))
+        .join(
+            sizes.select(F.col("g").alias("gb"), F.col("n").alias("nb")),
+            F.col("ga") < F.col("gb"),
+        )
+        .join(inter, ["ga", "gb"], "left")
+        .select(
+            "ga",
+            "gb",
+            (F.col("na") + F.col("nb") - F.coalesce("n_inter", F.lit(0)))
+            .cast("long")
+            .alias("n_union"),
+            F.coalesce("n_inter", F.lit(0)).cast("long").alias("n_inter"),
+        )
+    )
+    return est.join(pairs, ["ga", "gb"]).select(
+        F.col("ga").cast("long").alias("ga"),
+        F.col("gb").cast("long").alias("gb"),
+        F.expr(f"cast(({_KMV_K} - 1) * cast({_KMV_SPACE} as bigint) div hk as bigint)").alias(
+            "est_union"
+        ),
+        "j_cnt",
+        "n_union",
+        "n_inter",
+    )
+
+
+def _kmv_oracle() -> str:
+    gh = md5_long_sql("source")
+    hh = md5_long_sql("'kmv|' || fp")
+    return f"""
+WITH fps AS (
+  SELECT {gh} % {_KMV_GROUPS} AS g, {_PREFIX_FP_SQL} AS fp FROM documents
+),
+hashes AS (
+  SELECT DISTINCT g, {hh} % {_KMV_SPACE} AS h
+  FROM (SELECT DISTINCT g, fp FROM fps)
+),
+sk AS (
+  SELECT g, h FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h ASC) AS rn
+    FROM hashes
+  ) WHERE rn <= {_KMV_K}
+),
+gs AS (SELECT DISTINCT g FROM sk),
+prs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+merged AS (
+  SELECT DISTINCT p.ga, p.gb, s.h
+  FROM prs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+),
+bot AS (
+  SELECT ga, gb, h, rn FROM (
+    SELECT ga, gb, h,
+           ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h ASC) AS rn
+    FROM merged
+  ) WHERE rn <= {_KMV_K}
+),
+est AS (
+  SELECT ga, gb,
+         MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS hk,
+         SUM(CASE WHEN EXISTS (SELECT 1 FROM sk WHERE sk.g = bot.ga AND sk.h = bot.h)
+                   AND EXISTS (SELECT 1 FROM sk WHERE sk.g = bot.gb AND sk.h = bot.h)
+                  THEN 1 ELSE 0 END)::BIGINT AS j_cnt
+  FROM bot GROUP BY ga, gb
+),
+fa AS (SELECT DISTINCT g, fp FROM fps),
+sizes AS (SELECT g, COUNT(DISTINCT fp) AS n FROM fa GROUP BY g),
+inter AS (
+  SELECT x.g AS ga, y.g AS gb, COUNT(DISTINCT x.fp) AS n_inter
+  FROM fa x JOIN fa y ON x.fp = y.fp AND x.g < y.g
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb,
+         (a.n + b.n - COALESCE(i.n_inter, 0))::BIGINT AS n_union,
+         COALESCE(i.n_inter, 0)::BIGINT AS n_inter
+  FROM sizes a JOIN sizes b ON a.g < b.g
+  LEFT JOIN inter i ON i.ga = a.g AND i.gb = b.g
+)
+SELECT e.ga::BIGINT AS ga, e.gb::BIGINT AS gb,
+       (({_KMV_K} - 1) * {_KMV_SPACE}::BIGINT // e.hk)::BIGINT AS est_union,
+       e.j_cnt, p.n_union, p.n_inter
+FROM est e JOIN pairs p ON e.ga = p.ga AND e.gb = p.gb
+"""
+
+
+register(
+    QuerySpec(
+        "kmv_source_overlap",
+        kmv_source_overlap,
+        _kmv_oracle(),
+        "KMV bottom-k sketch overlap planning: per source-pair union/Jaccard estimates from k-sized sketches (constant pair cost) with exact truth columns",
+    )
+)
