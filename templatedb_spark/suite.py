@@ -124,8 +124,10 @@ def all_specs() -> dict[str, QuerySpec]:
     covered -= changed_r8
     # Round-9 churn: the streaming CDC sink now commits each micro-batch
     # with an idempotency tag in its manifest record (exactly-once under
-    # replay, kv.write_batch_df(tag=...)) — same state, new commit path.
-    changed_r9 = {"stream_cdc_kv_state"}
+    # replay, kv.write_batch_df(tag=...)) — same state, new commit path;
+    # hll_distinct_users was refactored into shared partial/fill/finalize
+    # helpers (same semantics, new code path feeding the streaming gate).
+    changed_r9 = {"stream_cdc_kv_state", "hll_distinct_users"}
     covered -= changed_r9
     # The round-2 verdict singled out eleven specs that no driver round has
     # ever audited ("close the CORRECTNESS union"); the driver caps how many
