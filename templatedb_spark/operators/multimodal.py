@@ -523,6 +523,120 @@ FROM px
 """
 
 
+# ---------------------------------------------------------------------------
+# Image resize: the one preprocessing op between decode and feature-extract in
+# every vision-data pipeline (normalize a heterogeneous corpus to the model's
+# input resolution). Nearest-neighbor with the standard floor mapping
+# src = (dst * src_dim) // dst_dim — deterministic integer arithmetic, so the
+# oracle can replay the exact mapping in SQL. Three Arrow stages (encode PGM →
+# decode/resize/re-encode PGM → decode/stats) prove the resized payload travels
+# executor-to-executor as a real container, never through the driver. The
+# 8×8 → 6×6 target is deliberately a NON-integer ratio: a decoder that cheats
+# with stride-2 sampling or averaging fails the position-weighted checksum.
+# ---------------------------------------------------------------------------
+_RSZ_SRC = 8  # source 8×8 from each doc's leading 64 bytes
+_RSZ_OUT = 6  # target 6×6 — non-integer ratio exercises the floor mapping
+
+
+def resize_nearest(px: list[list[int]], out_w: int, out_h: int) -> list[list[int]]:
+    """Nearest-neighbor resize of a row-major pixel matrix: output cell (r, c)
+    takes source pixel ((r*H)//out_h, (c*W)//out_w). Pure integer floor
+    mapping — no interpolation, identical on every platform."""
+    h, w = len(px), len(px[0])
+    return [
+        [px[(r * h) // out_h][(c * w) // out_w] for c in range(out_w)]
+        for r in range(out_h)
+    ]
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode each document into a real 8×8 binary PGM, resize it 8×8 → 6×6
+    (nearest-neighbor) in a second Arrow stage that re-encodes the result as a
+    PGM container, then decode and emit pixel statistics plus a
+    position-weighted checksum (sum of (k+1)·p[k] over the row-major resized
+    raster) — any misplacement, transposition, or wrong source mapping flips
+    the checksum even when the mean survives."""
+    import pandas as pd
+
+    from templatedb_spark.suite import table
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = _RSZ_SRC * _RSZ_SRC
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_pgm((t.encode("utf-8")[:n] + b"\x00" * n)[:n], _RSZ_SRC, _RSZ_SRC)
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                px = resize_nearest(decode_image(bytes(payload)), _RSZ_OUT, _RSZ_OUT)
+                payloads.append(
+                    encode_pgm(bytes(v for row in px for v in row), _RSZ_OUT, _RSZ_OUT)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(payload))
+                flat = [v for row in px for v in row]
+                rows.append(
+                    (
+                        doc_id,
+                        len(px[0]),
+                        len(px),
+                        sum(flat) / len(flat),
+                        sum((k + 1) * v for k, v in enumerate(flat)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "pixel_mean", "checksum"]
+            )
+
+    binary = "doc_id long, payload binary"
+    return (
+        d.mapInPandas(encode, schema=binary)
+        .mapInPandas(resize, schema=binary)
+        .mapInPandas(
+            stats,
+            schema="doc_id long, width int, height int, pixel_mean double, checksum bigint",
+        )
+    )
+
+
+# Oracle: replay the exact floor mapping — resized cell k (0-based, row-major
+# 6×6) reads source pixel ((k//6)*8//6)*8 + ((k%6)*8//6) of the doc's first 64
+# (ASCII) bytes zero-padded.
+_RESIZE_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, {_RSZ_SRC * _RSZ_SRC}),
+                        i -> CASE WHEN i <= strlen(text) THEN ascii(substr(text, i, 1)) ELSE 0 END) AS p
+  FROM documents
+), rs AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {_RSZ_OUT * _RSZ_OUT - 1}),
+                        k -> p[((k // {_RSZ_OUT}) * {_RSZ_SRC} // {_RSZ_OUT}) * {_RSZ_SRC}
+                               + ((k % {_RSZ_OUT}) * {_RSZ_SRC} // {_RSZ_OUT}) + 1]) AS q
+  FROM px
+)
+SELECT doc_id,
+       {_RSZ_OUT}::INT AS width,
+       {_RSZ_OUT}::INT AS height,
+       (list_sum(q) / {_RSZ_OUT * _RSZ_OUT}.0) AS pixel_mean,
+       list_sum(list_transform(generate_series(1, {_RSZ_OUT * _RSZ_OUT}),
+                               k -> k * q[k]))::BIGINT AS checksum
+FROM rs
+"""
+
+
 def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode each document into a real 8-bit mono PCM WAV (stdlib wave),
     decode it back, and emit sample statistics."""
@@ -715,6 +829,12 @@ for _spec in [
         multimodal_decode_audio,
         _DECODE_AUDIO_ORACLE,
         "real WAV (stdlib wave) encode→decode roundtrip with sample stats",
+    ),
+    QuerySpec(
+        "multimodal_resize",
+        multimodal_resize,
+        _RESIZE_ORACLE,
+        "nearest-neighbor image resize (8×8→6×6 PGM, non-integer ratio) with position-weighted checksum",
     ),
 ]:
     register(_spec)

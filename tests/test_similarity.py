@@ -527,3 +527,31 @@ def test_hard_mining_invariants(spark):
         if r.hard_pos_id is not None:
             assert labels[r.hard_pos_id] == r.a_label
             assert r.hard_pos_id >= _MINE_NANCHOR
+
+
+def test_resize_nearest_floor_mapping():
+    """Nearest-neighbor resize uses the floor mapping src=(dst*S)//D — pinned
+    on a ramp image where every source pixel is unique, both downscale (8→6,
+    non-integer ratio) and upscale (4→6, indices repeat)."""
+    from templatedb_spark.operators.multimodal import resize_nearest
+
+    src = [[r * 8 + c for c in range(8)] for r in range(8)]
+    out = resize_nearest(src, 6, 6)
+    assert len(out) == 6 and all(len(row) == 6 for row in out)
+    # hand-computed floor mapping for 8→6: dst index k reads src (k*8)//6,
+    # i.e. source rows/cols [0, 1, 2, 4, 5, 6]
+    keep = [0, 1, 2, 4, 5, 6]
+    assert out == [[src[i][j] for j in keep] for i in keep]
+
+    up = resize_nearest([[r * 4 + c for c in range(4)] for r in range(4)], 6, 6)
+    # 4→6: dst k reads src (k*4)//6 → [0, 0, 1, 2, 2, 3] (repeats)
+    rep = [0, 0, 1, 2, 2, 3]
+    assert up == [[r * 4 + c for c in (rep[j] for j in range(6))] for r in (rep[i] for i in range(6))]
+
+
+def test_resize_identity_and_single_pixel():
+    from templatedb_spark.operators.multimodal import resize_nearest
+
+    src = [[r * 3 + c for c in range(3)] for r in range(3)]
+    assert resize_nearest(src, 3, 3) == src
+    assert resize_nearest(src, 1, 1) == [[src[0][0]]]
