@@ -155,6 +155,7 @@ def main() -> None:
         "stream_cms_tokens",  # 3-trigger counter-sketch KV chain (r9)
         "pyds_stream_source",  # python streaming-source drain chain (r9)
         "stream_mv_join",  # 3-trigger incremental join-view chain (r9)
+        "stream_mv_join_wide",  # 2-trigger distributed-merge wide-key view chain (r10)
         "kv_range_layout_scan",  # serial 3-write range-layout KV chain (r8)
         "ann_lsh_banded_topk",
         "dedup_ngram_prefix",
@@ -202,7 +203,7 @@ def main() -> None:
         for n in (set(critical) | heavy_names)
     }
     for i, n in enumerate(streaming):
-        pool_of[n] = f"stream{i % 14}"
+        pool_of[n] = f"stream{i % 15}"
 
     errs: dict[str, str] = {}
     retried: list[str] = []

@@ -1336,3 +1336,122 @@ register(
         "streaming materialized JOIN view: per-trigger dA broadcast-join + DECIMAL-exact delta rollup SUM-merged into KV under exactly-once tags vs full-recompute oracle",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Fourteenth gated spec: WIDE-KEY streaming materialized JOIN view — the
+# FULLY DISTRIBUTED merge stream_mv_join's docstring promises for views keyed
+# wider than the driver. The view is keyed by (c_mktsegment, o_custkey) —
+# every customer, not 15 rollup groups — so the per-trigger merge must never
+# collect: each micro-batch's delta rollup LEFT-JOINs the KV snapshot on the
+# view key (executor-side merge-on-read), sums counts as BIGINT and revenue
+# as DECIMAL(38,2) (exact, partitioning-independent), and the merged rows
+# flow shuffle→parquet through write_batch_df under an exactly-once batch
+# tag. Driver state per trigger: ZERO rows — the contract that survives a
+# view keyed by user_id at 100 TB. A replayed batch would double-count (the
+# SUM-merge is non-idempotent), so the tag is correctness, not hygiene; and
+# the o_orderkey-ordered 2-way split puts nearly every custkey in BOTH
+# batches, so a merge that failed to read prior state flips the hash.
+# ---------------------------------------------------------------------------
+def _mvjw_apply(kv, dim: DataFrame, batch_df: DataFrame, tag: str) -> None:
+    """One micro-batch of the wide-key view: broadcast-join the delta, roll it
+    up exactly, LEFT-JOIN the pre-batch KV snapshot on the view key, and
+    commit the merged rows through the distributed sink under `tag`. No row
+    ever touches the driver; a replayed tag is a recognized no-op."""
+    if kv.has_tag(tag):
+        return  # replayed micro-batch: already committed
+    delta = (
+        batch_df.join(dim, batch_df.o_custkey == dim.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dn"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .alias("drev"),
+        )
+    )
+    # distributed read-merge: snapshot() resolves its version paths NOW
+    # (before this batch's version commits), so the plan below reads
+    # exactly the pre-batch state — no self-read window.
+    kparts = F.split(F.col("key"), r"\|", 2)
+    vparts = F.split(F.col("value"), r"\|", 2)
+    cur = kv.snapshot().select(
+        kparts.getItem(0).alias("c_mktsegment"),
+        kparts.getItem(1).cast("long").alias("o_custkey"),
+        vparts.getItem(0).cast("long").alias("n0"),
+        vparts.getItem(1).cast("decimal(38,2)").alias("rev0"),
+    )
+    merged = delta.join(cur, ["c_mktsegment", "o_custkey"], "left").select(
+        F.concat_ws("|", "c_mktsegment", "o_custkey").alias("key"),
+        F.concat_ws(
+            "|",
+            (F.coalesce(F.col("n0"), F.lit(0)) + F.col("dn")).cast("string"),
+            (
+                F.coalesce(F.col("rev0"), F.lit(0).cast("decimal(38,2)"))
+                + F.col("drev")
+            ).cast("decimal(38,2)").cast("string"),
+        ).alias("value"),
+        F.lit("put").alias("op"),
+    )
+    kv.write_batch_df(merged, tag=tag)  # executor-side shuffle→write
+
+
+def stream_mv_join_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from templatedb_spark.kv import KVTable
+    from templatedb_spark.suite import table
+
+    stage = tempfile.mkdtemp(prefix="mvjw_stage_")
+    _stage_order_microbatches(sf_dir, stage, n_batches=2)
+    kv_dir = tempfile.mkdtemp(prefix="mvjw_kv_")
+    atexit.register(shutil.rmtree, kv_dir, ignore_errors=True)
+    kv = KVTable(spark, kv_dir)
+    qname = f"gate_mvjw_{abs(hash(stage))}"
+
+    dim = F.broadcast(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        _mvjw_apply(kv, dim, batch_df, f"{qname}:b{batch_id}")
+
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(apply_batch)
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    parts = F.split(F.col("key"), r"\|", 2)
+    vals = F.split(F.col("value"), r"\|", 2)
+    return kv.snapshot().select(
+        parts.getItem(0).alias("c_mktsegment"),
+        parts.getItem(1).cast("long").alias("o_custkey"),
+        vals.getItem(0).cast("long").alias("n_orders"),
+        vals.getItem(1).cast("decimal(38,2)").cast("double").alias("revenue"),
+    )
+
+
+_STREAM_MV_JOIN_WIDE_ORACLE = """
+SELECT c.c_mktsegment, o.o_custkey,
+       COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+register(
+    QuerySpec(
+        "stream_mv_join_wide",
+        stream_mv_join_wide,
+        _STREAM_MV_JOIN_WIDE_ORACLE,
+        "wide-key streaming materialized JOIN view: per-customer state maintained by a fully distributed per-trigger read-merge (delta LEFT JOIN snapshot -> write_batch_df, zero driver rows) under exactly-once tags",
+    )
+)

@@ -364,3 +364,63 @@ def test_event_values_format_safe():
         vals = col.to_pylist()
         bad = [v for v in vals if v != 0 and (abs(v) < 1e-3 or abs(v) >= 1e7)]
         assert not bad, f"{sf}: values in the Java/Python format-divergence zone: {bad[:5]}"
+
+
+def test_mv_join_wide_distributed_merge_and_replay(spark, tmp_path):
+    """The wide-key MV gate's per-batch merge (_mvjw_apply) is fully
+    distributed and exactly-once: after two o_orderkey-ordered halves the KV
+    state equals the batch rollup (keys straddling both halves prove the
+    read-merge actually read prior state), and replaying either batch under
+    its committed tag adds zero versions and changes nothing."""
+    from templatedb_spark.kv import KVTable
+    from templatedb_spark.streaming.gate import _mvjw_apply
+    from templatedb_spark.suite import table
+    from tests.conftest import SF_SMALL
+
+    orders = table(spark, SF_SMALL, "orders")
+    n = orders.count()
+    half = (
+        orders.orderBy("o_orderkey")
+        .limit(n // 2)
+        .select(F.max("o_orderkey"))
+        .first()[0]
+    )
+    b0 = orders.filter(F.col("o_orderkey") <= half)
+    b1 = orders.filter(F.col("o_orderkey") > half)
+    # non-vacuity: the split must leave customers with orders in BOTH halves,
+    # otherwise batch 1's merge never exercises the state read
+    straddle = b0.select("o_custkey").intersect(b1.select("o_custkey")).count()
+    assert straddle > 0
+
+    dim = F.broadcast(
+        table(spark, SF_SMALL, "customer").select("c_custkey", "c_mktsegment")
+    )
+    kv = KVTable(spark, str(tmp_path / "kv"))
+    _mvjw_apply(kv, dim, b0, "q:b0")
+    _mvjw_apply(kv, dim, b1, "q:b1")
+    v_done = kv.latest_version()
+    state = sorted((r.key, r.value) for r in kv.snapshot().collect())
+
+    expect = sorted(
+        (
+            f"{r.c_mktsegment}|{r.o_custkey}",
+            f"{r.n}|{r.rev}",
+        )
+        for r in orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("rev"),
+        )
+        .collect()
+    )
+    assert state == expect
+
+    # replay both batches (restart without checkpoint): tags must no-op
+    _mvjw_apply(kv, dim, b0, "q:b0")
+    _mvjw_apply(kv, dim, b1, "q:b1")
+    assert kv.latest_version() == v_done
+    assert sorted((r.key, r.value) for r in kv.snapshot().collect()) == state
