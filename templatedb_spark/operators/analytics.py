@@ -1690,3 +1690,88 @@ register(
         "linear multi-touch attribution: 7-day window interval join, equal credit split in exact integer micro-units (floor + DIV — no float accumulation)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Weight of Evidence / Information Value (round 10): the classic
+# feature-selection statistic for a categorical predictor against a binary
+# target — here c_mktsegment predicting "order is 1-URGENT". WOE_s =
+# ln((good_s/good_tot)/(bad_s/bad_tot)); IV = Σ_s (g_pct - b_pct)·WOE_s.
+# A training pipeline runs this over every candidate feature to rank them
+# before model fitting.
+#
+# Determinism: all inputs are exact integer counts; the only floats are the
+# final divisions and ln, computed identically from identical integers on
+# both engines (10-significant-digit compare). Totals join as a broadcast of
+# a 1-row aggregate — no global window, no second scan of the fact table
+# (the segment rollup is reused for the totals via a second small agg over
+# the 5-row intermediate).
+#
+# Scale: one shuffle on c_mktsegment for the rollup; the totals aggregate
+# and the IV sum run over |segments| rows. At 100 TB this is a map-side
+# partial agg into a 5-row reduce — the cheapest possible shape.
+# ---------------------------------------------------------------------------
+def woe_iv_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority").startswith("1-"), 1).otherwise(0)
+            ).cast("long").alias("n_good"),
+            F.sum(
+                F.when(F.col("o_orderpriority").startswith("1-"), 0).otherwise(1)
+            ).cast("long").alias("n_bad"),
+        )
+    )
+    tot = seg.agg(
+        F.sum("n_good").alias("g_tot"), F.sum("n_bad").alias("b_tot")
+    )
+    scored = seg.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        "n_good",
+        "n_bad",
+        (F.col("n_good") / F.col("g_tot")).alias("pct_good"),
+        (F.col("n_bad") / F.col("b_tot")).alias("pct_bad"),
+        F.log(
+            (F.col("n_good") / F.col("g_tot")) / (F.col("n_bad") / F.col("b_tot"))
+        ).alias("woe"),
+    )
+    iv = scored.agg(
+        F.sum(
+            (F.col("pct_good") - F.col("pct_bad")) * F.col("woe")
+        ).alias("iv")
+    )
+    return scored.crossJoin(F.broadcast(iv))
+
+
+_WOE_IV_ORACLE = """
+WITH seg AS (
+  SELECT c.c_mktsegment,
+         SUM(CASE WHEN o.o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END)::BIGINT AS n_good,
+         SUM(CASE WHEN o.o_orderpriority LIKE '1-%' THEN 0 ELSE 1 END)::BIGINT AS n_bad
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+tot AS (SELECT SUM(n_good) AS g_tot, SUM(n_bad) AS b_tot FROM seg),
+scored AS (
+  SELECT c_mktsegment, n_good, n_bad,
+         n_good / g_tot AS pct_good,
+         n_bad / b_tot AS pct_bad,
+         ln((n_good / g_tot) / (n_bad / b_tot)) AS woe
+  FROM seg, tot
+)
+SELECT s.*, iv.iv
+FROM scored s, (SELECT SUM((pct_good - pct_bad) * woe) AS iv FROM scored) iv
+"""
+
+register(
+    QuerySpec(
+        "woe_iv_segment",
+        woe_iv_segment,
+        _WOE_IV_ORACLE,
+        "Weight-of-Evidence / Information-Value feature scoring: exact integer counts, broadcast totals, ln only at the surface",
+    )
+)

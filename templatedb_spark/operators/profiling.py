@@ -1022,3 +1022,86 @@ for spec in [
     QuerySpec("chi2_lang_source", chi2_lang_source, _CHI2_ORACLE, "chi-squared independence test over exact cell counts (cell-ordered fold, x1000 integer)"),
 ]:
     register(spec)
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov–Smirnov drift (round 10): PSI's companion that
+# needs no binning — D = sup_v |F_a(v) − F_b(v)| over the pooled observed
+# values, the distribution-free drift test a pipeline runs when a feature's
+# histogram bins would hide tail movement. Exactness: the sup is found on the
+# INTEGER lattice |cum_a·n_b − cum_b·n_a| (no float compare decides the
+# argmax); only the final D divides — both factors < 2^53, so the double is
+# exact cross-engine. The cumulative counts come from operators.ranks'
+# distributed two-pass cumsum (one range shuffle over the DISTINCT-value
+# relation, never a single-task global window), with both sides' cumsums
+# sharing one exchange via global_cumsum_multi.
+# Scale: groupBy(value) collapses the corpus to its distinct values before
+# any ordered pass; the range shuffle is over that collapsed relation.
+# ---------------------------------------------------------------------------
+_KS_A, _KS_B = "click", "purchase"
+
+
+def ks_drift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.operators.ranks import global_cumsum_multi
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KS_A, _KS_B)
+    )
+    per_v = e.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    cums = global_cumsum_multi(
+        per_v, [F.col("v").asc()], [(F.col("c1"), "cum1"), (F.col("c2"), "cum2")]
+    )
+    tot = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    d = cums.crossJoin(F.broadcast(tot)).withColumn(
+        "num", F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    )
+    best = d.agg(F.max("num").alias("mx"))
+    return (
+        d.join(F.broadcast(best), d.num == F.col("mx"))
+        .groupBy()
+        .agg(
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+            (F.max("mx") / (F.max("n1") * F.max("n2"))).alias("ks_stat"),
+            F.min("v").alias("ks_at_value"),
+        )
+    )
+
+
+_KS_ORACLE = f"""
+WITH per_v AS (
+  SELECT value AS v,
+         SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)::BIGINT AS c1,
+         SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)::BIGINT AS c2
+  FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+  GROUP BY v
+),
+cums AS (
+  SELECT v, SUM(c1) OVER (ORDER BY v) AS cum1, SUM(c2) OVER (ORDER BY v) AS cum2
+  FROM per_v
+),
+tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM per_v),
+d AS (
+  SELECT v, ABS(cum1 * n2 - cum2 * n1) AS num, n1, n2 FROM cums, tot
+)
+SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+       (MAX(num)::DOUBLE / (n1::DOUBLE * n2::DOUBLE)) AS ks_stat,
+       MIN(v) FILTER (WHERE num = (SELECT MAX(num) FROM d)) AS ks_at_value
+FROM d GROUP BY n1, n2
+"""
+
+register(
+    QuerySpec(
+        "ks_drift_value",
+        ks_drift_value,
+        _KS_ORACLE,
+        "exact two-sample Kolmogorov-Smirnov drift: integer-lattice argmax over distributed shared-exchange cumsums (ranks.global_cumsum_multi)",
+    )
+)

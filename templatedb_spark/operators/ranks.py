@@ -106,6 +106,49 @@ def global_row_number(
     ).drop(_PID, _LOCAL, _OFFSET)
 
 
+def global_cumsum_multi(
+    df: DataFrame, order_cols: list[Column], values: list[tuple[Column, str]]
+) -> DataFrame:
+    """Exact global running sums of SEVERAL measures over ONE total order,
+    sharing a single range exchange, one per-partition window pass, and one
+    broadcast prefix-offset map (global_cumsum called k times would pay k
+    range shuffles and k checkpoints for the same order). `values` is a list
+    of (measure column, output name)."""
+    local = _range_local(df, order_cols)
+    for i, (v, _) in enumerate(values):
+        local = local.withColumn(f"__rv{i}", v)
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for i in range(len(values)):
+        local = local.withColumn(f"__loc{i}", F.sum(f"__rv{i}").over(w))
+    counts = local.groupBy(_PID).agg(
+        *[F.sum(f"__rv{i}").alias(f"__tot{i}") for i in range(len(values))]
+    )
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b.__tot{i}"), F.lit(0)).alias(f"__off{i}")
+                for i in range(len(values))
+            ]
+        )
+    )
+    out = local.join(F.broadcast(offsets), _PID)
+    for i, (_, name) in enumerate(values):
+        out = out.withColumn(name, F.col(f"__loc{i}") + F.col(f"__off{i}"))
+    drop = [_PID] + [
+        c
+        for i in range(len(values))
+        for c in (f"__rv{i}", f"__loc{i}", f"__off{i}")
+    ]
+    return out.drop(*drop)
+
+
 def global_cumsum(
     df: DataFrame, order_cols: list[Column], value: Column, cum_col: str = "cum"
 ) -> DataFrame:

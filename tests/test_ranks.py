@@ -131,3 +131,42 @@ def test_plan_has_no_unpartitioned_window(spark):
     assert global_sort_window_lines(physical_plan(ranked)) == []
     summed = global_cumsum(df, [F.col("v").asc(), F.col("k").asc()], F.col("amt"))
     assert global_sort_window_lines(physical_plan(summed)) == []
+
+
+def test_global_cumsum_multi_matches_single_task_window(spark):
+    """Both measures of a shared-exchange multi-cumsum must equal the
+    single-task window formulation — including ties straddling range
+    boundaries and DECIMAL exactness on the second measure."""
+    from templatedb_spark.operators.ranks import global_cumsum_multi
+
+    df = _data(spark)
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = {
+        r.k: (r.c_cnt, r.c_amt)
+        for r in global_cumsum_multi(
+            df, order, [(F.lit(1).cast("long"), "c_cnt"), (F.col("amt"), "c_amt")]
+        )
+        .select("k", "c_cnt", "c_amt")
+        .collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r.k: (r.c_cnt, r.c_amt)
+        for r in df.select(
+            "k",
+            F.sum(F.lit(1)).over(w).cast("long").alias("c_cnt"),
+            F.sum("amt").over(w).alias("c_amt"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_multi_plan_free_of_global_window(spark):
+    from templatedb_spark.operators.ranks import global_cumsum_multi
+    from templatedb_spark.plans.explain import global_sort_window_lines, physical_plan
+
+    df = _data(spark, n=251)
+    out = global_cumsum_multi(
+        df, [F.col("v").asc(), F.col("k").asc()], [(F.col("v"), "cv"), (F.col("k"), "ck")]
+    )
+    assert global_sort_window_lines(physical_plan(out)) == []
