@@ -151,10 +151,10 @@ def main() -> None:
         "stream_window_late",  # 3-trigger watermarked window-agg chain (r9)
         "stream_neardup_pairs",  # 2-trigger stateful minhash chain (r6)
         "stream_static_enrich",  # 3-trigger stream-static broadcast join chain (r9)
-        "stream_hll_users",  # 3-trigger mergeable-sketch KV chain (r9)
-        "stream_cms_tokens",  # 3-trigger counter-sketch KV chain (r9)
+        "stream_hll_users",  # 2-trigger mergeable-sketch KV chain (r9, 3->2 r10)
+        "stream_cms_tokens",  # 2-trigger counter-sketch KV chain (r9, 3->2 r10)
         "pyds_stream_source",  # python streaming-source drain chain (r9)
-        "stream_mv_join",  # 3-trigger incremental join-view chain (r9)
+        "stream_mv_join",  # 2-trigger incremental join-view chain (r9, 3->2 r10)
         "stream_mv_join_wide",  # 2-trigger distributed-merge wide-key view chain (r10)
         "kv_range_layout_scan",  # serial 3-write range-layout KV chain (r8)
         "ann_lsh_banded_topk",

@@ -970,7 +970,11 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from templatedb_spark.suite import table
 
     stage = tempfile.mkdtemp(prefix="hll_stage_")
-    _stage_microbatches(sf_dir, stage)
+    # 2 triggers = the semantic minimum for a cross-batch merge (batch 1
+    # max-merges into batch 0's committed registers); the third trigger
+    # proved nothing extra and was ~1/3 of this serial chain's wall clock
+    # (VERDICT r6 #4's fewer-larger-micro-batches lever).
+    _stage_microbatches(sf_dir, stage, n_batches=2)
     kv_dir = tempfile.mkdtemp(prefix="hll_kv_")
     atexit.register(shutil.rmtree, kv_dir, ignore_errors=True)
     kv = KVTable(spark, kv_dir)
@@ -1088,7 +1092,9 @@ def stream_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from templatedb_spark.suite import table
 
     stage = tempfile.mkdtemp(prefix="cms_stage_")
-    _stage_full_doc_microbatches(sf_dir, stage)
+    # 2 triggers: minimum that proves the SUM-merge reads committed state
+    # (and that a replayed tag cannot double-count) — see stream_hll_users
+    _stage_full_doc_microbatches(sf_dir, stage, n_batches=2)
     kv_dir = tempfile.mkdtemp(prefix="cms_kv_")
     atexit.register(shutil.rmtree, kv_dir, ignore_errors=True)
     kv = KVTable(spark, kv_dir)
@@ -1251,7 +1257,9 @@ def stream_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from templatedb_spark.suite import table
 
     stage = tempfile.mkdtemp(prefix="mvj_stage_")
-    _stage_order_microbatches(sf_dir, stage)
+    # 2 triggers: the cross-batch delta merge is proven by batch 1 summing
+    # into batch 0's committed view (same lever as the sketch gates)
+    _stage_order_microbatches(sf_dir, stage, n_batches=2)
     kv_dir = tempfile.mkdtemp(prefix="mvj_kv_")
     atexit.register(shutil.rmtree, kv_dir, ignore_errors=True)
     kv = KVTable(spark, kv_dir)

@@ -129,6 +129,14 @@ def all_specs() -> dict[str, QuerySpec]:
     # helpers (same semantics, new code path feeding the streaming gate).
     changed_r9 = {"stream_cdc_kv_state", "hll_distinct_users"}
     covered -= changed_r9
+    # Round-10 churn: the three KV-merge gates dropped from 3 staged
+    # micro-batches to the 2-trigger semantic minimum (same oracles, same
+    # state contract, shorter serial chain — VERDICT r6 #4's lever), and
+    # stream_mv_join's per-batch apply was referenced against the new
+    # distributed-merge twin. Prior-round rows no longer vouch for the new
+    # trigger shape.
+    changed_r10 = {"stream_hll_users", "stream_cms_tokens", "stream_mv_join"}
+    covered -= changed_r10
     # The round-2 verdict singled out eleven specs that no driver round has
     # ever audited ("close the CORRECTNESS union"); the driver caps how many
     # entries it records per round, so those eleven outrank every other
