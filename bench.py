@@ -36,7 +36,10 @@ def main() -> None:
     # streaming chains (r6, steal-clean pairs: 16→24.5 s, 20→21.3 s,
     # 24→20.95 s): more overlap hides per-query scheduling gaps and the
     # chains' trigger latency without saturating the driver GIL.
-    workers = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "24"))
+    # 28 at 213 specs / 15 chains (r10 pairs on a noisy host: 24→30.2/21.0,
+    # 28→27.0/25.2 and 33.6/24.7, 32→34.9 dirty) — one extra overlap slot
+    # per new serial chain; the 20-32 basin stays flat within run noise.
+    workers = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "28"))
 
     from templatedb_spark.session import EngineConfig, build_session
     from templatedb_spark.suite import all_specs
