@@ -1775,3 +1775,120 @@ register(
         "Weight-of-Evidence / Information-Value feature scoring: exact integer counts, broadcast totals, ln only at the surface",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / gains table (round 10): the standard model-eval artifact —
+# rank users by a score (here: exact DECIMAL click spend), cut into 10 equal
+# global deciles, and report per-decile response rate plus cumulative lift
+# over the base rate. The global ranking runs on operators.ranks'
+# distributed row_number (range shuffle + broadcast prefix offsets — never a
+# single-task window), with the decile cut as the explicit integer formula
+# floor((i-1)*10/n)+1 so both engines agree bit-for-bit; cumulative sums
+# over the 10-row decile aggregate are a broadcast theta-join, not a window.
+# Ties in spend are broken by user_id, so the ranking is total on both
+# sides. All rates divide exact BIGINTs.
+# ---------------------------------------------------------------------------
+_LIFT_K = 10
+
+
+def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.operators.ranks import global_row_number
+
+    e = table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.col("value").cast("decimal(18,6)"),
+                )
+            ),
+            F.lit(0).cast("decimal(18,6)"),
+        ).alias("spend"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("resp"),
+    )
+    n_tot = users.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("resp").cast("long").alias("r"),
+    )
+    ranked = global_row_number(
+        users, [F.col("spend").desc(), F.col("user_id").asc()], rank_col="i"
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "decile",
+            (F.floor((F.col("i") - 1) * _LIFT_K / F.col("n")) + 1).cast("long"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("resp").cast("long").alias("n_resp"),
+        )
+    )
+    a, b = dec.alias("a"), dec.alias("b")
+    cums = (
+        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(F.col("a.decile").alias("decile"))
+        .agg(
+            F.max("a.n_users").alias("n_users"),
+            F.max("a.n_resp").alias("n_resp"),
+            F.sum("b.n_users").alias("cum_users"),
+            F.sum("b.n_resp").alias("cum_resp"),
+        )
+    )
+    return cums.crossJoin(F.broadcast(n_tot)).select(
+        "decile",
+        "n_users",
+        "n_resp",
+        (F.col("n_resp") / F.col("n_users")).alias("resp_rate"),
+        (
+            (F.col("cum_resp") / F.col("cum_users"))
+            / (F.col("r") / F.col("n"))
+        ).alias("cum_lift"),
+    )
+
+
+_DECILE_LIFT_ORACLE = f"""
+WITH users AS (
+  SELECT user_id,
+         COALESCE(SUM(CASE WHEN event_type = 'click'
+                           THEN CAST(value AS DECIMAL(18,6)) END),
+                  0) AS spend,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS resp
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT COUNT(*)::BIGINT AS n, SUM(resp)::BIGINT AS r FROM users),
+ranked AS (
+  SELECT resp,
+         ROW_NUMBER() OVER (ORDER BY spend DESC, user_id ASC) AS i
+  FROM users
+),
+dec AS (
+  SELECT (FLOOR((i - 1) * {_LIFT_K} / n) + 1)::BIGINT AS decile,
+         COUNT(*)::BIGINT AS n_users, SUM(resp)::BIGINT AS n_resp
+  FROM ranked, tot GROUP BY 1
+),
+cums AS (
+  SELECT a.decile, MAX(a.n_users) AS n_users, MAX(a.n_resp) AS n_resp,
+         SUM(b.n_users) AS cum_users, SUM(b.n_resp) AS cum_resp
+  FROM dec a JOIN dec b ON b.decile <= a.decile
+  GROUP BY a.decile
+)
+SELECT decile, n_users, n_resp,
+       n_resp / n_users AS resp_rate,
+       (cum_resp / cum_users) / (r::DOUBLE / n::DOUBLE) AS cum_lift
+FROM cums, tot
+"""
+
+register(
+    QuerySpec(
+        "decile_lift",
+        decile_lift,
+        _DECILE_LIFT_ORACLE,
+        "decile lift / gains table: distributed global ranking (ranks.global_row_number), explicit integer decile cut, theta-join cumulatives",
+    )
+)

@@ -1582,3 +1582,156 @@ register(
         "KMV bottom-k sketch overlap planning: per source-pair union/Jaccard estimates from k-sized sketches (constant pair cost) with exact truth columns",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier (round 10): train on a hashed
+# 80% split of the corpus, score the heldout 20%, emit the confusion matrix —
+# the quality-filter model a curation pipeline trains to audit its cheaper
+# n-gram language ID. Laplace +1 smoothing over the training vocabulary;
+# unseen tokens take the ln(1/(tot_l+V)) penalty.
+#
+# Determinism: every log-likelihood is QUANTIZED to integer micro-nats
+# (floor(1e6·ln p)) before any aggregation, so per-document scores are exact
+# BIGINT sums — partitioning-independent — and the argmax (ties broken by
+# MIN language) is decided on integers, never on float summation order.
+#
+# Scale: training counts are two hash aggs on (lang, tok); scoring is
+# heldout-tokens × |langs| (a 5-row broadcast) LEFT JOIN the (lang, tok)
+# likelihood table — a plain shuffle join that AQE broadcasts while the
+# vocabulary fits and co-partitions when it doesn't. No driver state.
+# ---------------------------------------------------------------------------
+_NB_TRAIN_PCT = 80
+_NB_Q = 1_000_000  # micro-nat quantizer
+
+
+def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    is_train = (
+        md5_long(F.concat(F.lit("nb|"), F.col("doc_id").cast("string"))) % 100
+        < _NB_TRAIN_PCT
+    )
+    base = (
+        tokenized(spark, sf_dir)
+        .join(d, "doc_id")
+        .select("doc_id", "lang", "t", is_train.alias("is_train"))
+    )
+    toks = base.select("doc_id", "lang", "is_train", F.explode("t").alias("tok"))
+    train = toks.filter(F.col("is_train"))
+    cnt = train.groupBy("lang", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
+    voc = train.agg(F.countDistinct("tok").cast("long").alias("v"))
+    ndl = base.filter(F.col("is_train")).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("ndl")
+    )
+    nd = ndl.agg(F.sum("ndl").cast("long").alias("nd"))
+    q = F.lit(_NB_Q).cast("double")
+    cand = (
+        ndl.join(tot, "lang")
+        .crossJoin(F.broadcast(voc))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("lang").alias("cand"),
+            F.floor(q * F.log(F.col("ndl") / F.col("nd"))).cast("long").alias("prior"),
+            F.floor(q * F.log(F.lit(1.0) / (F.col("tot") + F.col("v"))))
+            .cast("long")
+            .alias("unseen"),
+        )
+    )
+    lp = (
+        cnt.join(tot, "lang")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            F.col("lang").alias("cand"),
+            "tok",
+            F.floor(q * F.log((F.col("c") + 1) / (F.col("tot") + F.col("v"))))
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    held = (
+        toks.filter(~F.col("is_train"))
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    terms = (
+        held.crossJoin(F.broadcast(cand))
+        .join(lp, ["cand", "tok"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            "prior",
+            (F.col("c") * F.coalesce(F.col("lp"), F.col("unseen"))).alias("term"),
+        )
+    )
+    scores = terms.groupBy("doc_id", "true_lang", "cand").agg(
+        (F.max("prior") + F.sum("term")).alias("score")
+    )
+    best = scores.groupBy("doc_id", "true_lang").agg(F.max("score").alias("mx"))
+    pred = (
+        scores.join(best, ["doc_id", "true_lang"])
+        .filter(F.col("score") == F.col("mx"))
+        .groupBy("doc_id", "true_lang")
+        .agg(F.min("cand").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+_NB_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, {_TOKENS_SQL} AS t,
+         ({md5_long_sql("'nb|' || CAST(doc_id AS VARCHAR)")} % 100 < {_NB_TRAIN_PCT}) AS is_train
+  FROM documents
+),
+toks AS (SELECT doc_id, lang, is_train, unnest(t) AS tok FROM d),
+cnt AS (SELECT lang, tok, COUNT(*)::BIGINT AS c FROM toks WHERE is_train GROUP BY 1, 2),
+tot AS (SELECT lang, SUM(c)::BIGINT AS tot FROM cnt GROUP BY 1),
+voc AS (SELECT COUNT(DISTINCT tok)::BIGINT AS v FROM toks WHERE is_train),
+ndl AS (SELECT lang, COUNT(*)::BIGINT AS ndl FROM d WHERE is_train GROUP BY 1),
+ndt AS (SELECT SUM(ndl)::BIGINT AS nd FROM ndl),
+cand AS (
+  SELECT ndl.lang AS cand,
+         CAST(FLOOR({_NB_Q} * ln(ndl::DOUBLE / nd)) AS BIGINT) AS prior,
+         CAST(FLOOR({_NB_Q} * ln(1.0 / (tot + v))) AS BIGINT) AS unseen
+  FROM ndl JOIN tot ON ndl.lang = tot.lang, ndt, voc
+),
+lp AS (
+  SELECT cnt.lang AS cand, tok,
+         CAST(FLOOR({_NB_Q} * ln((c + 1)::DOUBLE / (tot + v))) AS BIGINT) AS lp
+  FROM cnt JOIN tot ON cnt.lang = tot.lang, voc
+),
+held AS (
+  SELECT doc_id, lang AS true_lang, tok, COUNT(*)::BIGINT AS c
+  FROM toks WHERE NOT is_train GROUP BY 1, 2, 3
+),
+terms AS (
+  SELECT h.doc_id, h.true_lang, cd.cand, cd.prior,
+         h.c * COALESCE(lp.lp, cd.unseen) AS term
+  FROM held h CROSS JOIN cand cd
+  LEFT JOIN lp ON lp.cand = cd.cand AND lp.tok = h.tok
+),
+scores AS (
+  SELECT doc_id, true_lang, cand, MAX(prior) + SUM(term) AS score
+  FROM terms GROUP BY 1, 2, 3
+),
+best AS (SELECT doc_id, true_lang, MAX(score) AS mx FROM scores GROUP BY 1, 2),
+pred AS (
+  SELECT s.doc_id, s.true_lang, MIN(s.cand) AS pred_lang
+  FROM scores s JOIN best b ON s.doc_id = b.doc_id AND s.score = b.mx
+  GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, COUNT(*)::BIGINT AS n_docs
+FROM pred GROUP BY 1, 2
+"""
+
+register(
+    QuerySpec(
+        "naive_bayes_lang",
+        naive_bayes_lang,
+        _NB_ORACLE,
+        "multinomial Naive Bayes language classifier: hashed 80/20 split, Laplace smoothing, integer micro-nat scores (order-independent argmax), confusion matrix",
+    )
+)
