@@ -1735,3 +1735,79 @@ register(
         "multinomial Naive Bayes language classifier: hashed 80/20 split, Laplace smoothing, integer micro-nat scores (order-independent argmax), confusion matrix",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-percentile quality filter (round 10): the CCNet-style gate —
+# score every heldout document with the bigram LM's cross-entropy, find the
+# EXACT 90th-percentile threshold over the scored corpus, and report the
+# keep/drop verdict per language. Composes lm_heldout_perplexity (already
+# rounded to 6 decimals, so the threshold compare is decided on identical
+# numbers cross-engine); the percentile is the value at global rank
+# ceil(0.9·n) under (cross_entropy asc, doc_id asc) — computed with
+# operators.ranks' distributed row_number, never a single-task sort, and
+# broadcast back as a 1-row relation.
+# ---------------------------------------------------------------------------
+_PPL_PCT = 90
+
+
+def perplexity_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.operators.ranks import global_row_number
+
+    scored = lm_heldout_perplexity(spark, sf_dir).select("doc_id", "cross_entropy")
+    n_tot = scored.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = global_row_number(
+        scored, [F.col("cross_entropy").asc(), F.col("doc_id").asc()], rank_col="i"
+    )
+    thr = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .filter(F.col("i") == F.ceil(F.col("n") * _PPL_PCT / 100).cast("long"))
+        .select(F.col("cross_entropy").alias("thr"))
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        scored.join(d, "doc_id")
+        .crossJoin(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum(F.when(F.col("cross_entropy") <= F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("cross_entropy") > F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.max("thr").alias("threshold"),
+        )
+    )
+
+
+_PPL_FILTER_ORACLE = f"""
+WITH scored AS (SELECT doc_id, cross_entropy FROM ({_HELDOUT_ORACLE})),
+ranked AS (
+  SELECT cross_entropy,
+         ROW_NUMBER() OVER (ORDER BY cross_entropy ASC, doc_id ASC) AS i,
+         COUNT(*) OVER () AS n
+  FROM scored
+),
+thr AS (
+  SELECT cross_entropy AS thr FROM ranked
+  WHERE i = CAST(CEIL(n * {_PPL_PCT} / 100.0) AS BIGINT)
+)
+SELECT d.lang,
+       COUNT(*)::BIGINT AS n_scored,
+       SUM(CASE WHEN s.cross_entropy <= thr.thr THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       SUM(CASE WHEN s.cross_entropy > thr.thr THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       MAX(thr.thr) AS threshold
+FROM scored s JOIN documents d USING (doc_id), thr
+GROUP BY d.lang
+"""
+
+register(
+    QuerySpec(
+        "perplexity_filter_verdict",
+        perplexity_filter_verdict,
+        _PPL_FILTER_ORACLE,
+        "CCNet-style perplexity quality gate: exact 90th-percentile threshold via distributed global rank, per-language keep/drop verdict",
+    )
+)

@@ -1523,3 +1523,63 @@ for spec in [
     QuerySpec("hard_negative_mining", hard_negative_mining, _MINE_ORACLE, "contrastive hard-example mining: hardest negative + hardest positive per anchor"),
 ]:
     register(spec)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation (round 10): the acceptance gate every approximate
+# index must pass before a pipeline trusts it — recall@k of the IVF tier
+# against the brute-force ground truth, per query and aggregated. Composes
+# the two existing operators (same constants, same rounding, same
+# tie-breaks), so the eval itself adds only an equi-join on (qid, vec_id)
+# and two tiny aggregates. hits/min_hits are exact integers; mean_recall is
+# one division of exact BIGINTs.
+# Scale: both inputs end TakeOrdered-style per-query top-k (≤ nq·k rows) —
+# the join and rollup are metadata-sized next to the index builds.
+# ---------------------------------------------------------------------------
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = ann_cosine_topk(spark, sf_dir).select(
+        F.col("qid").alias("t_qid"), F.col("vec_id").alias("t_vid")
+    )
+    approx = ann_ivf_topk(spark, sf_dir).select("qid", "vec_id")
+    per_q = (
+        truth.join(
+            approx,
+            (F.col("t_qid") == F.col("qid")) & (F.col("t_vid") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("t_qid")
+        .agg(F.count("vec_id").cast("long").alias("hits"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(_TOPK_K).cast("long").alias("k"),
+        F.sum("hits").cast("long").alias("total_hits"),
+        F.min("hits").cast("long").alias("min_hits"),
+        (F.sum("hits") / (F.count(F.lit(1)) * _TOPK_K)).alias("mean_recall"),
+    )
+
+
+_ANN_RECALL_ORACLE = f"""
+WITH truth AS ({_ANN_TOPK_ORACLE}),
+approx AS ({_ANN_IVF_ORACLE}),
+per_q AS (
+  SELECT t.qid, COUNT(a.vec_id)::BIGINT AS hits
+  FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+  GROUP BY t.qid
+)
+SELECT COUNT(*)::BIGINT AS n_queries,
+       {_TOPK_K}::BIGINT AS k,
+       SUM(hits)::BIGINT AS total_hits,
+       MIN(hits)::BIGINT AS min_hits,
+       (SUM(hits)::DOUBLE / (COUNT(*) * {_TOPK_K})) AS mean_recall
+FROM per_q
+"""
+
+register(
+    QuerySpec(
+        "ann_recall_eval",
+        ann_recall_eval,
+        _ANN_RECALL_ORACLE,
+        "recall@k acceptance gate: IVF ANN vs brute-force ground truth, exact integer hit counts",
+    )
+)
