@@ -1811,3 +1811,146 @@ register(
         "CCNet-style perplexity quality gate: exact 90th-percentile threshold via distributed global rank, per-language keep/drop verdict",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser–Ney bigram LM (round 10): the smoothing that actually
+# ships in n-gram LM pipelines (absolute discount d + continuation
+# probability), scored on the same hashed heldout split as
+# lm_heldout_perplexity. Exact formulation (documented, identical on both
+# engines):
+#   Pcont(b) = (N1+(·b) + 1) / (N1+(··) + V + 1)      [+1 continuation
+#              smoothing keeps unseen-b mass positive]
+#   seen a:   P(b|a) = max(cab − d, 0)/ca + (d · N1+(a·)/ca) · Pcont(b)
+#   unseen a: P(b|a) = Pcont(b)
+# with d = 0.75 (exact binary double). All counts are exact integers; the
+# per-document fold sums ln P in position order on both engines (the house
+# ordered-fold rule), so the rounded cross-entropy is bit-identical.
+# Scale: three hash aggs over the training bigram relation (cab, N1+(a·),
+# N1+(·b)) + the per-doc fold — the same shape as the existing LM specs.
+# ---------------------------------------------------------------------------
+_KN_D = 0.75
+
+
+def kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = tokenized(spark, sf_dir).filter(F.size("t") >= 2)
+    split_of = F.when(
+        md5_long(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
+        < _SPLIT_TRAIN_PCT,
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    tagged = tok.select("doc_id", "t", split_of.alias("split"))
+    big = tagged.select(
+        "doc_id",
+        "split",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS a, t[i] AS b))"
+            )
+        ).alias("pos", "bg"),
+    ).select("doc_id", "split", "pos", F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    train = big.filter(F.col("split") == "train")
+    cab = train.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("cab"))
+    ca = cab.groupBy("a").agg(
+        F.sum("cab").cast("long").alias("ca"),
+        F.count(F.lit(1)).cast("long").alias("n1a"),  # N1+(a·): distinct b after a
+    )
+    n1b = cab.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n1b"))
+    glob = cab.agg(F.count(F.lit(1)).cast("long").alias("n1tot")).crossJoin(
+        train.select(F.col("a").alias("tok"))
+        .union(train.select("b"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    d = F.lit(_KN_D)
+    val = big.filter(F.col("split") == "val")
+    scored = (
+        val.join(F.broadcast(cab), ["a", "b"], "left")
+        .join(F.broadcast(ca), "a", "left")
+        .join(F.broadcast(n1b), "b", "left")
+        .crossJoin(F.broadcast(glob))
+        .withColumn(
+            "pcont",
+            (F.coalesce(F.col("n1b"), F.lit(0)) + 1)
+            / (F.col("n1tot") + F.col("v") + 1),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.log(
+                F.when(
+                    F.col("ca").isNotNull(),
+                    F.greatest(F.coalesce(F.col("cab"), F.lit(0)) - d, F.lit(0.0))
+                    / F.col("ca")
+                    + (d * F.col("n1a") / F.col("ca")) * F.col("pcont"),
+                ).otherwise(F.col("pcont"))
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(pos, lp))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.lp)"
+        ).alias("acc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(-F.col("acc") / F.col("n_bigrams"), 6).alias("kn_cross_entropy"),
+    )
+
+
+_KN_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+base AS (
+  SELECT doc_id, t,
+         CASE WHEN {md5_long_sql("'split|' || CAST(doc_id AS VARCHAR)")} % 100 < {_SPLIT_TRAIN_PCT}
+              THEN 'train' ELSE 'val' END AS split
+  FROM toks WHERE len(t) >= 2
+),
+big AS (
+  SELECT doc_id, split, s AS pos, t[s] AS a, t[s + 1] AS b
+  FROM base, unnest(generate_series(1, len(t) - 1)) AS u(s)
+),
+train AS (SELECT * FROM big WHERE split = 'train'),
+cab AS (SELECT a, b, count(*)::BIGINT AS cab FROM train GROUP BY 1, 2),
+ca AS (SELECT a, sum(cab)::BIGINT AS ca, count(*)::BIGINT AS n1a FROM cab GROUP BY 1),
+n1b AS (SELECT b, count(*)::BIGINT AS n1b FROM cab GROUP BY 1),
+kng AS (
+  SELECT (SELECT count(*)::BIGINT FROM cab) AS n1tot,
+         (SELECT count(*)::BIGINT FROM (SELECT a AS tok FROM train UNION SELECT b FROM train)) AS v
+),
+scored AS (
+  SELECT vb.doc_id, vb.pos,
+         ln(CASE WHEN ca.ca IS NOT NULL
+                 THEN greatest(COALESCE(cab.cab, 0) - {_KN_D}, 0.0) / ca.ca
+                      + ({_KN_D} * ca.n1a / ca.ca)
+                        * ((COALESCE(n1b.n1b, 0) + 1)::DOUBLE / (kng.n1tot + kng.v + 1))
+                 ELSE (COALESCE(n1b.n1b, 0) + 1)::DOUBLE / (kng.n1tot + kng.v + 1)
+            END) AS lp
+  FROM big vb
+  LEFT JOIN cab ON cab.a = vb.a AND cab.b = vb.b
+  LEFT JOIN ca ON ca.a = vb.a
+  LEFT JOIN n1b ON n1b.b = vb.b
+  CROSS JOIN kng
+  WHERE vb.split = 'val'
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         list_reduce(list(lp ORDER BY pos), (x, y) -> x + y) AS acc
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, round(-acc / n_bigrams, 6) AS kn_cross_entropy
+FROM per_doc
+"""
+
+register(
+    QuerySpec(
+        "kn_bigram_perplexity",
+        kn_bigram_perplexity,
+        _KN_ORACLE,
+        "interpolated Kneser-Ney bigram LM heldout scoring: absolute discount + continuation probability from exact counts, position-ordered fold",
+    )
+)
