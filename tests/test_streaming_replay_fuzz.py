@@ -18,6 +18,9 @@ Why invariance holds per operator (the contracts under test):
   the full feed is batching-independent.
 - near-dup (representatives) elects the FIRST arrival per bucket; the stage
   is doc_id-ordered, so the rep is min(doc_id) under every decomposition.
+- mv_wide (distributed read-merge view) SUM-merges per-key deltas into KV;
+  the merge monoid is associative and commutative over batches, so the
+  final parsed state is the whole-feed rollup under every decomposition.
 
 The feed's BATCH-LEVEL order is never shuffled — ts-ordered (events) /
 doc_id-ordered (documents) staging across batches is part of each
@@ -38,8 +41,8 @@ import pytest
 
 from tests.conftest import SF_SMALL
 
-_N_SEEDS = 35  # 7 per operator — "25+ seeded splits" (VERDICT r6 #6)
-_OPS = ["sessionize", "cdc", "neardup_exact", "neardup_reps", "window_agg"]
+_N_SEEDS = 42  # 7 per operator — "25+ seeded splits" (VERDICT r6 #6)
+_OPS = ["sessionize", "cdc", "neardup_exact", "neardup_reps", "window_agg", "mv_wide"]
 
 
 def _stage_random_batches(
@@ -128,6 +131,34 @@ def _drain(spark, stage_dir: str, op: str, tag: str) -> frozenset:
             (r.window_start, r.event_type, r.n_events, r.sum_uid, r.min_eid, r.max_eid)
             for r in rows
         )
+    if op == "mv_wide":
+        import shutil
+
+        from templatedb_spark.kv import KVTable
+        from templatedb_spark.streaming.gate import _mvjw_apply
+        from templatedb_spark.suite import table
+
+        kv_dir = tempfile.mkdtemp(prefix=f"replay_mvjw_{tag}_")
+        kv = KVTable(spark, kv_dir)
+        dim = F.broadcast(
+            table(spark, SF_SMALL, "customer").select("c_custkey", "c_mktsegment")
+        )
+        schema = spark.read.parquet(f"{SF_SMALL}/orders.parquet").schema
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: _mvjw_apply(kv, dim, bdf, f"t_replay_mvjw_{tag}:b{bid}")
+            )
+            .queryName(f"t_replay_mvjw_{tag}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = frozenset((r.key, r.value) for r in kv.snapshot().collect())
+        shutil.rmtree(kv_dir, ignore_errors=True)
+        return out
     # near-dup modes
     from templatedb_spark.streaming.neardup import (
         read_documents_stream,
@@ -151,6 +182,7 @@ _SORT_KEYS = {
     "neardup_exact": ("documents.parquet", [("doc_id", "ascending")]),
     "neardup_reps": ("documents.parquet", [("doc_id", "ascending")]),
     "window_agg": ("events.parquet", [("ts", "ascending"), ("event_id", "ascending")]),
+    "mv_wide": ("orders.parquet", [("o_orderkey", "ascending")]),
 }
 
 _reference: dict[str, frozenset] = {}
