@@ -197,12 +197,33 @@ WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= {_COSINE_DUP_T
 
 # ---------------------------------------------------------------------------
 # IVF-bucketed ANN: the scale path.
-# Centroids: vec_id % IVF_CENTROID_STEP == 0 (deterministic, no training).
-# Assign corpus → nearest centroid (BLAS kernel over a broadcast centroid
-# matrix — no join, no shuffle of the corpus), probe IVF_NPROBE buckets.
+# Centroids: vec_id % step == 0 (deterministic, no training), where step is
+# ADAPTIVE: fixed _IVF_CENTROID_STEP while the corpus is small, then grown so
+# the cell count stays ≤ _IVF_MAX_CELLS (the FAISS-style bounded-nlist
+# discipline). A corpus-proportional nlist makes assignment corpus×centroids
+# = QUADRATIC — the r10 sf10 probe measured exactly that (200k vecs × 4000
+# cells); the cap restores O(n·nlist) with nlist bounded. Assign corpus →
+# nearest centroid (BLAS kernel over a broadcast centroid matrix — no join,
+# no shuffle of the corpus), probe IVF_NPROBE buckets.
 # ---------------------------------------------------------------------------
 _IVF_CENTROID_STEP = 50
 _IVF_NPROBE = 3
+_IVF_MAX_CELLS = 512
+
+
+def ivf_step_for(n: int) -> int:
+    """Adaptive centroid stride (Python mirror of _IVF_STEP_SQL): every
+    driver-audited tier (n ≤ 25,600) keeps the historical step of 50; larger
+    corpora grow the stride so nlist = ceil(n/step) stays ≤ _IVF_MAX_CELLS."""
+    return max(_IVF_CENTROID_STEP, -(-n // _IVF_MAX_CELLS))
+
+
+# scalar subquery twin of ivf_step_for — both oracles embed it so DuckDB
+# elects the IDENTICAL centroid set at every corpus size
+_IVF_STEP_SQL = (
+    f"SELECT GREATEST({_IVF_CENTROID_STEP},"
+    f" CAST(CEIL(COUNT(*) / {_IVF_MAX_CELLS}.0) AS BIGINT)) FROM embeddings"
+)
 
 # Per-(applicationId, sf_dir) broadcast of the centroid matrix. Centroids are
 # tiny (N / _IVF_CENTROID_STEP rows) and immutable for a given sf_dir, so one
@@ -267,12 +288,15 @@ def _ivf_centroids_bc(spark: SparkSession, sf_dir: str):
     import numpy as np
 
     key = (spark.sparkContext.applicationId, sf_dir)
+    # step BEFORE taking the lock: _corpus_count acquires _CACHE_LOCK itself
+    # (non-reentrant) — computing it inside the held block deadlocks
+    step = ivf_step_for(_corpus_count(spark, sf_dir))
     with _CACHE_LOCK:
         bc = _IVF_CENT_CACHE.get(key)
         if bc is None:
             rows = (
                 spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
-                .filter(F.col("vec_id") % _IVF_CENTROID_STEP == 0)
+                .filter(F.col("vec_id") % step == 0)
                 .select("vec_id", "embedding")
                 .collect()
             )
@@ -346,7 +370,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _vec_double("embedding").alias("v")
     )
     e = with_norm(raw)
-    cent = e.filter(F.col("vec_id") % _IVF_CENTROID_STEP == 0).select(
+    step = ivf_step_for(_corpus_count(spark, sf_dir))
+    cent = e.filter(F.col("vec_id") % step == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
     )
     if _use_ann_kernel(sf_dir):
@@ -388,7 +413,7 @@ _ANN_IVF_ORACLE = f"""
 WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
            FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM n WHERE vec_id % {_IVF_CENTROID_STEP} = 0),
+cent AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM n, ({_IVF_STEP_SQL}) st(step) WHERE vec_id % st.step = 0),
 assigned AS (
   SELECT vec_id, v, norm, cid FROM (
     SELECT n.vec_id, n.v, n.norm, cent.cid,
@@ -842,7 +867,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = with_norm(
         table(spark, sf_dir, "embeddings").select("vec_id", _vec_double("embedding").alias("v"))
     )
-    cent = e.filter(F.col("vec_id") % _IVF_CENTROID_STEP == 0).select(
+    cent = e.filter(
+        F.col("vec_id") % ivf_step_for(_corpus_count(spark, sf_dir)) == 0
+    ).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
     )
     raw = table(spark, sf_dir, "embeddings").select(
@@ -883,7 +910,7 @@ _SEMDEDUP_ORACLE = f"""
 WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
            FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM n WHERE vec_id % {_IVF_CENTROID_STEP} = 0),
+cent AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM n, ({_IVF_STEP_SQL}) st(step) WHERE vec_id % st.step = 0),
 assigned AS (
   SELECT vec_id, v, norm, cid FROM (
     SELECT n.vec_id, n.v, n.norm, cent.cid,

@@ -135,7 +135,13 @@ def all_specs() -> dict[str, QuerySpec]:
     # stream_mv_join's per-batch apply was referenced against the new
     # distributed-merge twin. Prior-round rows no longer vouch for the new
     # trigger shape.
-    changed_r10 = {"stream_hll_users", "stream_cms_tokens", "stream_mv_join"}
+    changed_r10 = {
+        "stream_hll_users", "stream_cms_tokens", "stream_mv_join",
+        # adaptive IVF nlist cap (corpus-proportional centroid count was
+        # quadratic at sf10) — same results at every driver-audited tier
+        # (step unchanged for n ≤ 25,600), new parameter plumbing
+        "ann_ivf_topk", "semantic_dedup", "ann_recall_eval",
+    }
     covered -= changed_r10
     # The round-2 verdict singled out eleven specs that no driver round has
     # ever audited ("close the CORRECTNESS union"); the driver caps how many
