@@ -105,6 +105,18 @@ _COSINE_DUP_THRESHOLD = 0.35
 
 
 _COSINE_BLOCKS = 8  # B blocks → B(B+1)/2 block-pair tasks, each holding 2·N/B vectors
+_COSINE_BLOCK_ROWS = 4096  # adaptive target: rows per block, so a tile's score
+#   matrix stays ≤ ~4k×4k×8B ≈ 128 MB however large the corpus grows. B is
+#   pure execution partitioning — the emitted pair set is identical for every
+#   B (pinned by tests/test_similarity.py) — so growing it needs no oracle
+#   change; with fixed B=8 the sf10 probe measured multi-GB tiles thrashing
+#   (200k/8 = 25k rows → a 5 GB sims matrix per tile).
+
+
+def cosine_blocks_for(n: int) -> int:
+    """Adaptive block count: the historical 8 while blocks stay ≤ 4096 rows,
+    then grown so tile memory stays flat."""
+    return max(_COSINE_BLOCKS, -(-n // _COSINE_BLOCK_ROWS))
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,7 +137,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    B = _COSINE_BLOCKS
+    B = cosine_blocks_for(_corpus_count(spark, sf_dir))
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", (F.col("vec_id") % B).cast("int").alias("blk")
     )

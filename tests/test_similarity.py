@@ -555,3 +555,43 @@ def test_resize_identity_and_single_pixel():
     src = [[r * 3 + c for c in range(3)] for r in range(3)]
     assert resize_nearest(src, 3, 3) == src
     assert resize_nearest(src, 1, 1) == [[src[0][0]]]
+
+
+def test_cosine_dedup_block_count_is_pure_partitioning(spark):
+    """The emitted pair set must be IDENTICAL for every block count B — B is
+    execution partitioning, not semantics. Run the tile kernel with the
+    historical B=8 and with an adaptive-forced large B on the same corpus."""
+    import templatedb_spark.operators.similarity as sim
+
+    ref = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in sim.dedup_embedding_cosine(spark, SF_SMALL).collect()
+    }
+    assert ref  # non-vacuous
+    orig = sim._COSINE_BLOCK_ROWS
+    try:
+        sim._COSINE_BLOCK_ROWS = 13  # forces B = ceil(n/13) >> 8, ragged blocks
+        big_b = {
+            (r.vec_a, r.vec_b, r.cosine)
+            for r in sim.dedup_embedding_cosine(spark, SF_SMALL).collect()
+        }
+    finally:
+        sim._COSINE_BLOCK_ROWS = orig
+    assert big_b == ref
+
+
+def test_ivf_step_adaptive_formula():
+    from templatedb_spark.operators.similarity import (
+        _IVF_CENTROID_STEP,
+        _IVF_MAX_CELLS,
+        ivf_step_for,
+    )
+
+    # historical stride up to the threshold — bit-identical driver tiers
+    assert ivf_step_for(200) == _IVF_CENTROID_STEP
+    assert ivf_step_for(25_600) == _IVF_CENTROID_STEP
+    # just past the threshold the stride grows and cells stay bounded
+    for n in (25_601, 60_000, 200_000, 10_000_000):
+        step = ivf_step_for(n)
+        assert step > _IVF_CENTROID_STEP or n <= 25_600
+        assert -(-n // step) <= _IVF_MAX_CELLS
