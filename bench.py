@@ -21,11 +21,105 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _cpu_counters() -> tuple[int, int, int] | None:
+    """(steal_ticks, total_ticks, busy_ticks) from /proc/stat's aggregate
+    cpu line. Host steal has dominated absolute spread across rounds
+    (13.9-21.7 s for near-identical suites, BASELINE.md) — persist the
+    evidence. busy = total - idle - iowait feeds the foreign-CPU tripwire."""
+    try:
+        with open("/proc/stat", encoding="ascii") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        # denominator: user..steal only — guest/guest_nice are already
+        # folded into user/nice by the kernel (double-count otherwise)
+        total = sum(vals[:8])
+        busy = total - vals[3] - (vals[4] if len(vals) > 4 else 0)
+        return steal, total, busy
+    except Exception:
+        return None
+
+
+def _tree_cpu_ticks(root_pid: int | None = None) -> int | None:
+    """utime+stime+cutime+cstime ticks attributed to root_pid's process tree
+    (self + live descendants + reaped children). /proc/stat steal detects
+    noisy neighbors but is blind to same-host self-contention (NOTES_r9: a
+    concurrent verification sweep produced a 42.96 s artifact that passed
+    the steal budget; BENCH_r07 started at load1 2.81 — just under the 3.0
+    pre-check — and load is never sampled DURING the run). Host busy ticks
+    minus our own tree's ticks over the same window IS the foreign CPU
+    share, self-distinguishing by construction: our own 28-worker flood can
+    never trip it. Delta accounting stays exact across worker deaths — a
+    child's lifetime ticks move into its reaper's cutime/cstime, which this
+    sum also counts."""
+    try:
+        stats: dict[int, tuple[int, int]] = {}
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat", encoding="ascii", errors="replace") as f:
+                    s = f.read()
+            except OSError:
+                continue  # raced a process exit
+            # comm may contain spaces/parens: fields resume after last ')'
+            rest = s[s.rindex(")") + 2 :].split()
+            # rest[1]=ppid, rest[11..14]=utime,stime,cutime,cstime
+            stats[int(p)] = (
+                int(rest[1]),
+                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
+            )
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _) in stats.items():
+            kids.setdefault(ppid, []).append(pid)
+        total = 0
+        stack = [root_pid if root_pid is not None else os.getpid()]
+        while stack:
+            pid = stack.pop()
+            if pid in stats:
+                total += stats[pid][1]
+                stack.extend(kids.get(pid, []))
+        return total
+    except Exception:
+        return None
+
+
+def foreign_cpu_pct(
+    cpu0: tuple[int, int, int] | None,
+    cpu1: tuple[int, int, int] | None,
+    tree0: int | None,
+    tree1: int | None,
+) -> float | None:
+    """% of total host CPU capacity over the window burned OUTSIDE the
+    measured process tree."""
+    if not cpu0 or not cpu1 or cpu1[1] <= cpu0[1]:
+        return None
+    if tree0 is None or tree1 is None:
+        return None
+    foreign = (cpu1[2] - cpu0[2]) - (tree1 - tree0)
+    return round(100.0 * max(0, foreign) / (cpu1[1] - cpu0[1]), 2)
+
+
+def contention_verdict(
+    steal: float | None,
+    foreign: float | None,
+    steal_budget: float,
+    foreign_budget: float,
+) -> str | None:
+    """None if the window is clean, else the reason a rerun is owed."""
+    if steal is not None and steal > steal_budget:
+        return f"steal {steal}% > {steal_budget}%"
+    if foreign is not None and foreign > foreign_budget:
+        return f"foreign CPU {foreign}% > {foreign_budget}%"
+    return None
 
 
 def main() -> None:
@@ -40,6 +134,29 @@ def main() -> None:
     # 28→27.0/25.2 and 33.6/24.7, 32→34.9 dirty) — one extra overlap slot
     # per new serial chain; the 20-32 basin stays flat within run noise.
     workers = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "28"))
+
+    # Scratch on tmpfs (r8): the 15 serial trigger chains checkpoint offset/
+    # commit logs, state-store deltas, KV versions, and staging slices through
+    # tempfile/java.io.tmpdir — on this box /tmp is ext4 on one virtual disk,
+    # so 15 concurrent chains serialize on the journal+fsync path (measured:
+    # chains-only at width 8 dropped 36.1 s → 25.2 s just by moving scratch
+    # to tmpfs). All of it is ephemeral per-run data; a production cluster
+    # would put checkpoints on HDFS/S3 with its own committers, never on the
+    # data disk — RAM-backed scratch is the single-node analog. Cleaned up
+    # after the run.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    scratch = os.environ.get(
+        "SPARK_GRAFT_SCRATCH",
+        "/dev/shm/spark-graft-bench" if Path("/dev/shm").is_dir() else "",
+    )
+    java_tmp_opt = ""
+    if scratch:
+        Path(scratch).mkdir(parents=True, exist_ok=True)
+        os.environ["TMPDIR"] = scratch
+        _tempfile.tempdir = scratch
+        java_tmp_opt = f"-Djava.io.tmpdir={scratch}"
 
     from templatedb_spark.session import EngineConfig, build_session
     from templatedb_spark.suite import all_specs
@@ -66,6 +183,16 @@ def main() -> None:
                 "spark.scheduler.mode": "FAIR",
                 "spark.scheduler.allocation.file": str(
                     Path(__file__).resolve().parent / "conf" / "fairscheduler.xml"
+                ),
+                # temp checkpoints / shuffle scratch on tmpfs (see above);
+                # empty opt when no tmpfs is available
+                **(
+                    {
+                        "spark.driver.extraJavaOptions": java_tmp_opt,
+                        "spark.local.dir": scratch,
+                    }
+                    if scratch
+                    else {}
                 ),
             },
         )
@@ -96,21 +223,35 @@ def main() -> None:
     # waiting out the decay keeps back-to-back runs honest without a human
     # in the loop. A FOREIGN workload that is still running won't decay —
     # the loop times out and the artifact records the dirty pre-condition.
+    def _steal_sample(seconds: float = 3.0) -> float | None:
+        c0 = _cpu_counters()
+        time.sleep(seconds)
+        c1 = _cpu_counters()
+        if c0 and c1 and c1[1] > c0[1]:
+            return round(100.0 * (c1[0] - c0[0]) / (c1[1] - c0[1]), 2)
+        return None
+
+    steal_budget = float(os.environ.get("SPARK_GRAFT_STEAL_BUDGET", "3.0"))
     load1_before = _load1()
+    steal_before = _steal_sample()
     settle_deadline = time.time() + float(
         os.environ.get("SPARK_GRAFT_LOAD_SETTLE_S", "120")
     )
-    while (
-        load1_before is not None
-        and load1_before > load_budget
-        and time.time() < settle_deadline
+    while time.time() < settle_deadline and (
+        (load1_before is not None and load1_before > load_budget)
+        # r8: also settle on live hypervisor steal — a 2% pre-run steal
+        # window has produced 1.5x degraded makespans that still passed the
+        # per-phase budget; waiting out the neighbor is cheaper than a rerun
+        or (steal_before is not None and steal_before > steal_budget / 2)
     ):
         print(
-            f"LOAD TRIPWIRE: load1 {load1_before} > {load_budget} — settling",
+            f"PRE-RUN TRIPWIRE: load1 {load1_before} / steal {steal_before}% "
+            "— settling",
             file=sys.stderr,
         )
-        time.sleep(10)
+        time.sleep(7)
         load1_before = _load1()
+        steal_before = _steal_sample()
 
     # warmup: one pass of the whole suite at the TARGET sf — the exact twin of
     # the DuckDB baseline protocol (tools/bench_baseline.py warms each query
@@ -126,15 +267,6 @@ def main() -> None:
     warm_dir = sf_dir
     if os.environ.get("SPARK_GRAFT_BENCH_WARM") == "small":
         warm_dir = "/root/testdata/sf0.001"
-    if mode != "seq" and Path(warm_dir).is_dir():
-        def warm_one(spec) -> None:
-            try:
-                spec.spark(spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass  # warmup never fails the bench
-
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            list(pool.map(warm_one, specs.values()))
 
     # Longest-processing-time-first submission: start the known-heavy queries
     # at t=0 so the many sub-second queries pack in behind them instead of the
@@ -149,11 +281,11 @@ def main() -> None:
         "stream_interval_join_clicks",  # 2-trigger stream-stream join chain
         "kv_compact_range_state",  # serial 4-write KV chain (r7 gate)
         "stream_neardup_reps",  # bounded-state rep-election chain (r7)
-        "stream_cdc_kv_state",  # 3 sequential streaming triggers
-        "stream_dedup_ingest",  # 3-trigger watermarked exact-dedup chain (r8)
-        "stream_window_late",  # 3-trigger watermarked window-agg chain (r9)
+        "stream_cdc_kv_state",  # 2 sequential streaming triggers (3->2 r8)
+        "stream_dedup_ingest",  # 2-trigger watermarked exact-dedup chain (3->2 r8)
+        "stream_window_late",  # 2-trigger watermarked window-agg chain (3->2 r8)
         "stream_neardup_pairs",  # 2-trigger stateful minhash chain (r6)
-        "stream_static_enrich",  # 3-trigger stream-static broadcast join chain (r9)
+        "stream_static_enrich",  # 2-trigger stream-static broadcast join chain (3->2 r8)
         "stream_hll_users",  # 2-trigger mergeable-sketch KV chain (r9, 3->2 r10)
         "stream_cms_tokens",  # 2-trigger counter-sketch KV chain (r9, 3->2 r10)
         "pyds_stream_source",  # python streaming-source drain chain (r9)
@@ -211,20 +343,83 @@ def main() -> None:
     errs: dict[str, str] = {}
     retried: list[str] = []
 
-    def _cpu_counters() -> tuple[int, int] | None:
-        """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line.
-        Host steal has dominated absolute spread across rounds (13.9-21.7 s
-        for near-identical suites, BASELINE.md) — persist the evidence."""
-        try:
-            with open("/proc/stat", encoding="ascii") as f:
-                parts = f.readline().split()
-            vals = [int(x) for x in parts[1:]]
-            steal = vals[7] if len(vals) > 7 else 0
-            # denominator: user..steal only — guest/guest_nice are already
-            # folded into user/nice by the kernel (double-count otherwise)
-            return steal, sum(vals[:8])
-        except Exception:
-            return None
+    # Two-tier submission, v2 (r8, VERDICT r7 #1): the serial trigger chains
+    # are the makespan's critical path — solo floors 2.5-7.5 s but 29-43 s
+    # under the full 28-worker flood (BENCH_r07 = 2.01x, the gate breach).
+    # Measured this round (chains-only probes, tmpfs scratch): the chains
+    # also thrash EACH OTHER — 15-wide all-at-once ran 30-56 s wall, while a
+    # width-8 lane ran 25 s and width-4 24.5 s, because each trigger's
+    # driver-side planning / foreachBatch python callback / state commit is
+    # latency-bound and 15 concurrent chains queue on those shared paths.
+    # So: chains run in a DEDICATED LANE of SPARK_GRAFT_CHAIN_LANE submission
+    # threads (LPT order — the static `critical` order is longest-first),
+    # and the batch flood runs beside it capped at workers - lane; when the
+    # last chain drains, the flood widens to the full worker count.
+    chain_set = set(streaming)
+    # lane width 4: quiet-window pairs measured 27.5 s (lane 4) / 28.9 s
+    # (lane 6) vs 51 s with no lane; the chains-only probe showed width 4
+    # has the lowest per-chain stretch (8.9 s worst vs 20 s at width 8)
+    chain_lane = max(1, int(os.environ.get("SPARK_GRAFT_CHAIN_LANE", "4")))
+
+    def two_tier_run(run_fn) -> None:
+        chain_items = [it for it in items if it[0] in chain_set]
+        batch_items = [it for it in items if it[0] not in chain_set]
+        if not chain_items:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(run_fn, batch_items))
+            return
+        lane = min(chain_lane, len(chain_items))
+        base = max(1, workers - lane)
+        sem = threading.Semaphore(base)
+        remaining = [len(chain_items)]
+        done_lock = threading.Lock()
+
+        def run_chain(item) -> None:
+            try:
+                run_fn(item)
+            finally:
+                with done_lock:
+                    remaining[0] -= 1
+                    last = remaining[0] == 0
+                if last:  # lane drained: widen the flood to full width
+                    sem.release(lane)
+
+        def run_batch(item) -> None:
+            with sem:
+                run_fn(item)
+
+        with ThreadPoolExecutor(max_workers=lane) as lane_pool, ThreadPoolExecutor(
+            max_workers=workers
+        ) as batch_pool:
+            futs = [lane_pool.submit(run_chain, it) for it in chain_items]
+            futs += [batch_pool.submit(run_batch, it) for it in batch_items]
+            for f in futs:
+                f.result()
+
+    # warmup pass, untimed: the exact twin of the DuckDB baseline protocol
+    # (tools/bench_baseline.py warms each query once at the target sf before
+    # timing). JIT-compiles every codegen path, spins up the Arrow python
+    # workers, warms the page cache AND runs one full trigger cycle per
+    # streaming/KV chain (VERDICT r7 #6: the driver's cold run paid chain
+    # cold-start inside the timed window). Runs through the same two-tier
+    # shape as the timed pass so the warm chains see the same low-contention
+    # regime they'll be measured in.
+    if mode != "seq" and Path(warm_dir).is_dir():
+
+        def warm_one(item) -> None:
+            name, spec = item
+            try:
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", pool_of.get(name, "light")
+                )
+                spec.spark(spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # warmup never fails the bench
+
+        two_tier_run(warm_one)
+
 
     def run_one(item) -> None:
         name, spec = item
@@ -250,22 +445,28 @@ def main() -> None:
     # SPARK_GRAFT_STEAL_RETRIES times; every attempt is stamped into
     # `phases` and the artifact carries a `clean` verdict the judge can
     # trust without hunting for adjacent clean-pair files.
-    steal_budget = float(os.environ.get("SPARK_GRAFT_STEAL_BUDGET", "3.0"))
+    # (steal_budget itself is defined up at the pre-run settle loop)
     steal_retries = int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "2"))
+    # foreign-CPU budget (r8, VERDICT r7 #5): % of total host CPU capacity
+    # over the timed window burned by processes OUTSIDE this bench's tree.
+    # 5% of 32 cores ≈ 1.6 cores of foreign work — enough to catch a
+    # concurrent sweep (which burns 10-30 cores), lax enough for kernel
+    # threads and daemons.
+    foreign_budget = float(os.environ.get("SPARK_GRAFT_FOREIGN_BUDGET", "5.0"))
     phases: list[dict] = []
 
-    def run_suite_once() -> tuple[float, float | None]:
+    def run_suite_once() -> tuple[float, float | None, float | None]:
         times.clear()
         errs.clear()
         retried.clear()
         cpu0 = _cpu_counters()
+        tree0 = _tree_cpu_ticks()
         suite_t0 = time.time()
         if mode == "seq":
             for item in items:
                 run_one(item)
         else:
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                list(pool.map(run_one, items))
+            two_tier_run(run_one)
         # Failures under concurrency were historically contention-induced (a
         # 1g default JVM heap OOMing — fixed in session.py) and silently
         # shrank the suite. Any query that failed in the pool gets ONE serial
@@ -280,26 +481,44 @@ def main() -> None:
         else:
             t = round(time.time() - suite_t0, 3)
         cpu1 = _cpu_counters()
+        tree1 = _tree_cpu_ticks()
         st = None
         if cpu0 and cpu1 and cpu1[1] > cpu0[1]:
             st = round(100.0 * (cpu1[0] - cpu0[0]) / (cpu1[1] - cpu0[1]), 2)
-        return t, st
+        fo = foreign_cpu_pct(cpu0, cpu1, tree0, tree1)
+        return t, st, fo
 
-    total, steal_pct = run_suite_once()
+    def _dirty(st: float | None, fo: float | None) -> str | None:
+        return contention_verdict(st, fo, steal_budget, foreign_budget)
+
+    total, steal_pct, foreign_pct = run_suite_once()
     phases.append(
-        {"phase": "spark_suite", "attempt": 1, "total_sec": total, "steal_pct": steal_pct}
+        {
+            "phase": "spark_suite",
+            "attempt": 1,
+            "total_sec": total,
+            "steal_pct": steal_pct,
+            "foreign_cpu_pct": foreign_pct,
+        }
     )
     for attempt in range(2, steal_retries + 2):
-        if steal_pct is None or steal_pct <= steal_budget:
+        why = _dirty(steal_pct, foreign_pct)
+        if why is None:
             break
         print(
-            f"STEAL BUDGET: spark_suite attempt {attempt - 1} saw "
-            f"{steal_pct}% > {steal_budget}% — re-running phase",
+            f"CONTENTION BUDGET: spark_suite attempt {attempt - 1} saw "
+            f"{why} — re-running phase",
             file=sys.stderr,
         )
-        total, steal_pct = run_suite_once()
+        total, steal_pct, foreign_pct = run_suite_once()
         phases.append(
-            {"phase": "spark_suite", "attempt": attempt, "total_sec": total, "steal_pct": steal_pct}
+            {
+                "phase": "spark_suite",
+                "attempt": attempt,
+                "total_sec": total,
+                "steal_pct": steal_pct,
+                "foreign_cpu_pct": foreign_pct,
+            }
         )
 
     # Solo-warm audit: rerun one-at-a-time in the same warm session, OUTSIDE
@@ -351,6 +570,10 @@ def main() -> None:
         "err": errs,
         # host steal% over the timed window (None if /proc/stat unreadable)
         "steal_pct": steal_pct,
+        # CPU capacity % burned by processes OUTSIDE this bench's process
+        # tree over the timed window — catches same-host self-contention
+        # that steal% can't see (None if /proc attribution unavailable)
+        "foreign_cpu_pct": foreign_pct,
         # contended-vs-solo accounting: 10 slowest + adaptive 2.5× movers
         "solo_warm": solo_warm,
         # specs solo-warmed by the adaptive 2.5×-of-last-solo trigger alone
@@ -382,6 +605,7 @@ def main() -> None:
             duck = None
             for attempt in range(1, steal_retries + 2):
                 cpu0d = _cpu_counters()
+                tree0d = _tree_cpu_ticks()
                 proc = subprocess.run(
                     [
                         sys.executable,
@@ -397,25 +621,36 @@ def main() -> None:
                     timeout=300,
                 )
                 cpu1d = _cpu_counters()
+                tree1d = _tree_cpu_ticks()
                 duck = json.loads(proc.stdout.strip().splitlines()[-1])
                 if cpu0d and cpu1d and cpu1d[1] > cpu0d[1]:
+                    dt = cpu1d[1] - cpu0d[1]
                     duck["steal_pct"] = round(
-                        100.0 * (cpu1d[0] - cpu0d[0]) / (cpu1d[1] - cpu0d[1]), 2
+                        100.0 * (cpu1d[0] - cpu0d[0]) / dt, 2
                     )
+                    if tree0d is not None and tree1d is not None:
+                        # the baseline subprocess is our child: its ticks are
+                        # in our tree (cutime after reap), so the same
+                        # foreign attribution applies
+                        foreign = (cpu1d[2] - cpu0d[2]) - (tree1d - tree0d)
+                        duck["foreign_cpu_pct"] = round(
+                            100.0 * max(0, foreign) / dt, 2
+                        )
                 phases.append(
                     {
                         "phase": "duckdb_baseline",
                         "attempt": attempt,
                         "total_sec": duck.get("total_sec"),
                         "steal_pct": duck.get("steal_pct"),
+                        "foreign_cpu_pct": duck.get("foreign_cpu_pct"),
                     }
                 )
-                dsteal = duck.get("steal_pct")
-                if dsteal is None or dsteal <= steal_budget:
+                dwhy = _dirty(duck.get("steal_pct"), duck.get("foreign_cpu_pct"))
+                if dwhy is None:
                     break
                 print(
-                    f"STEAL BUDGET: duckdb_baseline attempt {attempt} saw "
-                    f"{dsteal}% > {steal_budget}% — re-running phase",
+                    f"CONTENTION BUDGET: duckdb_baseline attempt {attempt} saw "
+                    f"{dwhy} — re-running phase",
                     file=sys.stderr,
                 )
             (out_dir / "duckdb_conc_latest.json").write_text(
@@ -432,10 +667,13 @@ def main() -> None:
     for p in phases:
         last[p["phase"]] = p
     result["steal_budget_pct"] = steal_budget
+    result["foreign_budget_pct"] = foreign_budget
     result["load1_before"] = load1_before
     result["load_budget"] = load_budget
     result["clean"] = all(
-        p["steal_pct"] is not None and p["steal_pct"] <= steal_budget
+        p["steal_pct"] is not None
+        and p["steal_pct"] <= steal_budget
+        and (p.get("foreign_cpu_pct") is None or p["foreign_cpu_pct"] <= foreign_budget)
         for p in last.values()
     ) and (load1_before is not None and load1_before <= load_budget)
     result["phases"] = phases
@@ -474,6 +712,8 @@ def main() -> None:
         compact["queries_shown"] = f"{len(shown)}/{len(times)} slowest"
         line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
+    if scratch:
+        _shutil.rmtree(scratch, ignore_errors=True)
 
 
 if __name__ == "__main__":

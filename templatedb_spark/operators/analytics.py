@@ -1726,6 +1726,12 @@ def woe_iv_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_bad"),
         )
     )
+    # WOE is undefined for a segment with zero goods or zero bads (ln(0) /
+    # division by zero — and Spark's Infinity vs DuckDB's NULL-on-zero-div
+    # semantics would diverge, ADVICE r7). Standard practice drops (or
+    # count-adjusts) such segments; we drop, on BOTH engines, and the totals
+    # are computed over the KEPT segments so pct_good/pct_bad still sum to 1.
+    seg = seg.filter((F.col("n_good") > 0) & (F.col("n_bad") > 0))
     tot = seg.agg(
         F.sum("n_good").alias("g_tot"), F.sum("n_bad").alias("b_tot")
     )
@@ -1755,13 +1761,14 @@ WITH seg AS (
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY 1
 ),
-tot AS (SELECT SUM(n_good) AS g_tot, SUM(n_bad) AS b_tot FROM seg),
+kept AS (SELECT * FROM seg WHERE n_good > 0 AND n_bad > 0),
+tot AS (SELECT SUM(n_good) AS g_tot, SUM(n_bad) AS b_tot FROM kept),
 scored AS (
   SELECT c_mktsegment, n_good, n_bad,
          n_good / g_tot AS pct_good,
          n_bad / b_tot AS pct_bad,
          ln((n_good / g_tot) / (n_bad / b_tot)) AS woe
-  FROM seg, tot
+  FROM kept, tot
 )
 SELECT s.*, iv.iv
 FROM scored s, (SELECT SUM((pct_good - pct_bad) * woe) AS iv FROM scored) iv

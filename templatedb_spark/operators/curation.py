@@ -1602,7 +1602,13 @@ register(
 # vocabulary fits and co-partitions when it doesn't. No driver state.
 # ---------------------------------------------------------------------------
 _NB_TRAIN_PCT = 80
-_NB_Q = 1_000_000  # micro-nat quantizer
+# micro-nat quantizer. Residual risk (ADVICE r7): floor(Q*ln(x)) is only
+# cross-engine-deterministic while Q*ln(x) stays clear of the integer
+# lattice — JVM Math.log and libm log may differ by ~1 ulp (~2e-8 after the
+# Q multiply). tests/test_nb_lattice.py enumerates every ratio the operator
+# quantizes at the audited scale and proves each sits >1e-6 (50x the double
+# error bound) from the nearest integer, so both engines' floors agree.
+_NB_Q = 1_000_000
 
 
 def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -421,20 +421,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rank") <= _TOPK_K)
 
 
-_ANN_IVF_ORACLE = f"""
-WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-           FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM n, ({_IVF_STEP_SQL}) st(step) WHERE vec_id % st.step = 0),
+# Shared IVF-assignment CTE chain, funnel-style (VERDICT r7 #3): the old
+# oracle ranked the full |corpus| x |centroids| product with a ROW_NUMBER
+# window — a 36M-row sort carrying DOUBLE[64] payloads at sf3, which made
+# the DuckDB side the differential probe's bottleneck (oracle-bound, not
+# engine-bound). Funnel shape instead: MATERIALIZED id-only similarity
+# table (arrays never enter the wide intermediate), hash-agg argmax
+# (MAX then MIN-cid on ties — identical pick to the window's
+# csim DESC, cid ASC ordering), then one join to re-attach vectors.
+_IVF_ASSIGN_CTES = f"""n AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings),
+cent AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cv, norm AS cnorm
+  FROM n, ({_IVF_STEP_SQL}) st(step) WHERE vec_id % st.step = 0),
+csims AS MATERIALIZED (
+  SELECT n.vec_id, cent.cid,
+         ROUND(list_dot_product(n.v, cent.cv) / (n.norm * cent.cnorm), 6) AS csim
+  FROM n CROSS JOIN cent),
+cbest AS (SELECT vec_id, MAX(csim) AS mx FROM csims GROUP BY vec_id),
+assigned_id AS (
+  SELECT s.vec_id, MIN(s.cid) AS cid
+  FROM csims s JOIN cbest b ON s.vec_id = b.vec_id AND s.csim = b.mx
+  GROUP BY s.vec_id),
 assigned AS (
-  SELECT vec_id, v, norm, cid FROM (
-    SELECT n.vec_id, n.v, n.norm, cent.cid,
-           ROW_NUMBER() OVER (PARTITION BY n.vec_id
-             ORDER BY ROUND(list_dot_product(n.v, cent.cv) / (n.norm * cent.cnorm), 6) DESC,
-                      cent.cid ASC) AS crank
-    FROM n CROSS JOIN cent
-  ) WHERE crank = 1
-),
+  SELECT n.vec_id, n.v, n.norm, a.cid FROM n JOIN assigned_id a USING (vec_id))"""
+
+_ANN_IVF_ORACLE = f"""
+WITH {_IVF_ASSIGN_CTES},
 q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n WHERE vec_id < {_TOPK_NQUERY}),
 probes AS (
   SELECT qid, qv, qnorm, cid FROM (
@@ -919,19 +934,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_ORACLE = f"""
-WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-           FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM n, ({_IVF_STEP_SQL}) st(step) WHERE vec_id % st.step = 0),
-assigned AS (
-  SELECT vec_id, v, norm, cid FROM (
-    SELECT n.vec_id, n.v, n.norm, cent.cid,
-           ROW_NUMBER() OVER (PARTITION BY n.vec_id
-             ORDER BY ROUND(list_dot_product(n.v, cent.cv) / (n.norm * cent.cnorm), 6) DESC,
-                      cent.cid ASC) AS crank
-    FROM n CROSS JOIN cent
-  ) WHERE crank = 1
-),
+WITH {_IVF_ASSIGN_CTES},
 reps AS (
   SELECT a.cid AS rcid, a.vec_id AS rep_id, a.v AS rv, a.norm AS rnorm
   FROM assigned a

@@ -42,7 +42,18 @@ from templatedb_spark.suite import QuerySpec, register
 # packs the suite around the streaming chain.
 import os as _os
 
-_N_MICROBATCHES = max(2, int(_os.environ.get("SPARK_GRAFT_STREAM_TRIGGERS", "3")))
+# Default trigger count for the gated chains. r8: 3 → 2, the semantic
+# minimum for every cross-batch state contract EXCEPT sessionize's
+# carry-then-close chain (which keeps an explicit 3 — a session must be
+# EXTENDED across one boundary and CLOSED across another). The serial
+# trigger chains are the bench makespan's critical path (BENCH_r07 gate
+# breach); each trigger a chain doesn't run is ~1-1.5 s off that path, and
+# the r10 precedent (KV-merge gates 3 → 2, VERDICT r6 #4's lever) showed a
+# third trigger buys no additional coverage once one batch boundary proves
+# the cross-batch contract. The replay fuzz (42→70 seeds) still randomizes
+# 1-5 batch decompositions per operator, so multi-boundary behavior stays
+# under test there.
+_N_MICROBATCHES = max(2, int(_os.environ.get("SPARK_GRAFT_STREAM_TRIGGERS", "2")))
 
 
 def _stage_microbatches(sf_dir: str, out_dir: str, n_batches: int | None = None) -> None:
@@ -120,7 +131,7 @@ register(
         "stream_cdc_kv_state",
         stream_cdc_kv_state,
         _STREAM_CDC_ORACLE,
-        "Structured Streaming CDC (3 micro-batches, foreachBatch -> KV MVCC) vs whole-feed compaction oracle",
+        "Structured Streaming CDC (2 micro-batches, foreachBatch -> KV MVCC, cross-batch version ordering) vs whole-feed compaction oracle",
     )
 )
 
@@ -147,7 +158,10 @@ def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from templatedb_spark.streaming.stateful import stream_sessionize
 
     stage = tempfile.mkdtemp(prefix="sess_stage_")
-    _stage_microbatches(sf_dir, stage)
+    # explicit 3: the carry-then-close chain — a session extended across
+    # boundary 1 must CLOSE across boundary 2; 2 batches can only prove
+    # extend-and-close within the same successor batch
+    _stage_microbatches(sf_dir, stage, n_batches=3)
     name = f"gate_sessions_{os.path.basename(stage).split('_')[-1]}"
     q = (
         stream_sessionize(read_events_stream(spark, stage))
@@ -652,7 +666,7 @@ register(
 # SQL and elects min(doc_id) per fingerprint; any admitted duplicate is a
 # row-count mismatch, any wrong survivor a hash mismatch.
 # ---------------------------------------------------------------------------
-def _stage_ingest_microbatches(sf_dir: str, out_dir: str, n_batches: int = 3) -> None:
+def _stage_ingest_microbatches(sf_dir: str, out_dir: str, n_batches: int = 2) -> None:
     """Augment documents with deterministic dup tiers and stage each
     fingerprint's i-th copy into micro-batch i (pandas rank routing — the
     normalization here only decides ROUTING; the audited fingerprint parity
@@ -727,7 +741,7 @@ register(
         "stream_dedup_ingest",
         stream_dedup_ingest_gate,
         _INGEST_DEDUP_ORACLE,
-        "bounded-state streaming exact dedup on ingest (native dropDuplicatesWithinWatermark, 3 micro-batches, every dup pair straddles a batch boundary) vs batch min-doc_id election oracle",
+        "bounded-state streaming exact dedup on ingest (native dropDuplicatesWithinWatermark, 2 micro-batches, every dup pair straddles the batch boundary) vs batch min-doc_id election oracle",
     )
 )
 
@@ -775,6 +789,12 @@ def _stage_late_microbatches(sf_dir: str, out_dir: str, n_batches: int = 3) -> N
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    # 3 batches, NOT the 2-trigger default: the watermark used to filter
+    # batch k's input is computed from stats through batch k-2 (measured
+    # this round — a straggler at the tail of batch 1 of 2 SURVIVES because
+    # batch 1 still runs with the initial watermark; only at batch 2 does
+    # batch 0's max event time take effect). The provably-dropped straggler
+    # therefore needs at least 3 batches: wm(batch 2) = max_ts(batch 0) - 10min.
     t = pq.read_table(f"{sf_dir}/events.parquet")
     order = pc.sort_indices(
         t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
@@ -840,7 +860,7 @@ register(
         "stream_window_late",
         stream_window_late,
         _STREAM_WINDOW_LATE_ORACLE,
-        "append-mode watermarked tumbling-window agg (3 micro-batches, one provably-dropped late straggler) vs batch closed-window oracle",
+        "append-mode watermarked tumbling-window agg (3 micro-batches — watermark stats lag 2 batches, so the provably-dropped straggler needs batch index 2) vs batch closed-window oracle",
     )
 )
 
@@ -855,7 +875,7 @@ register(
 # and no join state accumulates (unlike stream-stream, there is nothing to
 # watermark: matches are complete within each micro-batch by definition).
 #
-# The gate drains 3 ts-ordered micro-batches through the enrichment join in
+# The gate drains 2 ts-ordered micro-batches through the enrichment join in
 # append mode (raw enriched rows — no streaming agg, so nothing is held
 # back), then rolls the sink up as BATCH per (mktsegment, event_type); the
 # oracle is the same inner join + rollup over the whole feed. A divergence
@@ -933,7 +953,7 @@ register(
         "stream_static_enrich",
         stream_static_enrich,
         _STREAM_ENRICH_ORACLE,
-        "stream-static broadcast enrichment (3 micro-batches, dim re-broadcast per trigger, no join state) vs batch inner-join rollup oracle",
+        "stream-static broadcast enrichment (2 micro-batches, dim re-broadcast per trigger, no join state) vs batch inner-join rollup oracle",
     )
 )
 
@@ -956,6 +976,38 @@ register(
 # bounded by the sketch's m, never by the corpus; that boundedness is the
 # entire point of sketch-shaped state at 100 TB.
 # ---------------------------------------------------------------------------
+def _hll_apply(spark, kv, cache: dict, qname: str, batch_df, batch_id: int) -> None:
+    """Per-trigger HLL max-merge into KV under an exactly-once tag — the
+    committed-state cache re-reads the KV only on (re)start; the tag check
+    FIRST keeps a replayed batch from touching the cache. Module-level so
+    the replay fuzz (tests/test_streaming_replay_fuzz.py) drives the exact
+    sink code the gate runs."""
+    from templatedb_spark.operators.textstats import hll_partial_registers
+
+    if kv.has_tag(f"{qname}:b{batch_id}"):
+        return  # replayed batch: already committed, cache untouched
+    u = batch_df.select(F.col("user_id").cast("string").alias("u"))
+    partial = {r.reg: r.m for r in hll_partial_registers(u).collect()}
+    if not partial:
+        return
+    if cache["cur"] is None:
+        cache["cur"] = {
+            int(r.key): int(r.value) for r in kv.snapshot().collect()
+        }
+    cur = cache["cur"]
+    bumps = {
+        reg: m for reg, m in partial.items() if m > cur.get(reg, -1)
+    }
+    if not bumps:
+        return
+    rows = [(f"{reg:02d}", str(m), "put") for reg, m in sorted(bumps.items())]
+    kv.write_batch_df(
+        spark.createDataFrame(rows, "key string, value string, op string"),
+        tag=f"{qname}:b{batch_id}",
+    )
+    cur.update(bumps)
+
+
 def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
     import shutil
@@ -964,7 +1016,6 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from templatedb_spark.operators.textstats import (
         hll_fill_registers,
         hll_finalize,
-        hll_partial_registers,
     )
     from templatedb_spark.streaming.events import read_events_stream
     from templatedb_spark.suite import table
@@ -980,39 +1031,14 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     kv = KVTable(spark, kv_dir)
     qname = f"gate_hll_{abs(hash(stage))}"
 
-    # committed-state cache: the sink re-reads the KV only on (re)start —
-    # per-trigger it merges against its own last-committed view, saving one
-    # Spark job per trigger on the serial chain (the production sink shape;
-    # the tag check first keeps a replayed batch from touching the cache)
+    # committed-state cache: see _hll_apply
     cache: dict = {"cur": None}
-
-    def apply_batch(batch_df, batch_id: int) -> None:
-        if kv.has_tag(f"{qname}:b{batch_id}"):
-            return  # replayed batch: already committed, cache untouched
-        u = batch_df.select(F.col("user_id").cast("string").alias("u"))
-        partial = {r.reg: r.m for r in hll_partial_registers(u).collect()}
-        if not partial:
-            return
-        if cache["cur"] is None:
-            cache["cur"] = {
-                int(r.key): int(r.value) for r in kv.snapshot().collect()
-            }
-        cur = cache["cur"]
-        bumps = {
-            reg: m for reg, m in partial.items() if m > cur.get(reg, -1)
-        }
-        if not bumps:
-            return
-        rows = [(f"{reg:02d}", str(m), "put") for reg, m in sorted(bumps.items())]
-        kv.write_batch_df(
-            spark.createDataFrame(rows, "key string, value string, op string"),
-            tag=f"{qname}:b{batch_id}",
-        )
-        cur.update(bumps)
 
     q = (
         read_events_stream(spark, stage)
-        .writeStream.foreachBatch(apply_batch)
+        .writeStream.foreachBatch(
+            lambda bdf, bid: _hll_apply(spark, kv, cache, qname, bdf, bid)
+        )
         .queryName(qname)
         .trigger(availableNow=True)
         .start()
@@ -1053,7 +1079,7 @@ register(
 # merge is harmless), CMS cells merge by SUM (NOT idempotent — a replayed
 # micro-batch double-counts and corrupts every estimate). So this gate is
 # the end-to-end proof that the KV's exactly-once batch tags are
-# load-bearing: drain the corpus in 3 micro-batches, sum each batch's
+# load-bearing: drain the corpus in 2 micro-batches, sum each batch's
 # 4x8-cell partial sketch into the KV under a (query, batch_id) tag, then
 # estimate the top-20 heavy hitters from the merged sketch. The oracle is
 # the batch CMS oracle verbatim — any duplicate apply, lost batch, or wrong
@@ -1062,7 +1088,7 @@ register(
 # Driver state per trigger: d*w = 32 cells (two <=32-row collects) — bounded
 # by the sketch dimensions, never the corpus.
 # ---------------------------------------------------------------------------
-def _stage_full_doc_microbatches(sf_dir: str, out_dir: str, n_batches: int = 3) -> None:
+def _stage_full_doc_microbatches(sf_dir: str, out_dir: str, n_batches: int = 2) -> None:
     """doc_id-ordered N-way split of the raw documents table (full corpus —
     unlike the near-dup stagers there is no slice and no augmentation)."""
     import os
@@ -1080,14 +1106,72 @@ def _stage_full_doc_microbatches(sf_dir: str, out_dir: str, n_batches: int = 3) 
         os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
 
 
+def _cms_cell_structs():
+    from templatedb_spark.functions.hashing import h32
+    from templatedb_spark.operators.textstats import _CMS_D, _CMS_W
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (h32(F.concat(F.lit(f"cms{j}:"), F.col("tok"))) % _CMS_W).alias(
+                    "b"
+                ),
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+
+
+def _cms_apply(spark, kv, cache: dict, qname: str, batch_df, batch_id: int) -> None:
+    """Per-trigger CMS SUM-merge into KV under an exactly-once tag. On this
+    SUM monoid a replayed batch that touched the cache would double-count —
+    the tag check FIRST is what correctness rests on. Module-level so the
+    replay fuzz drives the exact sink code the gate runs."""
+    from templatedb_spark.operators.dedup import tokens_col
+
+    if kv.has_tag(f"{qname}:b{batch_id}"):
+        return  # replayed batch: already committed, cache untouched
+    # tf FIRST, cells second: aggregating to term frequencies before the
+    # d-way cell explode keeps the explode at vocab size instead of
+    # token-instance size (at sf10 that is ~thousands of rows ×4 vs
+    # ~20M instances ×4 per batch — the same order the batch spec uses)
+    tf_b = (
+        batch_df.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cells = (
+        tf_b.select("n", F.explode(_cms_cell_structs()).alias("jb"))
+        .groupBy(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+        .agg(F.sum("n").cast("long").alias("cnt"))
+    )
+    partial = {(r.j, r.b): r.cnt for r in cells.collect()}  # <= d*w rows
+    if not partial:
+        return
+    if cache["cur"] is None:  # <= d*w rows, once per (re)start
+        cache["cur"] = {r.key: int(r.value) for r in kv.snapshot().collect()}
+    cur = cache["cur"]
+    merged = {
+        f"{j}:{b:03d}": cur.get(f"{j}:{b:03d}", 0) + cnt
+        for (j, b), cnt in sorted(partial.items())
+    }
+    kv.write_batch_df(
+        spark.createDataFrame(
+            [(k, str(v), "put") for k, v in merged.items()],
+            "key string, value string, op string",
+        ),
+        tag=f"{qname}:b{batch_id}",  # SUM-merge: the tag IS correctness
+    )
+    cur.update(merged)
+
+
 def stream_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
     import shutil
 
-    from templatedb_spark.functions.hashing import h32
     from templatedb_spark.kv import KVTable
-    from templatedb_spark.operators.dedup import tokens_col
-    from templatedb_spark.operators.textstats import _CMS_D, _CMS_K, _CMS_W
+    from templatedb_spark.operators.textstats import _CMS_K
     from templatedb_spark.streaming.neardup import read_documents_stream
     from templatedb_spark.suite import table
 
@@ -1100,63 +1184,14 @@ def stream_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     kv = KVTable(spark, kv_dir)
     qname = f"gate_cms_{abs(hash(stage))}"
 
-    def cell_structs():
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    (h32(F.concat(F.lit(f"cms{j}:"), F.col("tok"))) % _CMS_W).alias(
-                        "b"
-                    ),
-                )
-                for j in range(_CMS_D)
-            ]
-        )
-
-    # committed-state cache (see the HLL gate): KV re-read only on (re)start;
-    # the tag check FIRST is what keeps a replayed batch out of the cache —
-    # on this SUM monoid a cache touched by a replay would double-count
+    # committed-state cache: see _cms_apply
     cache: dict = {"cur": None}
-
-    def apply_batch(batch_df, batch_id: int) -> None:
-        if kv.has_tag(f"{qname}:b{batch_id}"):
-            return  # replayed batch: already committed, cache untouched
-        # tf FIRST, cells second: aggregating to term frequencies before the
-        # d-way cell explode keeps the explode at vocab size instead of
-        # token-instance size (at sf10 that is ~thousands of rows ×4 vs
-        # ~20M instances ×4 per batch — the same order the batch spec uses)
-        tf_b = (
-            batch_df.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
-            .groupBy("tok")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        )
-        cells = (
-            tf_b.select("n", F.explode(cell_structs()).alias("jb"))
-            .groupBy(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
-            .agg(F.sum("n").cast("long").alias("cnt"))
-        )
-        partial = {(r.j, r.b): r.cnt for r in cells.collect()}  # <= d*w rows
-        if not partial:
-            return
-        if cache["cur"] is None:  # <= d*w rows, once per (re)start
-            cache["cur"] = {r.key: int(r.value) for r in kv.snapshot().collect()}
-        cur = cache["cur"]
-        merged = {
-            f"{j}:{b:03d}": cur.get(f"{j}:{b:03d}", 0) + cnt
-            for (j, b), cnt in sorted(partial.items())
-        }
-        kv.write_batch_df(
-            spark.createDataFrame(
-                [(k, str(v), "put") for k, v in merged.items()],
-                "key string, value string, op string",
-            ),
-            tag=f"{qname}:b{batch_id}",  # SUM-merge: the tag IS correctness
-        )
-        cur.update(merged)
 
     q = (
         read_documents_stream(spark, stage)
-        .writeStream.foreachBatch(apply_batch)
+        .writeStream.foreachBatch(
+            lambda bdf, bid: _cms_apply(spark, kv, cache, qname, bdf, bid)
+        )
         .queryName(qname)
         .trigger(availableNow=True)
         .start()
@@ -1180,7 +1215,7 @@ def stream_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_b = cand.select(
         F.col("tok").alias("ctok"),
         F.col("n").alias("true_n"),
-        F.explode(cell_structs()).alias("jb"),
+        F.explode(_cms_cell_structs()).alias("jb"),
     ).select("ctok", "true_n", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
     est = (
         cand_b.join(F.broadcast(sketch), ["j", "b"])
@@ -1231,7 +1266,7 @@ register(
 # for the fully distributed KVTable.write_batch_df path the CDC gate uses,
 # same tags, same contract.
 # ---------------------------------------------------------------------------
-def _stage_order_microbatches(sf_dir: str, out_dir: str, n_batches: int = 3) -> None:
+def _stage_order_microbatches(sf_dir: str, out_dir: str, n_batches: int = 2) -> None:
     """o_orderkey-ordered N-way split of orders (the arriving fact deltas)."""
     import os
 

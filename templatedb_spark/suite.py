@@ -42,28 +42,34 @@ def register(spec: QuerySpec) -> QuerySpec:
     return spec
 
 
-def _driver_covered_names() -> set[str]:
-    """Spec names already audited by the driver in a prior round.
+def _driver_latest_audit() -> dict[str, int]:
+    """Latest driver-audit round per spec name.
 
     The driver's correctness gate checks queries() in dict order and caps the
     number of entries it records per round (round 1 stopped at 50 of 80), so
     registration order decides what gets hard evidence. We read the prior
-    rounds' CORRECTNESS_r*.json artifacts and treat any spec with a recorded
-    row as covered; all_specs() then yields the *uncovered* specs first so
-    each round's capped audit extends the union instead of re-checking the
-    same prefix.
+    rounds' CORRECTNESS_r*.json artifacts and record each spec's LATEST
+    audited round; all_specs() then fronts (never-audited, changed-this-
+    round, oldest-audit) in that order — the 50/round cap thereby rotates
+    the whole ~218-spec registry every ~4 rounds, so no green row's
+    evidentiary value decays more than 4 rounds as refactors touch shared
+    helpers (VERDICT r7 #2's age-out discipline).
     """
     import json
+    import re
     from pathlib import Path
 
-    covered: set[str] = set()
+    latest: dict[str, int] = {}
     root = Path(__file__).resolve().parents[1]
     for artifact in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", artifact.name)
+        rnd = int(m.group(1)) if m else 0
         try:
-            covered.update(json.loads(artifact.read_text()).keys())
+            for name in json.loads(artifact.read_text()):
+                latest[name] = max(latest.get(name, 0), rnd)
         except Exception:
             continue  # a malformed artifact never breaks spec listing
-    return covered
+    return latest
 
 
 def all_specs() -> dict[str, QuerySpec]:
@@ -87,7 +93,8 @@ def all_specs() -> dict[str, QuerySpec]:
     from templatedb_spark.sources import pyds  # noqa: F401
     from templatedb_spark.streaming import gate  # noqa: F401
 
-    covered = _driver_covered_names()
+    latest_audit = _driver_latest_audit()
+    covered = set(latest_audit)
     # Specs whose semantics, output schema, or oracle changed THIS round:
     # prior-round audit rows no longer vouch for them, so they re-enter the
     # front of the driver's capped audit window as if never covered. Rounds
@@ -95,68 +102,47 @@ def all_specs() -> dict[str, QuerySpec]:
     # them (r5's changed set is fully present in CORRECTNESS_r05.json), the
     # subtraction is retired — keeping it would burn audit slots re-checking
     # rows the changing round already vouched for.
-    # (r6's changed set is fully recorded in CORRECTNESS_r06.json — retired.)
-    # Round-7 churn (standing invariant, VERDICT r5 #8):
-    # - the three rank-based specs gained a localCheckpoint materialization
-    #   barrier in operators/ranks.py (ADVICE r6 medium — same oracles, same
-    #   results, new execution shape);
-    # - the six graph/funnel specs' ORACLES were rewritten funnel-style
-    #   (survivor-restricted minhash in SQL, VERDICT r6 #2) so DuckDB can
-    #   verify them at generated sf1 — same results, new oracle text.
-    changed_r7 = {
-        "histogram_equidepth", "gini_revenue", "revenue_concentration",
-        "dedup_dup_clusters", "dedup_keep_policy", "dedup_cascade",
-        "graph_pagerank", "graph_triangles", "graph_bfs_hops",
-        # PPJoin length+positional filters — same oracle, new candidate plan
-        "dedup_ngram_prefix",
-        # df cap via agg+join instead of unbounded window — same oracle
-        "dedup_ngram_capped",
+    # (Builder-session churn sets r6..r10 — the rank/graph-oracle, KV-layout,
+    # CDC-idempotency, 2-trigger-minimum, and IVF-cap refactors — are all
+    # fully recorded in CORRECTNESS_r06/r07.json: retired. Keeping a retired
+    # subtraction burns audit slots re-checking rows the changing round
+    # already vouched for.)
+    # Driver-round-8 churn: specs whose semantics, output schema, or oracle
+    # changed THIS session — prior rows no longer vouch, so they re-enter
+    # the front of the capped audit window as if never covered.
+    changed_now = {
+        # zero-good/zero-bad segment guard applied to BOTH the Spark plan
+        # and the oracle (ADVICE r7 #2) — same result on TPC-H data, new
+        # plan + oracle text
+        "woe_iv_segment",
+        # oracle rewritten funnel-style (hash-agg argmax over MATERIALIZED
+        # id-only csims instead of a corpus x centroid window sort) so the
+        # DuckDB side scales to sf3/sf10 differential probes (VERDICT r7 #3)
+        "ann_recall_eval", "semantic_dedup", "ann_ivf_topk",
+        # trigger chains cut 3 -> 2 (the cross-batch semantic minimum,
+        # r10-precedent lever; sessionize keeps its explicit 3-batch
+        # carry-then-close chain, window_late keeps 3 for the 2-batch
+        # watermark-stats lag) — same oracles, shorter serial chains
+        "stream_cdc_kv_state", "stream_dedup_ingest", "stream_static_enrich",
+        # per-batch sink bodies extracted to module level (_hll_apply /
+        # _cms_apply) so the replay fuzz drives the exact gate code
+        "stream_hll_users", "stream_cms_tokens",
     }
-    covered -= changed_r7
-    # Round-8 churn: the KV write path was refactored into the layout-aware
-    # _write_version_df (kv.py — range layout, per-bucket key ranges,
-    # bucket-granular compact_range). Same semantics and same physical shape
-    # for the default hash layout, but every KV-backed spec now commits
-    # through the new code, so their prior-round rows no longer vouch.
-    changed_r8 = {
-        "stream_cdc_kv_state", "cdc_apply", "kv_compact_range_state",
-    }
-    covered -= changed_r8
-    # Round-9 churn: the streaming CDC sink now commits each micro-batch
-    # with an idempotency tag in its manifest record (exactly-once under
-    # replay, kv.write_batch_df(tag=...)) — same state, new commit path;
-    # hll_distinct_users was refactored into shared partial/fill/finalize
-    # helpers (same semantics, new code path feeding the streaming gate).
-    changed_r9 = {"stream_cdc_kv_state", "hll_distinct_users"}
-    covered -= changed_r9
-    # Round-10 churn: the three KV-merge gates dropped from 3 staged
-    # micro-batches to the 2-trigger semantic minimum (same oracles, same
-    # state contract, shorter serial chain — VERDICT r6 #4's lever), and
-    # stream_mv_join's per-batch apply was referenced against the new
-    # distributed-merge twin. Prior-round rows no longer vouch for the new
-    # trigger shape.
-    changed_r10 = {
-        "stream_hll_users", "stream_cms_tokens", "stream_mv_join",
-        # adaptive IVF nlist cap (corpus-proportional centroid count was
-        # quadratic at sf10) — same results at every driver-audited tier
-        # (step unchanged for n ≤ 25,600), new parameter plumbing
-        "ann_ivf_topk", "semantic_dedup", "ann_recall_eval",
-    }
-    covered -= changed_r10
-    # The round-2 verdict singled out eleven specs that no driver round has
-    # ever audited ("close the CORRECTNESS union"); the driver caps how many
-    # entries it records per round, so those eleven outrank every other
-    # uncovered spec, which in turn outrank already-covered ones. Stable sort
-    # keeps registration order within each tier.
-    priority = {
-        "anomaly_zscore", "cdc_apply", "contamination_check",
-        "dedup_dup_clusters", "dedup_keep_policy", "graph_pagerank",
-        "pack_token_shards", "scd2_user_segments", "text_repetition_score",
-        "tfidf_top_terms", "vocab_top_tokens",
-    }
+    covered -= changed_now
+    # Front order (VERDICT r7 #2): never-audited / changed-this-round specs
+    # first (covered-subtractions above put changed specs back in this tier),
+    # then covered specs by OLDEST latest-audit round — so the driver's
+    # 50/round cap re-audits the stalest evidence each round and the whole
+    # registry rotates every ~ceil(218/50) = 5 rounds. Registration order
+    # breaks ties (python sort is stable). (The round-2 "never audited"
+    # priority list is retired — all eleven have driver rows; age-based
+    # rotation now covers that concern generally.)
     ordered = sorted(
         _REGISTRY.items(),
-        key=lambda kv: (kv[0] in covered, kv[0] not in priority),
+        key=lambda kv: (
+            kv[0] in covered,
+            latest_audit.get(kv[0], 0) if kv[0] in covered else 0,
+        ),
     )
     return dict(ordered)
 

@@ -79,3 +79,73 @@ def test_concurrent_submission_zero_failures(spark):
         list(pool.map(run_one, _HEAVIEST))
 
     assert not errors, f"concurrent submission lost queries: {errors}"
+
+
+# ---------------------------------------------------------------------------
+# Foreign-CPU tripwire (r8, VERDICT r7 #5): /proc/stat steal% is blind to
+# same-host self-contention — NOTES_r9 recorded a 42.96 s artifact produced
+# while a verification sweep hammered the same box, and BENCH_r07 started at
+# load1 2.81, just under the 3.0 pre-check, with nothing sampled DURING the
+# run. bench.foreign_cpu_pct attributes host busy ticks to the bench's own
+# process tree vs everything else; these tests prove the attribution fires
+# on a genuinely foreign (detached, reparented-to-init) burn and stays
+# silent for the bench's own children — synthetic load, real /proc.
+# ---------------------------------------------------------------------------
+def _measure_window(seconds: float):
+    import time
+
+    import bench
+
+    cpu0 = bench._cpu_counters()
+    tree0 = bench._tree_cpu_ticks()
+    time.sleep(seconds)
+    cpu1 = bench._cpu_counters()
+    tree1 = bench._tree_cpu_ticks()
+    return bench.foreign_cpu_pct(cpu0, cpu1, tree0, tree1)
+
+
+def test_foreign_cpu_tripwire_fires_on_detached_load():
+    import subprocess
+
+    import bench
+
+    # double-fork via a short-lived bash: the nohup'd burners reparent to
+    # init the moment bash exits, so they are OUTSIDE this test's tree —
+    # exactly the shape of a concurrent sweep contaminating a bench window
+    subprocess.run(
+        [
+            "bash",
+            "-c",
+            "for i in $(seq 12); do nohup timeout 2.5 bash -c "
+            "'while :; do :; done' >/dev/null 2>&1 & done",
+        ],
+        check=True,
+    )
+    fo = _measure_window(2.0)
+    assert fo is not None and fo > 15.0, f"detached 12-core burn invisible: {fo}"
+    why = bench.contention_verdict(None, fo, 3.0, 5.0)
+    assert why is not None and "foreign" in why
+
+
+def test_foreign_cpu_quiet_for_own_children():
+    import subprocess
+    import sys
+
+    # the same burn as OUR OWN children — the attribution must NOT flag it
+    # (the bench's 28-worker flood can never trip its own wire)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-c",
+                "import time\nt = time.time()\nwhile time.time() - t < 2.5: pass",
+            ]
+        )
+        for _ in range(12)
+    ]
+    try:
+        fo = _measure_window(2.0)
+    finally:
+        for p in procs:
+            p.wait()
+    assert fo is not None and fo < 15.0, f"own children misattributed: {fo}"

@@ -84,16 +84,36 @@ def test_decile_cut_partitions_evenly(seed):
 
 @pytest.mark.parametrize("seed", range(10))
 def test_decile_lift_final_cum_is_one(seed):
+    """Mirror decile_lift's formula end-to-end on a random ranked response
+    vector (ADVICE r7: the old form asserted Fraction(r,n)/Fraction(r,n)==1
+    without touching the operator's logic): cut ranks 1..n into deciles with
+    floor((i-1)*k/n)+1, accumulate per-decile counts in rank order, and check
+    the cumulative series against prefix sums — the last decile's cumulative
+    lift must be exactly 1 because it covers every row."""
     rng = random.Random(seed)
     n = rng.randint(10, 300)
+    k = 10
     resp = [rng.randint(0, 1) for _ in range(n)]
+    if sum(resp) == 0:
+        resp[rng.randrange(n)] = 1
     r = sum(resp)
-    if r == 0:
-        resp[0] = 1
-        r = 1
-    # cumulative over ALL rows == base rate ⇒ lift exactly 1
-    lift = Fraction(r, n) / Fraction(r, n)
-    assert lift == 1
+    # the operator's decile cut over ranks i = 1..n (resp already rank-ordered)
+    by_dec: dict[int, list[int]] = {}
+    for i, x in enumerate(resp, start=1):
+        by_dec.setdefault((i - 1) * k // n + 1, []).append(x)
+    decs = sorted(by_dec)
+    cum_users = cum_resp = 0
+    for d in decs:
+        cum_users += len(by_dec[d])
+        cum_resp += sum(by_dec[d])
+        # prefix-sum identity: the theta-join cumulative equals the flat prefix
+        assert cum_users == sum(len(by_dec[e]) for e in decs if e <= d)
+        assert cum_resp == sum(sum(by_dec[e]) for e in decs if e <= d)
+        lift = Fraction(cum_resp, cum_users) / Fraction(r, n)
+        if d == decs[-1]:
+            assert cum_users == n and cum_resp == r and lift == 1
+        else:
+            assert lift >= 0
 
 
 # ---------------------------------------------------------------------------
