@@ -1178,12 +1178,19 @@ def orders_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_day = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    curve = per_day.select(
-        "day", F.sum("net").over(w).cast("long").alias("open_orders")
+    # distributed cumulative sweep (r8): the former unpartitioned window was
+    # safe (post-aggregate day-keyed rows) but exempt-listed in the plan
+    # gate; ranks.global_cumsum runs the same running sum as parallel
+    # range-partition passes + broadcast prefix offsets, so the gate's
+    # no-global-sort-window rule now holds unconditionally suite-wide.
+    from templatedb_spark.operators.ranks import global_cumsum
+
+    curve = global_cumsum(
+        per_day, [F.col("day").asc()], F.col("net"), cum_col="open_orders"
     )
     return curve.select(
-        F.date_format("day", "yyyy-MM-dd").alias("day"), "open_orders"
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("open_orders").cast("long").alias("open_orders"),
     )
 
 

@@ -321,13 +321,14 @@ def quantile_sketch_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    from pyspark.sql.window import Window
+    # distributed cumulative pass over the 1024-bin aggregate (r8): replaces
+    # the exempt-listed unpartitioned window so the suite-wide plan gate's
+    # no-global-sort-window rule holds unconditionally (see ranks.py)
+    from templatedb_spark.operators.ranks import global_cumsum
 
-    cum = binned.select(
-        "bin",
-        "c",
-        F.sum("c").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("cum"),
-    )
+    cum = global_cumsum(
+        binned, [F.col("bin").asc()], F.col("c"), cum_col="cum"
+    ).withColumn("cum", F.col("cum").cast("long"))
     qs = stats.select(
         F.explode(F.array(*[F.lit(q) for q in _QSK_QS])).alias("q"), "lo", "hi", "n"
     ).select("q", "lo", "hi", "n", F.ceil(F.col("q") * F.col("n")).cast("long").alias("target"))

@@ -127,6 +127,9 @@ def all_specs() -> dict[str, QuerySpec]:
         # per-batch sink bodies extracted to module level (_hll_apply /
         # _cms_apply) so the replay fuzz drives the exact gate code
         "stream_hll_users", "stream_cms_tokens",
+        # cumulative sweeps moved off the plan-gate allow-list onto
+        # ranks.global_cumsum (same results, distributed execution shape)
+        "orders_backlog_sweepline", "quantile_sketch_price",
     }
     covered -= changed_now
     # Front order (VERDICT r7 #2): never-audited / changed-this-round specs

@@ -80,18 +80,14 @@ def test_suite_wide_plan_hygiene(spark):
     # under the gate — its Python node is the subject, Arrow-batched, over a
     # bounded doc subset. Everything else stays Python-free.
     allowed_python = {"udtf_shingle_stats"}
-    # Unpartitioned ordered windows allowed ONLY where the input is bounded
-    # by construction: orders_backlog_sweepline / quantile_sketch_price run a
-    # cumulative sweep over post-aggregate rows keyed by day / bin — domain-
-    # bounded input. The former third group (histogram_equidepth,
-    # gini_revenue, revenue_concentration) was rewritten in r6 onto
-    # operators/ranks.py's distributed two-pass exact rank and no longer
-    # needs an exemption. New specs must use suite.fused_topk,
-    # ranks.global_row_number/global_cumsum, or join this list consciously.
-    allowed_global_window = {
-        "orders_backlog_sweepline",
-        "quantile_sketch_price",
-    }
+    # r8: the allow-list is EMPTY — the last two exemptions
+    # (orders_backlog_sweepline, quantile_sketch_price: domain-bounded
+    # day/bin-keyed sweeps, safe but exempt) moved onto
+    # operators/ranks.py's distributed global_cumsum, so the
+    # no-global-sort-window rule now holds unconditionally. New specs must
+    # use suite.fused_topk or ranks.global_row_number/global_cumsum; adding
+    # a name here requires a written bounded-input argument.
+    allowed_global_window: set[str] = set()
     specs = all_specs()
     offenders = []
     for name, spec in specs.items():
