@@ -131,8 +131,13 @@ def test_foreign_cpu_quiet_for_own_children():
     import subprocess
     import sys
 
-    # the same burn as OUR OWN children — the attribution must NOT flag it
-    # (the bench's 28-worker flood can never trip its own wire)
+    # Self-calibrating: whatever foreign load the host happens to carry
+    # (another sweep, a daemon) shows up in the baseline window too — the
+    # assertion is that OUR OWN 12-core burn adds ~nothing to the foreign
+    # number (the bench's worker flood can never trip its own wire). A
+    # fixed absolute threshold flaked when a concurrent sf1 sweep ran
+    # beside the suite: 23.9% foreign, all of it real and none of it ours.
+    fo_base = _measure_window(2.0)
     procs = [
         subprocess.Popen(
             [
@@ -148,4 +153,9 @@ def test_foreign_cpu_quiet_for_own_children():
     finally:
         for p in procs:
             p.wait()
-    assert fo is not None and fo < 15.0, f"own children misattributed: {fo}"
+    assert fo is not None and fo_base is not None
+    # 12 burners = 37.5% of capacity; attributing even a third of that to
+    # "foreign" would be a real bug. 10 points absorbs sampling jitter.
+    assert fo < fo_base + 10.0, (
+        f"own children misattributed: baseline {fo_base} -> {fo} with burn"
+    )
