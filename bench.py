@@ -522,6 +522,19 @@ def main() -> None:
             f"{why} — re-running phase",
             file=sys.stderr,
         )
+        # wait out the storm before burning a retry: the r8 official run
+        # re-ran straight back into a 5% steal window three times
+        # (74 s → 52 s → 40 s → 59 s, all dirty); a settle-gated retry
+        # lands in the first quiet window instead
+        retry_deadline = time.time() + float(
+            os.environ.get("SPARK_GRAFT_LOAD_SETTLE_S", "120")
+        )
+        while time.time() < retry_deadline:
+            s = _steal_sample()
+            if s is None or s <= steal_budget / 2:
+                break
+            print(f"RETRY SETTLE: live steal {s}% — waiting", file=sys.stderr)
+            time.sleep(7)
         total, steal_pct, foreign_pct = run_suite_once()
         phases.append(
             {
@@ -665,6 +678,19 @@ def main() -> None:
                     f"{dwhy} — re-running phase",
                     file=sys.stderr,
                 )
+                # settle-gated retry (see the spark_suite loop)
+                retry_deadline = time.time() + float(
+                    os.environ.get("SPARK_GRAFT_LOAD_SETTLE_S", "120")
+                )
+                while time.time() < retry_deadline:
+                    s = _steal_sample()
+                    if s is None or s <= steal_budget / 2:
+                        break
+                    print(
+                        f"RETRY SETTLE: live steal {s}% — waiting",
+                        file=sys.stderr,
+                    )
+                    time.sleep(7)
             (out_dir / "duckdb_conc_latest.json").write_text(
                 json.dumps(duck, indent=2) + "\n"
             )
