@@ -1960,3 +1960,83 @@ register(
         "interpolated Kneser-Ney bigram LM heldout scoring: absolute discount + continuation probability from exact counts, position-ordered fold",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (round 11): split every document's token sequence
+# into fixed-size overlapping windows — the chunker every pretraining /
+# RAG-ingest pipeline runs between cleaning and packing. Window W=64
+# tokens, stride S=48 (overlap 16); chunk i covers tokens
+# [i*S+1, i*S+W] (1-based, tail clamped), and n_chunks =
+# 1 + ceil(max(n-W, 0)/S) so the final window always reaches the last
+# token without emitting an empty tail. Each chunk carries a
+# deterministic md5-derived fingerprint of its joined tokens — the handle
+# downstream chunk-level dedup / provenance joins key on.
+#
+# Scale shape: MAP-ONLY. One projection computes the chunk index array
+# with integer arithmetic, one explode emits ~n/S rows per doc, the
+# slice+hash are per-row expressions — no shuffle, no window, no UDF.
+# At 100 TB this parallelizes embarrassingly across whatever partitioning
+# the corpus already has (and the explode factor is bounded by W/S ≈ 1.33×
+# token volume).
+#
+# Determinism: both engines slice the same regexp token array; DuckDB's
+# inclusive list_slice(t, a, a+W-1) equals Spark's slice(t, a, W); the
+# fingerprint hashes the '|'-joined slice with the repo-standard
+# md5-derived 60-bit integer (functions/hashing.py — bit-identical
+# cross-engine).
+# ---------------------------------------------------------------------------
+_CHUNK_W = 64
+_CHUNK_S = 48
+
+
+def chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from templatedb_spark.operators.dedup import tokenized
+
+    t = tokenized(spark, sf_dir).filter(F.size("t") > 0)
+    n_chunks = F.expr(
+        f"1 + (greatest(size(t) - {_CHUNK_W}, 0) + {_CHUNK_S} - 1) div {_CHUNK_S}"
+    )
+    c = t.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    toks = F.expr(f"slice(t, chunk_idx * {_CHUNK_S} + 1, {_CHUNK_W})")
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * _CHUNK_S + 1).cast("long").alias("start_pos"),
+        F.size(toks).cast("long").alias("n_toks"),
+        md5_long(F.concat_ws("|", toks)).alias("chunk_fp"),
+    )
+
+
+_CHUNK_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+nz AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0),
+c AS (
+  SELECT doc_id, t,
+         unnest(range(0, 1 + (greatest(n - {_CHUNK_W}, 0) + {_CHUNK_S} - 1) // {_CHUNK_S})) AS chunk_idx
+  FROM nz
+),
+s AS (
+  SELECT doc_id, chunk_idx,
+         list_slice(t, chunk_idx * {_CHUNK_S} + 1, chunk_idx * {_CHUNK_S} + {_CHUNK_W}) AS toks
+  FROM c
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       (chunk_idx * {_CHUNK_S} + 1)::BIGINT AS start_pos,
+       len(toks)::BIGINT AS n_toks,
+       {md5_long_sql("array_to_string(toks, '|')")} AS chunk_fp
+FROM s
+"""
+
+register(
+    QuerySpec(
+        "chunk_token_windows",
+        chunk_token_windows,
+        _CHUNK_ORACLE,
+        "context-window chunking: fixed-size overlapping token windows (W=64, S=48) with per-chunk md5 fingerprints — map-only, no shuffle",
+    )
+)

@@ -1106,3 +1106,74 @@ register(
         "exact two-sample Kolmogorov-Smirnov drift: integer-lattice argmax over distributed shared-exchange cumsums (ranks.global_cumsum_multi)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity risk profile (round 11): the standard privacy gate a
+# training-data pipeline runs before releasing or joining a dataset — how
+# re-identifiable are individuals under a quasi-identifier (QI) tuple?
+# QI here: (nation, market segment, account-balance band of 1000). Every
+# row in an equivalence class of size k is "k-anonymous"; singletons are
+# directly re-identifiable, and the k<5 / k<10 masses are the usual
+# disclosure-risk headline numbers (alongside min/max class size and the
+# class count).
+#
+# Scale shape: one shuffle on the QI tuple (map-side partial counts), then
+# a single-row rollup over |classes| — the cheapest possible profile, and
+# the same plan at 100 TB. The balance band floors a DOUBLE division by an
+# exact power-of-ten band width; c_acctbal is DECIMAL(12,2) so the cast is
+# exact and band boundaries land on exactly-representable doubles in both
+# engines.
+# ---------------------------------------------------------------------------
+_KANON_BAND = 1000
+
+
+def k_anonymity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / _KANON_BAND).cast("long").alias("bal_band"),
+    )
+    classes = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("k").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).cast("long").alias("n_singletons"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).cast("long").alias("rows_k_lt_5"),
+        F.sum(F.when(F.col("k") < 10, F.col("k")).otherwise(0)).cast("long").alias("rows_k_lt_10"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
+
+
+_KANON_ORACLE = f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal::DOUBLE / {_KANON_BAND}) AS BIGINT) AS bal_band
+  FROM customer
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*)::BIGINT AS k
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT COUNT(*)::BIGINT AS n_classes,
+       SUM(k)::BIGINT AS n_rows,
+       SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
+       SUM(CASE WHEN k < 5 THEN k ELSE 0 END)::BIGINT AS rows_k_lt_5,
+       SUM(CASE WHEN k < 10 THEN k ELSE 0 END)::BIGINT AS rows_k_lt_10,
+       MIN(k)::BIGINT AS min_k,
+       MAX(k)::BIGINT AS max_k
+FROM classes
+"""
+
+register(
+    QuerySpec(
+        "k_anonymity_risk",
+        k_anonymity_risk,
+        _KANON_ORACLE,
+        "k-anonymity disclosure-risk profile over a quasi-identifier tuple: class-size distribution, singleton and k<5/k<10 masses",
+    )
+)
