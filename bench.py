@@ -158,6 +158,9 @@ def main() -> None:
     )
     java_tmp_opt = ""
     if scratch:
+        # a crashed prior run leaves its scratch behind — on tmpfs that is
+        # resident RAM, so reclaim it before creating this run's dir
+        _shutil.rmtree(scratch, ignore_errors=True)
         Path(scratch).mkdir(parents=True, exist_ok=True)
         os.environ["TMPDIR"] = scratch
         _tempfile.tempdir = scratch
