@@ -433,7 +433,15 @@ def main() -> None:
             except Exception:
                 pass  # warmup never fails the bench
 
+        warm_t0 = time.time()
         two_tier_run(warm_one)
+        # stamped into the artifact (phases, below): the cold-start cost
+        # (JIT, Arrow worker spin-up, page cache, one full trigger cycle per
+        # chain) is paid HERE, outside the timed window — evidence that the
+        # timed phase measures warm steady-state on the driver's cold run too
+        warm_sec = round(time.time() - warm_t0, 3)
+    else:
+        warm_sec = None
 
 
     def run_one(item) -> None:
@@ -469,6 +477,16 @@ def main() -> None:
     # threads and daemons.
     foreign_budget = float(os.environ.get("SPARK_GRAFT_FOREIGN_BUDGET", "5.0"))
     phases: list[dict] = []
+    if warm_sec is not None:
+        phases.append(
+            {
+                "phase": "warmup",
+                "attempt": 1,
+                "total_sec": warm_sec,
+                "steal_pct": None,
+                "foreign_cpu_pct": None,
+            }
+        )
 
     def run_suite_once() -> tuple[float, float | None, float | None]:
         times.clear()
@@ -716,6 +734,7 @@ def main() -> None:
         and p["steal_pct"] <= steal_budget
         and (p.get("foreign_cpu_pct") is None or p["foreign_cpu_pct"] <= foreign_budget)
         for p in last.values()
+        if p["phase"] != "warmup"  # untimed; stamped for evidence only
     ) and (load1_before is not None and load1_before <= load_budget)
     result["phases"] = phases
     (out_dir / "latest.json").write_text(json.dumps(result, indent=2) + "\n")
