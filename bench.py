@@ -42,7 +42,11 @@ def _cpu_counters() -> tuple[int, int, int] | None:
         # denominator: user..steal only — guest/guest_nice are already
         # folded into user/nice by the kernel (double-count otherwise)
         total = sum(vals[:8])
-        busy = total - vals[3] - (vals[4] if len(vals) > 4 else 0)
+        # busy excludes steal too: steal ticks are hypervisor time no
+        # process tree ever accrues, so counting them here would let
+        # sub-budget steal leak into foreign% — the two tripwires must
+        # measure disjoint causes (ADVICE r8)
+        busy = total - vals[3] - (vals[4] if len(vals) > 4 else 0) - steal
         return steal, total, busy
     except Exception:
         return None
@@ -152,16 +156,29 @@ def main() -> None:
     import shutil as _shutil
     import tempfile as _tempfile
 
-    scratch = os.environ.get(
+    scratch_root = os.environ.get(
         "SPARK_GRAFT_SCRATCH",
         "/dev/shm/spark-graft-bench" if Path("/dev/shm").is_dir() else "",
     )
     java_tmp_opt = ""
-    if scratch:
-        # a crashed prior run leaves its scratch behind — on tmpfs that is
-        # resident RAM, so reclaim it before creating this run's dir
-        _shutil.rmtree(scratch, ignore_errors=True)
-        Path(scratch).mkdir(parents=True, exist_ok=True)
+    scratch = ""
+    if scratch_root:
+        # Per-run dir under the shared root (ADVICE r8: a blanket rmtree of
+        # a fixed path would delete a concurrently-running bench's live
+        # spark.local.dir). Each run writes a pid file; stale siblings —
+        # crashed runs whose pid is gone — are reclaimed by liveness, never
+        # a live one. On tmpfs stale dirs are resident RAM, so reclaim
+        # matters.
+        root = Path(scratch_root)
+        root.mkdir(parents=True, exist_ok=True)
+        for sib in root.glob("run-*"):
+            try:
+                pid = int((sib / "owner.pid").read_text())
+                os.kill(pid, 0)  # raises if the owner is gone
+            except (OSError, ValueError):
+                _shutil.rmtree(sib, ignore_errors=True)
+        scratch = _tempfile.mkdtemp(prefix="run-", dir=str(root))
+        (Path(scratch) / "owner.pid").write_text(str(os.getpid()))
         os.environ["TMPDIR"] = scratch
         _tempfile.tempdir = scratch
         java_tmp_opt = f"-Djava.io.tmpdir={scratch}"
@@ -297,7 +314,10 @@ def main() -> None:
         "stream_neardup_reps",  # bounded-state rep-election chain (r7)
         "stream_cdc_kv_state",  # 2 sequential streaming triggers (3->2 r8)
         "stream_dedup_ingest",  # 2-trigger watermarked exact-dedup chain (3->2 r8)
-        "stream_window_late",  # 2-trigger watermarked window-agg chain (3->2 r8)
+        "stream_window_late",  # 3-trigger watermarked window-agg chain — KEPT at 3:
+        # watermark stats lag 2 batches, the provably-dropped straggler
+        # needs batch index 2 (gate.py n_batches=3; 2-batch attempt failed
+        # the oracle in r8 and was reverted)
         "stream_neardup_pairs",  # 2-trigger stateful minhash chain (r6)
         "stream_static_enrich",  # 2-trigger stream-static broadcast join chain (3->2 r8)
         "kv_range_layout_scan",  # serial 3-write range-layout KV chain (r8) —

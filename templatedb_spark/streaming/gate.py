@@ -741,7 +741,7 @@ register(
         "stream_dedup_ingest",
         stream_dedup_ingest_gate,
         _INGEST_DEDUP_ORACLE,
-        "bounded-state streaming exact dedup on ingest (native dropDuplicatesWithinWatermark, 2 micro-batches, every dup pair straddles the batch boundary) vs batch min-doc_id election oracle",
+        "bounded-state streaming exact dedup on ingest (native dropDuplicatesWithinWatermark, 2 micro-batches, every fingerprint has at least one cross-boundary dup pair; triple-copy fingerprints place copies 2 and 3 within one batch) vs batch min-doc_id election oracle",
     )
 )
 

@@ -105,25 +105,44 @@ def _measure_window(seconds: float):
 
 
 def test_foreign_cpu_tripwire_fires_on_detached_load():
+    import os
     import subprocess
 
     import bench
 
+    # ADVICE r8: this test injects real detached CPU load — the exact
+    # contamination the repo polices — so it must not run beside a timing
+    # window, and on an already-loaded host the burners may not get
+    # scheduled enough to clear the threshold. Skip when the baseline
+    # window is already noisy; allow a hard opt-out for hosts running
+    # concurrent benches.
+    import pytest
+
+    if os.environ.get("SPARK_GRAFT_SKIP_CHAOS"):
+        pytest.skip("SPARK_GRAFT_SKIP_CHAOS set — host shared with a timing run")
+    fo_base = _measure_window(1.0)
+    if fo_base is None or fo_base > 10.0:
+        pytest.skip(f"host already carries {fo_base}% foreign load — burn would flake")
+
     # double-fork via a short-lived bash: the nohup'd burners reparent to
     # init the moment bash exits, so they are OUTSIDE this test's tree —
-    # exactly the shape of a concurrent sweep contaminating a bench window
+    # exactly the shape of a concurrent sweep contaminating a bench window.
+    # 6 burners / >8% threshold: enough margin over a quiet baseline while
+    # halving the injected contamination vs the original 12-burner shape.
     subprocess.run(
         [
             "bash",
             "-c",
-            "for i in $(seq 12); do nohup timeout 2.5 bash -c "
+            "for i in $(seq 6); do nohup timeout 2.5 bash -c "
             "'while :; do :; done' >/dev/null 2>&1 & done",
         ],
         check=True,
     )
     fo = _measure_window(2.0)
-    assert fo is not None and fo > 15.0, f"detached 12-core burn invisible: {fo}"
-    why = bench.contention_verdict(None, fo, 3.0, 5.0)
+    assert fo is not None and fo - fo_base > 8.0, (
+        f"detached 6-core burn invisible: base {fo_base} -> {fo}"
+    )
+    why = bench.contention_verdict(None, fo, 3.0, min(5.0, fo_base + 4.0))
     assert why is not None and "foreign" in why
 
 
