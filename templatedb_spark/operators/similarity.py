@@ -131,8 +131,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     one applyInPandas group whose kernel computes that tile of the score matrix
     with a single numpy matmul. Nothing materializes on the driver; shuffle
     volume is N·B rows and each task holds 2·N/B vectors, so at 100 TB you
-    raise B (tiles stay memory-bounded) — or pre-filter candidates with
-    dedup_minhash_lsh and run this same kernel per LSH bucket.
+    raise B (tiles stay memory-bounded) — or switch to the registered
+    production twin `dedup_embedding_lsh_cosine`, which runs this same kernel
+    only within banded-LSH buckets (Σ|bucket|² FLOPs instead of N²).
     """
     import numpy as np
     import pandas as pd
@@ -880,6 +881,137 @@ SELECT qid, vec_id, cosine, rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# Bucketed embedding near-dup (round 9, VERDICT r8 #1): the 100-TB production
+# twin of dedup_embedding_cosine. The exact spec's block-pair matmul is
+# distributed-exact but O(N²) FLOPs at any block count; this one generates
+# candidates from the SAME banded LSH table family as ann_lsh_banded_topk
+# (identical bits/seeds → the signature kernel memo is shared within a
+# session), then runs the matmul kernel only WITHIN each (table, signature)
+# bucket. Compute is Σ|bucket|² — linear in N for bounded buckets (the
+# adaptive bits ladder targets _LSH_TARGET_BUCKET rows/bucket) — and shuffle
+# is N×T rows. Approximation is recall-only (a pair missed by all T tables is
+# absent; every emitted pair carries its exact cosine): the oracle applies
+# the identical bucketing, so correctness is exact, and recall vs the exact
+# spec is gated in tests/test_similarity.py.
+# ---------------------------------------------------------------------------
+def _lsh_band_tables_for(spark: SparkSession, sf_dir: str) -> list[tuple[int, int, int]]:
+    bits = lsh_bits_for(_corpus_count(spark, sf_dir))
+    bbits = max(_LSH_MIN_BITS, bits - 2)
+    return [
+        (t, bbits, _LSH_SEED + t * _LSH_SEED_STRIDE) for t in range(_LSH_BAND_TABLES)
+    ]
+
+
+def dedup_embedding_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine near-dup pairs: banded signatures → within-bucket
+    block matmul → exact cosine ≥ threshold, distinct across tables.
+
+    Scale shape: map-only signature kernel (no corpus shuffle), one hash
+    shuffle on (t, sig), per-bucket tiles row-chunked so a tile's score
+    matrix stays ≤ ~2k×|bucket| doubles, pair dedup as a hash aggregate.
+    No all-pairs stage anywhere — this is the registered production path the
+    exact spec's docstring promises ("pre-filter with LSH and run the same
+    kernel per bucket")."""
+    import numpy as np
+    import pandas as pd
+
+    tables = _lsh_band_tables_for(spark, sf_dir)
+    if _use_ann_kernel(sf_dir):
+        sigs = _lsh_sig_kernel(spark, sf_dir, tables)
+    else:
+        # tiny-corpus expression fallback: same construction as the banded
+        # ANN expression path (equivalence-tested there)
+        base = _lsh_base(spark, sf_dir).withColumn(
+            "bbits", _lsh_band_bits(F.col("bits"))
+        )
+        cols = [
+            _lsh_sig_col(F.col("v"), F.col("bbits"), seed=seed) for _, _, seed in tables
+        ]
+        tagged = F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), cols[t].alias("sig"))
+                    for t, _, _ in tables
+                ]
+            )
+        )
+        sigs = base.select("vec_id", "v", "norm", tagged.alias("ts")).select(
+            "vec_id", "v", "norm", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
+        )
+
+    def bucket_tile(key, pdf):
+        del key
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        vmat = np.stack(pdf["v"].to_numpy()).astype("float64")
+        norm = pdf["norm"].to_numpy(dtype="float64")
+        frames = []
+        step = 2048  # row-chunk the tile: memory ≤ step×|bucket| doubles even
+        # on a skewed signature (e.g. the all-positive-projections bucket)
+        for s in range(0, len(ids), step):
+            sims = np.round(
+                _seq_matmul(vmat[s : s + step], vmat)
+                / (norm[s : s + step, None] * norm[None, :]),
+                6,
+            )
+            mask = (sims >= _COSINE_DUP_THRESHOLD) & (
+                ids[s : s + step, None] < ids[None, :]
+            )
+            ai, bi = np.nonzero(mask)
+            if len(ai):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[s : s + step][ai],
+                            "vec_b": ids[bi],
+                            "cosine": sims[ai, bi],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        return pd.concat(frames)
+
+    # a pair sharing k > 1 table buckets is emitted k times with the same
+    # rounded cosine (functionally determined by the pair) — distinct folds it
+    return (
+        sigs.groupBy("t", "sig")
+        .applyInPandas(bucket_tile, schema="vec_a long, vec_b long, cosine double")
+        .distinct()
+    )
+
+
+def _lsh_cosine_dup_oracle() -> str:
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {_lsh_sig_sql('v', _LSH_BAND_BITS_SQL, seed=_LSH_SEED + t * _LSH_SEED_STRIDE)} AS sig, {t} AS t "
+        f"FROM normd CROSS JOIN bb"
+        for t in range(_LSH_BAND_TABLES)
+    )
+    return f"""
+WITH cnt AS (SELECT COUNT(*)::BIGINT AS n FROM embeddings),
+bb AS (SELECT n, {_lsh_bits_sql('n')} AS bits FROM cnt),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+normd AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+sigd AS ({per_table}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigd a JOIN sigd b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       ROUND(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) AS cosine
+FROM cand c
+JOIN normd x ON x.vec_id = c.vec_a
+JOIN normd y ON y.vec_id = c.vec_b
+WHERE ROUND(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) >= {_COSINE_DUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDedup-style): cluster the embedding space (reusing the
 # deterministic IVF assignment), elect one representative per cluster (min
 # vec_id), and drop members whose cosine to their representative exceeds a
@@ -1555,6 +1687,7 @@ for spec in [
     QuerySpec("ann_cosine_topk", ann_cosine_topk, _ANN_TOPK_ORACLE, "brute-force cosine top-k"),
     QuerySpec("ann_matryoshka_topk", ann_matryoshka_topk, _ANN_MRL_ORACLE, "Matryoshka two-stage retrieval: 16-dim prefix funnel + full-dim rerank"),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, _COSINE_DUP_ORACLE, "embedding cosine near-dup pairs"),
+    QuerySpec("dedup_embedding_lsh_cosine", dedup_embedding_lsh_cosine, _lsh_cosine_dup_oracle(), "LSH-bucketed embedding near-dup pairs (100-TB production twin: banded buckets -> within-bucket matmul, no all-pairs stage)"),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, _ANN_IVF_ORACLE, "IVF-bucketed ANN top-k (scale path)"),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, _ann_lsh_oracle(), "multi-probe random-hyperplane LSH ANN top-k (adaptive bits)"),
     QuerySpec("ann_lsh_banded_topk", ann_lsh_banded_topk, _ann_lsh_banded_oracle(), "banded multi-table LSH ANN top-k"),
