@@ -610,8 +610,16 @@ def main() -> None:
             for n, t in times.items()
             if t > 0 and n in prev_solo and t > 2.5 * prev_solo[n] and n not in slowest
         )
+        # permanently-audited set (r9, VERDICT r8 #5): the serial KV chains
+        # are the #1 critical-path items and must carry contended-vs-solo
+        # evidence in EVERY artifact, not just when they land in the top 10
+        pinned = [
+            n
+            for n in ("kv_compact_range_state", "kv_range_layout_scan")
+            if n in times and n not in slowest and n not in solo_trigger
+        ]
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
-        for name in slowest + solo_trigger:
+        for name in slowest + solo_trigger + pinned:
             t0 = time.time()
             try:
                 specs[name].spark(spark, sf_dir).write.format("noop").mode(
