@@ -107,29 +107,23 @@ def all_specs() -> dict[str, QuerySpec]:
     # fully recorded in CORRECTNESS_r06/r07.json: retired. Keeping a retired
     # subtraction burns audit slots re-checking rows the changing round
     # already vouched for.)
-    # Driver-round-8 churn: specs whose semantics, output schema, or oracle
-    # changed THIS session — prior rows no longer vouch, so they re-enter
-    # the front of the capped audit window as if never covered.
+    # (Driver-round-8 churn — woe_iv_segment, the ANN-oracle funnels, the
+    # 3->2 trigger cuts, the _hll/_cms extraction, the cumsum rewrites — is
+    # fully recorded in CORRECTNESS_r08.json: retired.)
+    # Driver-round-9 churn: specs whose semantics, output schema, oracle, or
+    # write-path implementation changed THIS session — prior rows no longer
+    # vouch, so they re-enter the front of the capped audit window as if
+    # never covered. (dedup_embedding_lsh_cosine is brand-new and fronts as
+    # never-audited automatically.)
     changed_now = {
-        # zero-good/zero-bad segment guard applied to BOTH the Spark plan
-        # and the oracle (ADVICE r7 #2) — same result on TPC-H data, new
-        # plan + oracle text
-        "woe_iv_segment",
-        # oracle rewritten funnel-style (hash-agg argmax over MATERIALIZED
-        # id-only csims instead of a corpus x centroid window sort) so the
-        # DuckDB side scales to sf3/sf10 differential probes (VERDICT r7 #3)
-        "ann_recall_eval", "semantic_dedup", "ann_ivf_topk",
-        # trigger chains cut 3 -> 2 (the cross-batch semantic minimum,
-        # r10-precedent lever; sessionize keeps its explicit 3-batch
-        # carry-then-close chain, window_late keeps 3 for the 2-batch
-        # watermark-stats lag) — same oracles, shorter serial chains
-        "stream_cdc_kv_state", "stream_dedup_ingest", "stream_static_enrich",
-        # per-batch sink bodies extracted to module level (_hll_apply /
-        # _cms_apply) so the replay fuzz drives the exact gate code
-        "stream_hll_users", "stream_cms_tokens",
-        # cumulative sweeps moved off the plan-gate allow-list onto
-        # ranks.global_cumsum (same results, distributed execution shape)
-        "orders_backlog_sweepline", "quantile_sketch_price",
+        # retargeted to document titles with SymSpell symmetric-delete
+        # blocking (complete recall, no all-pairs) — new output schema
+        # (doc_a/doc_b), new oracle (VERDICT r8 #4)
+        "dedup_levenshtein",
+        # the three disjoint-key versions now route one cached whole-feed
+        # compaction instead of re-compacting the feed per version — same
+        # oracles, restructured write path (VERDICT r8 #5 latency cut)
+        "kv_compact_range_state", "kv_range_layout_scan",
     }
     covered -= changed_now
     # Front order (VERDICT r7 #2): never-audited / changed-this-round specs
