@@ -222,6 +222,18 @@ WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= {_COSINE_DUP_T
 _IVF_CENTROID_STEP = 50
 _IVF_NPROBE = 3
 _IVF_MAX_CELLS = 512
+# nprobe ladder (r10, VERDICT r9 #2): a FIXED nprobe=3 while nlist scales to
+# 512 is a measured recall cliff — recall@5 fell 1.0 → 0.1 from sf0.01 → sf3
+# (SCALE.md). Above the driver-audited tiers, probe a fixed CELL FRACTION
+# (nlist / _IVF_PROBE_FRAC_DEN): the sf3 numpy ladder measured recall@5
+# 0.16 @ 0.6% cells, 0.60 @ 12.6%, 0.86 @ 25.1%, 0.96 @ 50% — 1/4 of cells
+# clears the ≥0.7 acceptance gate with margin on these near-uniform synthetic
+# embeddings (real clustered corpora would tune the fraction DOWN via
+# ann_recall_eval; uniform vectors are IVF's worst case). The guard keeps
+# every driver tier (sf0.001/0.01/0.1, n ≤ 2048) bit-identical to the
+# historical nprobe=3 plans, same pattern as ivf_step_for's stride floor.
+_IVF_PROBE_FRAC_DEN = 4
+_IVF_NPROBE_SMALL_N = 2048
 
 
 def ivf_step_for(n: int) -> int:
@@ -231,12 +243,31 @@ def ivf_step_for(n: int) -> int:
     return max(_IVF_CENTROID_STEP, -(-n // _IVF_MAX_CELLS))
 
 
+def ivf_nprobe_for(n: int) -> int:
+    """Recall-targeted probe count (Python mirror of _IVF_NPROBE_SQL):
+    nprobe=3 at driver tiers, else ceil(nlist / 4) — a fixed cell fraction,
+    so recall holds as nlist saturates at _IVF_MAX_CELLS (sf3 measured
+    recall@5 = 0.86 at this setting vs 0.16 at the old fixed 3)."""
+    if n <= _IVF_NPROBE_SMALL_N:
+        return _IVF_NPROBE
+    nlist = -(-n // ivf_step_for(n))
+    return max(_IVF_NPROBE, -(-nlist // _IVF_PROBE_FRAC_DEN))
+
+
 # scalar subquery twin of ivf_step_for — both oracles embed it so DuckDB
 # elects the IDENTICAL centroid set at every corpus size
 _IVF_STEP_SQL = (
     f"SELECT GREATEST({_IVF_CENTROID_STEP},"
     f" CAST(CEIL(COUNT(*) / {_IVF_MAX_CELLS}.0) AS BIGINT)) FROM embeddings"
 )
+
+# scalar subquery twin of ivf_nprobe_for — all intermediate values are exact
+# in double (n ≤ 2^53), so the SQL arithmetic is bit-identical to the
+# integer ceil-divs in the Python mirror
+_IVF_NPROBE_SQL = f"""SELECT CASE WHEN COUNT(*) <= {_IVF_NPROBE_SMALL_N} THEN {_IVF_NPROBE}
+  ELSE GREATEST({_IVF_NPROBE}, CAST(CEIL(
+    CEIL(COUNT(*) / GREATEST({_IVF_CENTROID_STEP}.0, CEIL(COUNT(*) / {_IVF_MAX_CELLS}.0)))
+    / {_IVF_PROBE_FRAC_DEN}.0) AS BIGINT)) END FROM embeddings"""
 
 # Per-(applicationId, sf_dir) broadcast of the centroid matrix. Centroids are
 # tiny (N / _IVF_CENTROID_STEP rows) and immutable for a given sf_dir, so one
@@ -406,7 +437,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cid").asc())
     probes = (
         probe_scored.withColumn("prank", F.row_number().over(wp))
-        .filter(F.col("prank") <= _IVF_NPROBE)
+        .filter(F.col("prank") <= ivf_nprobe_for(_corpus_count(spark, sf_dir)))
         .select("qid", "qv", "qnorm", "cid")
     )
     # candidates: corpus vectors in probed buckets only
@@ -459,7 +490,7 @@ probes AS (
              ORDER BY ROUND(list_dot_product(q.qv, cent.cv) / (q.qnorm * cent.cnorm), 6) DESC,
                       cent.cid ASC) AS prank
     FROM q CROSS JOIN cent
-  ) WHERE prank <= {_IVF_NPROBE}
+  ) WHERE prank <= ({_IVF_NPROBE_SQL})
 ),
 scored AS (
   SELECT p.qid, a.vec_id,
