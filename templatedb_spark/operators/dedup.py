@@ -863,7 +863,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
 # levenshtein ≤ 2 ALWAYS share a neighborhood entry (deletes on both sides
 # cover substitutions, insertions, deletions, and their mixes), so the
 # blocked result EQUALS the unblocked all-pairs truth — zero recall loss,
-# verified empirically in tests/test_dedup.py. Candidates are pairs sharing
+# verified empirically in tests/test_curation.py. Candidates are pairs sharing
 # a key, which for natural strings tracks the TRUE pair count, not N²
 # (measured: N=500 → 28 candidates/27 pairs; N=5000 → 337/306 — candidate
 # growth is ~linear in N while all-pairs would be 100×).

@@ -110,20 +110,18 @@ def all_specs() -> dict[str, QuerySpec]:
     # (Driver-round-8 churn — woe_iv_segment, the ANN-oracle funnels, the
     # 3->2 trigger cuts, the _hll/_cms extraction, the cumsum rewrites — is
     # fully recorded in CORRECTNESS_r08.json: retired.)
-    # Driver-round-9 churn: specs whose semantics, output schema, oracle, or
+    # (Driver-round-9 churn — dedup_levenshtein's SymSpell retarget and the
+    # KV chains' shared-compaction restructure — is fully recorded in
+    # CORRECTNESS_r09.json: retired.)
+    # Driver-round-10 churn: specs whose semantics, output schema, oracle, or
     # write-path implementation changed THIS session — prior rows no longer
     # vouch, so they re-enter the front of the capped audit window as if
-    # never covered. (dedup_embedding_lsh_cosine is brand-new and fronts as
-    # never-audited automatically.)
+    # never covered.
     changed_now = {
-        # retargeted to document titles with SymSpell symmetric-delete
-        # blocking (complete recall, no all-pairs) — new output schema
-        # (doc_a/doc_b), new oracle (VERDICT r8 #4)
-        "dedup_levenshtein",
-        # the three disjoint-key versions now route one cached whole-feed
-        # compaction instead of re-compacting the feed per version — same
-        # oracles, restructured write path (VERDICT r8 #5 latency cut)
-        "kv_compact_range_state", "kv_range_layout_scan",
+        # adaptive nprobe ladder (VERDICT r9 #2): driver-tier results are
+        # bit-identical by the small-N guard, but the oracle SQL now embeds
+        # the _IVF_NPROBE_SQL scalar twin — re-audit the new oracle text
+        "ann_ivf_topk", "ann_recall_eval",
     }
     covered -= changed_now
     # Front order (VERDICT r7 #2): never-audited / changed-this-round specs
