@@ -911,24 +911,46 @@ concat(
 def _lev_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b) pairs sharing a ≤2-deletion neighborhood key — the
     blocking stage alone, exposed so tests can gate candidate-count scaling
-    and blocking precision independently of the verdict."""
+    and blocking precision independently of the verdict.
+
+    One-shuffle shape (r10 — the first cut ran 560 s engine-only at sf3
+    because the 43M-row key relation paid a global distinct() AND was
+    recomputed for each of (hot, kk.a, kk.b)): within-doc duplicate
+    variants (equal-char runs) are removed MAP-SIDE by array_distinct
+    before the explode, so the only wide operation left is a single
+    groupBy(h) that collects each key's doc list; pairs explode from those
+    lists directly. Collide sets are tiny by construction (titles are the
+    first 4 tokens, L ≤ ~40 → keys/doc bounded; measured max |docs|/key =
+    15 at sf3), so the per-key pair explode is O(c²) of a small c — a
+    degenerate corpus with a mega-hot key (e.g. millions of empty titles)
+    would need a cap-and-fallback on collect_set size at 100 TB, which
+    this titles shape cannot produce (normalization bounds L, and c is
+    bounded by the count of near-identical titles the verdict would pair
+    anyway)."""
     d = _lev_titles(spark, sf_dir)
-    keys = (
-        d.select("doc_id", F.explode(F.expr(_LEV_VARIANTS_EXPR)).alias("k"))
-        .select("doc_id", F.xxhash64("k").alias("h"))
-        .distinct()  # equal-char runs emit one variant per deleted position
+    keys = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_LEV_VARIANTS_EXPR))).alias("k"),
+    ).select("doc_id", F.xxhash64("k").alias("h"))
+    # ONE shuffle: key -> sorted distinct doc list; singleton keys drop here
+    # (the old hot-key funnel's c>1 filter, now free on the same pass)
+    grouped = (
+        keys.groupBy("h")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
-    hot = keys.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1).select("h")
-    kk = keys.join(hot, "h")
-    return (
-        kk.alias("a")
-        .join(
-            kk.alias("b"),
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # (a, b) with a < b from each key's doc list — pure JVM expression
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(ds, (a, i) ->
+                     filter(transform(ds, (b, j) ->
+                              CASE WHEN j > i THEN struct(a AS doc_a, b AS doc_b) END),
+                            x -> x IS NOT NULL)))"""
+            )
+        ).alias("p")
     )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
