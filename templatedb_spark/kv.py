@@ -51,6 +51,47 @@ _KV_BUCKETS = 16
 _LAYOUTS = ("hash", "range")
 
 
+def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Driver-local rows → DataFrame through the Arrow path.
+
+    `createDataFrame(list)` parallelizes PICKLED python rows: every
+    downstream evaluation spins Python workers to unpickle them (measured
+    r10: ~400 ms per tiny KV batch on local[32] vs ~60 ms via Arrow — the
+    dominant per-trigger cost of the streaming KV chains). Routing the same
+    rows through pandas + Arrow creates a JVM-side relation: no Python
+    workers at eval, guide §4's "eliminate the JVM↔Python boundary" applied
+    to the control-plane writes. Falls back to the classic path when Arrow
+    conversion cannot represent the values (e.g. lone-surrogate keys from
+    the crash fuzz) — same semantics, old speed.
+    """
+    import pandas as pd
+
+    if not rows:
+        return empty_df(spark, schema)
+    names = [f.split()[0] for f in schema.split(",")]
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=names, dtype=object), schema
+        )
+    except Exception:
+        df = spark.createDataFrame(rows, schema)
+    # driver-local rows are by definition driver-sized: one task beats the
+    # default defaultParallelism × 1-row slices (32 scheduled tasks each)
+    return df.coalesce(1)
+
+
+def empty_df(spark: SparkSession, schema: str) -> DataFrame:
+    """0-row DataFrame as a JVM LocalRelation. `createDataFrame([], schema)`
+    parallelizes an empty PICKLED rdd across defaultParallelism slices — 32
+    no-op Python-worker tasks per evaluation (measured ~6 s of scheduler
+    wait per empty-KV snapshot scan on local[32])."""
+    cols = [f.strip().split(None, 1) for f in schema.split(",")]
+    return spark.range(0).select(
+        *[F.lit(None).cast(t).alias(n) for n, t in cols]
+    )
+
+
 def _range_intersects(rng, start: str | None, end: str | None) -> bool:
     """Does the recorded inclusive key range `rng` = (kmin, kmax) intersect
     the query range [start, end)? Unknown/absent range → True (pruning may
@@ -612,6 +653,7 @@ class KVTable:
         v: int,
         known_range: tuple[str, str] | None = None,
         allow_empty: bool = False,
+        n_rows_hint: int | None = None,
     ) -> dict | None:
         """Shuffle + write one version directory in the table's layout and
         return its manifest meta ({"buckets", "kmin", "kmax"
@@ -626,15 +668,35 @@ class KVTable:
         each bucket is a key-sorted, range-disjoint run (the sorted
         SSTable); per-bucket smallest/largest are harvested from the
         parquet footers afterwards (see _bucket_key_ranges). The extra
-        range-boundary sampling job is the LSM's sort cost."""
+        range-boundary sampling job is the LSM's sort cost.
+
+        n_rows_hint (r10, guide §6 output sizing): when the caller knows the
+        batch's row count, the write width adapts — a tiny version writes
+        from 1 task into 1 (range) or per-key-hash (hash) bucket files
+        instead of paying a fixed _KV_BUCKETS-task shuffle for 32 rows
+        (measured: each 16-task micro-write stage cost ~400 ms of pure task
+        overhead in the streaming KV chains). Bucket semantics are
+        unchanged: hash bucket VALUES are always crc32(key) so point-read
+        pruning is identical; range bucket COUNT per version is already
+        per-version metadata, so fewer buckets for fewer rows just means
+        coarser (still correct) pruning on micro-versions. Unknown hint
+        (distributed batches, compactions) keeps the full-width layout."""
         import shutil
 
         root = Path(f"{self.path}/version={v}")
         self._clear_orphan(v)
+        # ~32 rows/bucket floor: a 200-row batch still fans to 7 disjoint
+        # range buckets (pruning stays real); a 30-row sketch batch writes
+        # one file from one task
+        width = (
+            _KV_BUCKETS
+            if n_rows_hint is None
+            else min(_KV_BUCKETS, max(1, (n_rows_hint + 31) // 32))
+        )
         obs: Observation | None = None
         if self.layout == "range":
             out = (
-                rows.repartitionByRange(_KV_BUCKETS, F.col("key"))
+                rows.repartitionByRange(width, F.col("key"))
                 .sortWithinPartitions("key")
                 .withColumn("bucket", F.spark_partition_id())
             )
@@ -645,7 +707,12 @@ class KVTable:
                 out = out.observe(
                     obs, F.min("key").alias("kmin"), F.max("key").alias("kmax")
                 )
-            out = out.repartition(_KV_BUCKETS, F.col("bucket"))
+            if width == 1:
+                # single-slice driver batch: one task writes every bucket
+                # file sequentially — same dirs, same crc32 bucket values
+                out = out.coalesce(1)
+            else:
+                out = out.repartition(width, F.col("bucket"))
         out.write.mode("errorifexists").partitionBy("bucket").parquet(str(root))
         buckets = sorted(
             int(b.name.split("=")[1]) for b in root.glob("bucket=*") if b.is_dir()
@@ -707,13 +774,15 @@ class KVTable:
         rows += [(k, None, "del", v) for k in dels]
         if not rows:
             return self.latest_version()
-        df = self.spark.createDataFrame(rows, _SCHEMA)
+        df = local_df(self.spark, rows, _SCHEMA)
         # the layout-specific shuffle co-locates buckets → exactly one file
         # per bucket dir; without it every input slice writes its own sliver
         # into every bucket (32 slices × 16 buckets = hundreds of tiny files
         # per version). Driver-side batch: the key range is free.
         keys = [r[0] for r in rows]
-        meta = self._write_version_df(df, v, known_range=(min(keys), max(keys)))
+        meta = self._write_version_df(
+            df, v, known_range=(min(keys), max(keys)), n_rows_hint=len(rows)
+        )
         if meta is None:
             return self.latest_version()
         self._append_manifest(self._add_record(v, meta))
@@ -721,12 +790,22 @@ class KVTable:
         return v
 
     @_locked
-    def write_batch_df(self, changes: DataFrame, tag: str | None = None) -> int:
+    def write_batch_df(
+        self,
+        changes: DataFrame,
+        tag: str | None = None,
+        n_rows_hint: int | None = None,
+    ) -> int:
         """Atomic batch from a DISTRIBUTED (key, value, op) DataFrame — the
         streaming-ingest shape: no driver materialization anywhere, the
         change set flows shuffle→write entirely on executors (the dict-based
         write_batch is O(distinct keys) on the driver, which its docstring
         admits is the one driver-side step; this is the 100 TB path).
+
+        `n_rows_hint`: callers that know the batch is driver-sized (sketch
+        merges, bounded view states) pass the row count so the version
+        write narrows instead of paying the full bucket-shuffle width (see
+        _write_version_df).
 
         Contract matches write_batch: op in ('put','del'), and at most one
         row per key per batch — the caller's responsibility (the streaming
@@ -764,7 +843,7 @@ class KVTable:
         # per-bucket ranges from the parquet footers instead. Either way
         # this is the LSM recording each file's smallest/largest key as it
         # seals the SSTable.
-        meta = self._write_version_df(out, v)
+        meta = self._write_version_df(out, v, n_rows_hint=n_rows_hint)
         if meta is None:  # empty batch: no data dirs were produced — no commit
             return self.latest_version()
         if tag is not None:
@@ -867,7 +946,7 @@ class KVTable:
         start, end = key_range if key_range else (None, None)
         deltas = self._read_deltas(self._delta_paths(as_of, start=start, end=end))
         if deltas is None:
-            return self.spark.createDataFrame([], "key string, value string")
+            return empty_df(self.spark, "key string, value string")
         w = Window.partitionBy("key").orderBy(F.col("version").desc())
         return (
             deltas.withColumn("rn", F.row_number().over(w))
@@ -1161,15 +1240,15 @@ class MergeKVTable(KVTable):
             return self.latest_version()
         v = self.latest_version() + 1
         prev = self.snapshot()
-        changed = self.spark.createDataFrame(
-            [(k,) for k in set(puts) | set(deletes)], "key string"
+        changed = local_df(
+            self.spark, [(k,) for k in set(puts) | set(deletes)], "key string"
         )
         state = prev.join(changed, "key", "left_anti")
         # delete-wins on a key in both maps — same contract as KVTable
         live = {k: val for k, val in puts.items() if k not in set(deletes)}
         if live:
             state = state.unionByName(
-                self.spark.createDataFrame(list(live.items()), "key string, value string")
+                local_df(self.spark, list(live.items()), "key string, value string")
             )
         out = state.select(
             "key",
@@ -1233,16 +1312,16 @@ class MergeKVTable(KVTable):
         if as_of is not None:
             vs = [v for v in vs if v <= as_of]
         if not vs:
-            return self.spark.createDataFrame([], "key string, value string")
+            return empty_df(self.spark, "key string, value string")
         v = vs[-1]
         if key_range and not self._intersects(state[v], *key_range):
             # every version is complete state — a range miss on the live
             # version means no in-range keys exist at all
-            return self.spark.createDataFrame([], "key string, value string")
+            return empty_df(self.spark, "key string, value string")
         start, end = key_range if key_range else (None, None)
         df = self._read_deltas(self._version_bucket_paths(v, state[v], start, end))
         if df is None:
-            return self.spark.createDataFrame([], "key string, value string")
+            return empty_df(self.spark, "key string, value string")
         return df.select("key", "value")
 
     def _point_read_df(self, key: str, as_of: int | None = None) -> DataFrame | None:

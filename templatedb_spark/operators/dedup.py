@@ -38,7 +38,7 @@ from templatedb_spark.functions.hashing import (
     md5_long_sql,
     minhash_params,
 )
-from templatedb_spark.suite import QuerySpec, register, table
+from templatedb_spark.suite import QuerySpec, fan_out, register, table
 
 # ---------------------------------------------------------------------------
 # Shared tokenization/shingling — one definition per engine, kept in lockstep.
@@ -114,7 +114,12 @@ def tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline would materialize this to a parquet/Delta table instead — same
     architecture, durable medium.
     """
-    d = table(spark, sf_dir, "documents")
+    # fan_out BEFORE the regex tokenization: the corpus ships as one row
+    # group → a 1-task scan, and the tokenize + every downstream explode
+    # inherits that single partition (guide §2.5). Repartitioning the raw
+    # rows costs one small shuffle at cache build; the cached relation then
+    # carries defaultParallelism partitions into every token operator.
+    d = fan_out(table(spark, sf_dir, "documents"))
     return d.select("doc_id", tokens_col(F.col("text")).alias("t")).cache()
 
 
@@ -881,7 +886,10 @@ _LEV_TITLE_TOKENS = 4
 
 
 def _lev_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "documents").select(
+    # fan_out: the O(L²) delete-neighborhood expansion below is the suite's
+    # heaviest per-row map (3.3 s CPU in ONE task at sf0.1 before this —
+    # the single-row-group scan serialized it; guide §2.5)
+    return fan_out(table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.lower(
             F.concat_ws(

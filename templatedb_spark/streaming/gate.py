@@ -1019,9 +1019,12 @@ def _hll_apply(spark, kv, cache: dict, qname: str, batch_df, batch_id: int) -> N
     if not bumps:
         return
     rows = [(f"{reg:02d}", str(m), "put") for reg, m in sorted(bumps.items())]
+    from templatedb_spark.kv import local_df
+
     kv.write_batch_df(
-        spark.createDataFrame(rows, "key string, value string, op string"),
+        local_df(spark, rows, "key string, value string, op string"),
         tag=f"{qname}:b{batch_id}",
+        n_rows_hint=len(rows),
     )
     cur.update(bumps)
 
@@ -1174,12 +1177,16 @@ def _cms_apply(spark, kv, cache: dict, qname: str, batch_df, batch_id: int) -> N
         f"{j}:{b:03d}": cur.get(f"{j}:{b:03d}", 0) + cnt
         for (j, b), cnt in sorted(partial.items())
     }
+    from templatedb_spark.kv import local_df
+
     kv.write_batch_df(
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(k, str(v), "put") for k, v in merged.items()],
             "key string, value string, op string",
         ),
         tag=f"{qname}:b{batch_id}",  # SUM-merge: the tag IS correctness
+        n_rows_hint=len(merged),
     )
     cur.update(merged)
 
@@ -1354,9 +1361,12 @@ def stream_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             n0, rev0 = cur.get(key, (0, Decimal("0")))
             cur[key] = (n0 + dn, rev0 + drev)
             rows.append((f"{key[0]}|{key[1]}", f"{cur[key][0]}|{cur[key][1]}", "put"))
+        from templatedb_spark.kv import local_df
+
         kv.write_batch_df(
-            spark.createDataFrame(rows, "key string, value string, op string"),
+            local_df(spark, rows, "key string, value string, op string"),
             tag=f"{qname}:b{batch_id}",  # SUM-merge: replay would double-count
+            n_rows_hint=len(rows),
         )
 
     schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema

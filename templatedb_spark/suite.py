@@ -181,6 +181,29 @@ def fused_topk(df: DataFrame, order, k: int, rank_col: str) -> DataFrame:
     )
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy per-row work.
+
+    The shipped parquet inputs are single-row-group files, so Spark's file
+    splitting yields ONE scan task no matter how small maxPartitionBytes is —
+    and every expensive per-row derivation (tokenize+shingle explode, edit-
+    distance variant expansion, vector kernels) serializes on one core
+    (measured r10: dedup_levenshtein's keygen stage = 3.3 s of CPU in 1 task
+    on local[32]). Round-robin repartition to the session's default
+    parallelism is the guide §2.5 fix ("input skew: one huge unsplittable
+    file — repartition immediately after the read"): the shuffled bytes are
+    the small base rows, paid once, and the heavy map work downstream fans
+    out. Scale-adaptive: when the source already has >= defaultParallelism
+    partitions (any real-scale table), this is a NO-OP — it never shrinks
+    and never reshuffles an already-parallel scan.
+    """
+    sc = df.sparkSession.sparkContext
+    n = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Tolerate TIMESTAMP(NANOS) variants of the file (see normalize_events_ts).

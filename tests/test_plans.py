@@ -352,17 +352,34 @@ def test_pipeline_round3_plan_shapes(spark):
     assert not uses_python_udf(specs["text_repetition_score"].spark(spark, SF_SMALL))
 
 
+def _non_fanout_exchanges(plan: str) -> int:
+    """Exchange count excluding suite.fan_out's round-robin spread of a
+    narrow base scan (r10: the single-row-group inputs make every scan one
+    task, so tokenized() repartitions the raw rows before the CPU-heavy
+    tokenize; fan_out is a no-op whenever the scan already has >= default
+    parallelism partitions — i.e. at any real scale). The map-only contract
+    these tests pin is about the EXPLODED/derived rows never shuffling; the
+    tiny base-row spread is exempt."""
+    return sum(
+        1
+        for line in plan.splitlines()
+        for i in range(line.count("Exchange"))
+        if "Exchange RoundRobinPartitioning" not in line
+    )
+
+
 def test_repetition_score_no_shuffle(spark):
     """text_repetition_score was the round-3 contended critical path as an
     explode + double hash-agg (two Exchanges over ~n_tokens rows per doc);
     the bigram histogram is row-local, so the plan must now be a pure
-    map-side projection: zero Exchange below the (cached) tokenized scan."""
+    map-side projection: zero Exchange below the (cached) tokenized scan
+    (the fan_out base-row spread exempted — see _non_fanout_exchanges)."""
     from templatedb_spark.operators.pipeline import text_repetition_score
     from templatedb_spark.plans.explain import physical_plan
     from tests.conftest import SF_SMALL
 
     plan = physical_plan(text_repetition_score(spark, SF_SMALL))
-    assert "Exchange" not in plan, plan
+    assert _non_fanout_exchanges(plan) == 0, plan
 
 
 def test_mapside_pipeline_specs_no_shuffle(spark):
@@ -376,7 +393,7 @@ def test_mapside_pipeline_specs_no_shuffle(spark):
 
     for fn in (chunk_documents, mixture_sample):
         plan = physical_plan(fn(spark, SF_SMALL))
-        assert "Exchange" not in plan, (fn.__name__, plan)
+        assert _non_fanout_exchanges(plan) == 0, (fn.__name__, plan)
 
 
 def test_pii_redaction_map_only_and_clean(spark):
