@@ -1567,20 +1567,45 @@ for spec in [
 # NOT-EXISTS definition on the collapsed points, and float-comparison-
 # identical across engines since no arithmetic is performed on the values).
 # ---------------------------------------------------------------------------
+# distributed-sweep guard: below this lineitem byte size the classic window
+# wins (measured r10 at sf0.1: window 1.55 s vs distributed sweep 2.25 s —
+# the range shuffle + offset joins cost more than sorting 65k-row groups);
+# above it, one-task-per-group becomes the straggler and the sweep takes
+# over. Same size-tier pattern as similarity._use_ann_kernel; both paths
+# are bit-identical (max is order-insensitive) and test-pinned equal.
+_PARETO_SWEEP_MIN_BYTES = 100 << 20
+
+
 def pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathlib import Path
+
     from pyspark.sql.window import Window as W
+
+    from templatedb_spark.operators.ranks import global_prefix_max
 
     li = table(spark, sf_dir, "lineitem")
     best = li.groupBy(
         F.col("l_returnflag").alias("grp"),
         F.col("l_extendedprice").alias("price"),
     ).agg(F.max("l_quantity").alias("qty"))
-    w = (
-        W.partitionBy("grp")
-        .orderBy(F.col("price").asc())
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    swept = best.withColumn("prefix_max", F.max("qty").over(w))
+    try:
+        big = (
+            Path(sf_dir.rstrip("/"), "lineitem.parquet").stat().st_size
+            >= _PARETO_SWEEP_MIN_BYTES
+        )
+    except OSError:
+        big = True  # unknown layout → assume scale
+    if big:
+        swept = global_prefix_max(
+            best, ["grp"], [F.col("price").asc()], F.col("qty")
+        )
+    else:
+        w = (
+            W.partitionBy("grp")
+            .orderBy(F.col("price").asc())
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        swept = best.withColumn("prefix_max", F.max("qty").over(w))
     return swept.filter(
         F.col("prefix_max").isNull() | (F.col("qty") > F.col("prefix_max"))
     ).select("grp", "price", "qty")

@@ -973,7 +973,12 @@ def lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = big.filter(F.col("split") == "train")
     cab = train.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
     ca = cab.groupBy("a").agg(F.sum("cab").alias("ca"))
-    vsize = train.select("b").union(train.select("a")).distinct().agg(
+    # vocab from the TYPE relation, not the instance stream: distinct(a) ∪
+    # distinct(b) over cab equals train's distinct tokens exactly (every
+    # train token occurs in some train bigram as a or b), and cab is orders
+    # of magnitude smaller than the bigram instances — this drops two full
+    # tokenize+posexplode passes the union over `train` paid (guide §2.4)
+    vsize = cab.select("b").union(cab.select("a")).distinct().agg(
         F.count(F.lit(1)).cast("long").alias("v")
     )
     val = big.filter(F.col("split") == "val")
@@ -1622,11 +1627,22 @@ def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(d, "doc_id")
         .select("doc_id", "lang", "t", is_train.alias("is_train"))
     )
-    toks = base.select("doc_id", "lang", "is_train", F.explode("t").alias("tok"))
+    # ONE materialization of the token-instance stream: its consumers below
+    # (train counts, heldout counts) would otherwise each re-run the
+    # explode over the corpus — this spec measured 117 stages / ~15 corpus
+    # passes before (r10). Same lazy-localCheckpoint barrier as ranks.py.
+    toks = base.select(
+        "doc_id", "lang", "is_train", F.explode("t").alias("tok")
+    ).localCheckpoint(eager=False)
     train = toks.filter(F.col("is_train"))
     cnt = train.groupBy("lang", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
     tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
-    voc = train.agg(F.countDistinct("tok").cast("long").alias("v"))
+    # vocab from the TYPE relation: distinct tok over cnt == distinct train
+    # tokens (every train token occurs under its lang), one instance-stream
+    # pass cheaper
+    voc = cnt.select("tok").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
     ndl = base.filter(F.col("is_train")).groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("ndl")
     )
@@ -1760,7 +1776,18 @@ _PPL_PCT = 90
 def perplexity_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from templatedb_spark.operators.ranks import global_row_number
 
-    scored = lm_heldout_perplexity(spark, sf_dir).select("doc_id", "cross_entropy")
+    # ONE materialization of the LM-scoring pipeline: three consumers below
+    # (count, global rank, verdict join) would otherwise each re-execute the
+    # whole train+score subtree (measured r10: 79 stages, ~3× the work). The
+    # lazy localCheckpoint shares a single executor-resident copy — the same
+    # barrier discipline ranks._range_local already uses; `scored` is one
+    # (doc_id, cross_entropy) row per heldout doc, far smaller than the
+    # relation being scored.
+    scored = (
+        lm_heldout_perplexity(spark, sf_dir)
+        .select("doc_id", "cross_entropy")
+        .localCheckpoint(eager=False)
+    )
     n_tot = scored.agg(F.count(F.lit(1)).cast("long").alias("n"))
     ranked = global_row_number(
         scored, [F.col("cross_entropy").asc(), F.col("doc_id").asc()], rank_col="i"
@@ -1863,9 +1890,12 @@ def kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n1a"),  # N1+(a·): distinct b after a
     )
     n1b = cab.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n1b"))
+    # vocab from the TYPE relation (see lm_heldout_perplexity): distinct
+    # tokens of cab == distinct tokens of train, two instance-stream passes
+    # cheaper
     glob = cab.agg(F.count(F.lit(1)).cast("long").alias("n1tot")).crossJoin(
-        train.select(F.col("a").alias("tok"))
-        .union(train.select("b"))
+        cab.select(F.col("a").alias("tok"))
+        .union(cab.select(F.col("b").alias("tok")))
         .distinct()
         .agg(F.count(F.lit(1)).cast("long").alias("v"))
     )

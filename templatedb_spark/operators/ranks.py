@@ -149,6 +149,49 @@ def global_cumsum_multi(
     return out.drop(*drop)
 
 
+def global_prefix_max(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[Column],
+    value: Column,
+    out_col: str = "prefix_max",
+) -> DataFrame:
+    """Exact strictly-preceding running MAX of ``value`` per ``part_cols``
+    group over a total order — the distributed replacement for
+    ``max(...).over(partitionBy(g).orderBy(o).rowsBetween(unboundedPreceding,
+    -1))`` when the group count is small: a handful of giant groups
+    serialize the classic window into as many tasks as groups (the
+    straggler shape at 100 TB). Same two-pass scheme as global_cumsum —
+    range-shuffle by (group, order), local window per (partition, group),
+    broadcast per-(partition, group) maxima as offsets from strictly
+    earlier partitions — with max as the (commutative, idempotent) monoid.
+    First row of a group gets NULL, exactly like the classic window."""
+    local = _range_local(df, [F.col(c) for c in part_cols] + order_cols)
+    w = (
+        Window.partitionBy(_PID, *part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = local.withColumn(_LOCAL, F.max(value).over(w))
+    totals = local.groupBy(_PID, *part_cols).agg(F.max(value).alias("__part_max"))
+    a, b = totals.alias("a"), totals.alias("b")
+    cond = F.col(f"b.{_PID}") < F.col(f"a.{_PID}")
+    for c in part_cols:
+        cond = cond & (F.col(f"b.{c}") == F.col(f"a.{c}"))
+    offsets = (
+        a.join(F.broadcast(b), cond, "left")
+        .groupBy(F.col(f"a.{_PID}").alias(_PID), *[F.col(f"a.{c}").alias(c) for c in part_cols])
+        .agg(F.max("b.__part_max").alias(_OFFSET))
+    )
+    out = local.join(F.broadcast(offsets), [_PID, *part_cols])
+    prefix = (
+        F.when(F.col(_LOCAL).isNull(), F.col(_OFFSET))
+        .when(F.col(_OFFSET).isNull(), F.col(_LOCAL))
+        .otherwise(F.greatest(F.col(_LOCAL), F.col(_OFFSET)))
+    )
+    return out.withColumn(out_col, prefix).drop(_PID, _LOCAL, _OFFSET)
+
+
 def global_cumsum(
     df: DataFrame, order_cols: list[Column], value: Column, cum_col: str = "cum"
 ) -> DataFrame:

@@ -551,11 +551,18 @@ def kv_compact_range_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
     ).cache()
     try:
+        # count() materializes the cache before the three writes AND gives
+        # the exact per-version row count, so each micro-version writes at
+        # a width matched to its size instead of the full bucket fan-out
+        # (r10 — see kv._write_version_df n_rows_hint; grows back to the
+        # full width as the feed grows)
+        per_version = (net_all.count() + 2) // 3
         for i in range(3):
             kv.write_batch_df(
                 net_all.filter(F.col("key") % 3 == i).select(
                     F.col("key").cast("string").alias("key"), "value", "op"
-                )
+                ),
+                n_rows_hint=per_version,
             )
     finally:
         net_all.unpersist()
@@ -623,11 +630,14 @@ def kv_range_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
     ).cache()
     try:
+        # same width-matched writes as kv_compact_range_state (see above)
+        per_version = (net_all.count() + 2) // 3
         for i in range(3):
             kv.write_batch_df(
                 net_all.filter(F.col("key") % 3 == i).select(
                     F.col("key").cast("string").alias("key"), "value", "op"
-                )
+                ),
+                n_rows_hint=per_version,
             )
     finally:
         net_all.unpersist()

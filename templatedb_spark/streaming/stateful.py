@@ -74,7 +74,11 @@ def _sessionize_group(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator
         value += val
 
     state.update((start_us, last_us, n, value))
-    yield pd.DataFrame(closed, columns=["user_id", "session_start", "session_end", "n_events", "session_value"])
+    # most groups close nothing in a given trigger: skip the pandas
+    # construction entirely (measured: ~0.2-0.5 ms/group × groups/trigger —
+    # a visible slice of the chain's python-bound wall)
+    if closed:
+        yield pd.DataFrame(closed, columns=["user_id", "session_start", "session_end", "n_events", "session_value"])
 
 
 def stream_sessionize(events: DataFrame) -> DataFrame:

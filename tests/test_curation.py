@@ -40,7 +40,11 @@ def test_substring_dedup_is_linear(spark):
     # round-4 shape: agg + window over fp + final agg — the r3 self-join
     # (which recomputed the (doc,fp) relation per branch) must not return
     assert "Join" not in plan, plan
-    assert plan.count("Exchange") <= 3, plan
+    # fan_out's round-robin base-row spread (r10, no-op at real scale) is
+    # exempt — see tests.test_plans._non_fanout_exchanges
+    from tests.test_plans import _non_fanout_exchanges
+
+    assert _non_fanout_exchanges(plan) <= 3, plan
 
 
 def test_stratified_sample_no_join(spark):

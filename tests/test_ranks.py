@@ -170,3 +170,55 @@ def test_global_cumsum_multi_plan_free_of_global_window(spark):
         df, [F.col("v").asc(), F.col("k").asc()], [(F.col("v"), "cv"), (F.col("k"), "ck")]
     )
     assert global_sort_window_lines(physical_plan(out)) == []
+
+
+def test_global_prefix_max_matches_classic_group_window(spark):
+    """global_prefix_max (r10: the distributed replacement for a per-group
+    strictly-preceding MAX window over few giant groups) must equal the
+    classic window bit-for-bit — including the NULL on each group's first
+    row and duplicate order keys straddling range boundaries."""
+    from templatedb_spark.operators.ranks import global_prefix_max
+
+    df = _data(spark, n=503).withColumn("g", (F.col("k") % 3).cast("long"))
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = {
+        r.k: r.pm
+        for r in global_prefix_max(df, ["g"], order, F.col("amt"), out_col="pm")
+        .select("k", "pm")
+        .collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r.k: r.pm
+        for r in df.select("k", F.max("amt").over(w).alias("pm")).collect()
+    }
+    assert got == want
+
+
+def test_global_prefix_max_plan_free_of_global_window(spark):
+    from templatedb_spark.operators.ranks import global_prefix_max
+
+    df = _data(spark, n=251).withColumn("g", (F.col("k") % 3).cast("long"))
+    out = global_prefix_max(df, ["g"], [F.col("v").asc(), F.col("k").asc()], F.col("amt"))
+    assert global_sort_window_lines(physical_plan(out)) == []
+
+
+def test_pareto_front_sweep_equals_window_path(spark, monkeypatch):
+    """The size-adaptive pareto_front must produce the identical front on
+    both tiers (the classic window below _PARETO_SWEEP_MIN_BYTES, the
+    distributed sweep above)."""
+    from templatedb_spark.operators import analytics
+
+    sf = "/root/testdata/sf0.001"
+    small = {
+        (r.grp, r.price): r.qty for r in analytics.pareto_front(spark, sf).collect()
+    }
+    monkeypatch.setattr(analytics, "_PARETO_SWEEP_MIN_BYTES", 0)
+    big = {
+        (r.grp, r.price): r.qty for r in analytics.pareto_front(spark, sf).collect()
+    }
+    assert small == big
