@@ -1667,16 +1667,27 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("tts"),
         F.col("event_type").alias("touch"),
     )
-    j = p.join(t, "u").filter(
-        (F.col("tts") < F.col("pts"))
-        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAY"))
+    # ONE materialization of the events⋈events range join (its three
+    # consumers — per-pid counts, credit split, direct anti-join — each
+    # re-ran it before), and the j⋈agg(j) self-join becomes a partitioned
+    # count window: count(*) over (partition by pid) == n_t exactly, one
+    # shuffle instead of agg + join + recompute (guide §2.1/§3; r10).
+    from pyspark.sql.window import Window as W
+
+    j = (
+        p.join(t, "u")
+        .filter(
+            (F.col("tts") < F.col("pts"))
+            & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAY"))
+        )
+        .select("pid", "micro", "touch")
+        .localCheckpoint(eager=False)
     )
-    n = j.groupBy("pid").agg(F.count(F.lit(1)).alias("n_t"))
-    credited = j.join(n, "pid").select(
-        "touch", "pid", F.expr("micro div n_t").alias("cr")
-    )
+    credited = j.withColumn(
+        "n_t", F.count(F.lit(1)).over(W.partitionBy("pid"))
+    ).select("touch", "pid", F.expr("micro div n_t").alias("cr"))
     direct = (
-        p.join(n.select("pid"), "pid", "left_anti")
+        p.join(j.select("pid"), "pid", "left_anti")
         .select(F.lit("direct").alias("touch"), "pid", F.col("micro").alias("cr"))
     )
     return credited.unionByName(direct).groupBy("touch").agg(

@@ -527,29 +527,33 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
-    others = l.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    # Aggregate rewrite of the EXISTS / NOT EXISTS double correlation
+    # (guide §3: both correlated subqueries are self-joins on l_orderkey —
+    # at scale the EXISTS side is a lineitem⋈lineitem sort-merge semi).
+    # A late row (k, s) qualifies iff its order has ≥2 distinct suppliers
+    # in ALL of lineitem (s itself ships the order, so "another supplier
+    # exists" ⟺ n_all ≥ 2) and exactly 1 distinct supplier among LATE
+    # rows (every late row of k then carries s, so "no other late
+    # supplier" ⟺ n_late = 1). With n_late = 1 the order's late rows all
+    # blame the same supplier max(l_suppkey), contributing count(*) rows —
+    # no join back to `late` needed. Keys are non-null (enforced by the
+    # equi-joins in both the old form and the oracle), so <>-semantics
+    # match. Two per-orderkey aggregates replace both self-joins; the agg
+    # outputs share hash partitioning, so the join adds no exchange.
+    late_g = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_late"),
+        F.max("l_suppkey").alias("blamed_supp"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
-    other_late = late.select(
-        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
-    )
-    blamed = (
-        late.join(
-            others,
-            (F.col("l_orderkey") == F.col("o2_orderkey"))
-            & (F.col("l_suppkey") != F.col("o2_suppkey")),
-            "left_semi",
-        ).join(
-            other_late,
-            (F.col("l_orderkey") == F.col("o3_orderkey"))
-            & (F.col("l_suppkey") != F.col("o3_suppkey")),
-            "left_anti",
-        )
+    all_g = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_all")
     )
     return (
-        blamed.join(s, F.col("l_suppkey") == s.s_suppkey)
+        late_g.filter(F.col("n_late") == 1)
+        .join(all_g.filter(F.col("n_all") >= 2), "l_orderkey")
+        .join(s, F.col("blamed_supp") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(100)
     )

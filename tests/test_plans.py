@@ -300,8 +300,11 @@ def test_tpch_completion_plan_shapes(spark):
     q4 = physical_plan(specs["q4_order_priority"].spark(spark, SF_SMALL))
     assert "LeftSemi" in q4 and "CartesianProduct" not in q4
 
+    # r10: the EXISTS / NOT-EXISTS pair is rewritten into two per-orderkey
+    # aggregates (countDistinct suppliers over lineitem / over late) — the
+    # lineitem self-joins (SMJ LeftAnti + LeftSemi) must NOT return
     q21 = physical_plan(specs["q21_waiting_suppliers"].spark(spark, SF_SMALL))
-    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    assert "SortMergeJoin" not in q21 and "LeftAnti" not in q21
     assert "CartesianProduct" not in q21
 
     q16 = physical_plan(specs["q16_parts_supplier_relationship"].spark(spark, SF_SMALL))
