@@ -31,8 +31,47 @@ from templatedb_spark.suite import QuerySpec, register, table
 # ---------------------------------------------------------------------------
 # Exact interpolated percentiles per group.
 # ---------------------------------------------------------------------------
+# distributed-percentile guard (r10): below this backing-file size the
+# classic percentile() aggregate wins (measured at sf0.1: 0.91 s vs 1.43 s —
+# the range-shuffle sampling + checkpoint cost more than buffering 200k-row
+# groups); above it the per-group buffer is a 1-task-per-group straggler and
+# an OOM (the final agg holds EVERY group value in one task), so the
+# ranks.grouped_exact_percentiles path takes over. Both paths are
+# bit-identical (pinned in tests/test_ranks.py). Same size-tier pattern as
+# analytics._PARETO_SWEEP_MIN_BYTES.
+_PCT_DISTRIBUTED_MIN_BYTES = 100 << 20
+
+
+def _pct_big(sf_dir: str, table_name: str) -> bool:
+    from pathlib import Path
+
+    try:
+        return (
+            Path(sf_dir.rstrip("/"), f"{table_name}.parquet").stat().st_size
+            >= _PCT_DISTRIBUTED_MIN_BYTES
+        )
+    except OSError:
+        return True  # unknown layout → assume scale
+
+
 def percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
+    if _pct_big(sf_dir, "lineitem"):
+        from templatedb_spark.operators.ranks import grouped_exact_percentiles
+
+        g = grouped_exact_percentiles(
+            l,
+            "l_returnflag",
+            F.col("l_extendedprice"),
+            [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)],
+        )
+        return g.select(
+            "l_returnflag",
+            F.col("n").alias("n"),
+            F.round("p50", 6).alias("p50"),
+            F.round("p90", 6).alias("p90"),
+            F.round("p99", 6).alias("p99"),
+        )
     # one percentile(col, array(...)) call: the per-group value buffer is
     # built and sorted ONCE for all three quantiles (three scalar percentile
     # aggregates would each keep their own OpenHashMap buffer — measured 3×
@@ -207,15 +246,30 @@ _MAD_K = 3.0
 
 def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
-    )
+    big = _pct_big(sf_dir, "events")
+    if big:
+        from templatedb_spark.operators.ranks import grouped_exact_percentiles
+
+        med = grouped_exact_percentiles(
+            e, "event_type", F.col("value"), [("m", 0.5)]
+        ).select("event_type", F.round("m", 6).alias("med"))
+    else:
+        med = e.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+        )
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
     )
-    mad = dev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad")
-    )
+    if big:
+        from templatedb_spark.operators.ranks import grouped_exact_percentiles
+
+        mad = grouped_exact_percentiles(
+            dev, "event_type", F.col("ad"), [("m", 0.5)]
+        ).select("event_type", F.round("m", 6).alias("mad"))
+    else:
+        mad = dev.groupBy("event_type").agg(
+            F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad")
+        )
     thr = F.round(F.lit(_MAD_K * _MAD_SCALE) * F.col("mad"), 6)
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -253,10 +307,21 @@ GROUP BY event_type, med, mad
 # ---------------------------------------------------------------------------
 def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    q = e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, array(0.05, 0.95))")[0], 6).alias("lo"),
-        F.round(F.expr("percentile(value, array(0.05, 0.95))")[1], 6).alias("hi"),
-    )
+    if _pct_big(sf_dir, "events"):
+        from templatedb_spark.operators.ranks import grouped_exact_percentiles
+
+        q = grouped_exact_percentiles(
+            e, "event_type", F.col("value"), [("l", 0.05), ("h", 0.95)]
+        ).select(
+            "event_type",
+            F.round("l", 6).alias("lo"),
+            F.round("h", 6).alias("hi"),
+        )
+    else:
+        q = e.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, array(0.05, 0.95))")[0], 6).alias("lo"),
+            F.round(F.expr("percentile(value, array(0.05, 0.95))")[1], 6).alias("hi"),
+        )
     clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     return (
         e.join(F.broadcast(q), "event_type")

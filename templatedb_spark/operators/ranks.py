@@ -106,6 +106,107 @@ def global_row_number(
     ).drop(_PID, _LOCAL, _OFFSET)
 
 
+def grouped_row_number(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[Column],
+    rank_col: str = "i",
+) -> DataFrame:
+    """Exact 1-based row_number PER GROUP over a total order within the
+    group, distributed the same way as global_row_number: range-shuffle by
+    (group, order) so every task holds a contiguous slice, local row_number
+    per (partition, group), and broadcast per-(partition, group) counts from
+    strictly earlier partitions as offsets. The classic
+    ``row_number().over(partitionBy(g).orderBy(o))`` serializes each group
+    into ONE task — the straggler shape when a few giant groups hold most
+    rows (guide §2.5); this keeps all N tasks busy regardless of group
+    count. Order must be total within each group for reproducible ranks
+    wherever rank VALUES (not just positions) are consumed."""
+    local = _range_local(df, [F.col(c) for c in part_cols] + order_cols)
+    w = Window.partitionBy(_PID, *part_cols).orderBy(*order_cols)
+    local = local.withColumn(_LOCAL, F.row_number().over(w).cast("long"))
+    counts = local.groupBy(_PID, *part_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__part_n")
+    )
+    a, b = counts.alias("a"), counts.alias("b")
+    cond = F.col(f"b.{_PID}") < F.col(f"a.{_PID}")
+    for c in part_cols:
+        cond = cond & (F.col(f"b.{c}") == F.col(f"a.{c}"))
+    offsets = (
+        a.join(F.broadcast(b), cond, "left")
+        .groupBy(
+            F.col(f"a.{_PID}").alias(_PID),
+            *[F.col(f"a.{c}").alias(c) for c in part_cols],
+        )
+        .agg(F.coalesce(F.sum("b.__part_n"), F.lit(0)).alias(_OFFSET))
+    )
+    out = local.join(F.broadcast(offsets), [_PID, *part_cols])
+    return out.withColumn(
+        rank_col, (F.col(_LOCAL) + F.col(_OFFSET)).cast("long")
+    ).drop(_PID, _LOCAL, _OFFSET)
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    part_col: str,
+    value: Column,
+    ps: list[tuple[str, float]],
+) -> DataFrame:
+    """Exact interpolated percentiles per group WITHOUT the per-group value
+    buffer: the distributed replacement for
+    ``percentile(v, array(...))``, whose final aggregation materializes and
+    sorts every group's values inside ONE task (with 3-5 groups that is a
+    3-5-task stage no core count can speed up, and an OOM at 100 TB).
+
+    Returns one row per group: (part_col, n, <name> per requested p), where
+    n is the group's non-null value count and each <name> reproduces
+    Spark's ``Percentile`` interpolation bit-for-bit (pinned by
+    tests/test_ranks.py): with pos = p * (n - 1), lower = floor(pos),
+    higher = ceil(pos), the result is the value at lower when
+    higher == lower (or when both neighbour values are equal), else
+    (higher - pos) * v[lower] + (pos - lower) * v[higher] — the exact
+    expression Percentile.getPercentile evaluates, in the same operand
+    order. Only rank-targeted rows (≤ 2 per percentile per group) leave the
+    ranked relation, so the whole computation after the range shuffle is
+    N parallel tasks plus a broadcast-sized tail."""
+    pc = df.filter(value.isNotNull()).select(part_col, value.cast("double").alias("__v"))
+    counts = pc.groupBy(part_col).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    for i, (_, p) in enumerate(ps):
+        pos = F.lit(p) * (F.col("n") - F.lit(1)).cast("double")
+        counts = (
+            counts.withColumn(f"__pos{i}", pos)
+            .withColumn(f"__lo{i}", F.floor(F.col(f"__pos{i}")).cast("long") + 1)
+            .withColumn(f"__hi{i}", F.ceil(F.col(f"__pos{i}")).cast("long") + 1)
+        )
+    ranked = grouped_row_number(pc, [part_col], [F.col("__v").asc()], rank_col="__gi")
+    j = ranked.join(F.broadcast(counts), part_col)
+    need = F.lit(False)
+    for i in range(len(ps)):
+        need = need | (F.col("__gi") == F.col(f"__lo{i}")) | (
+            F.col("__gi") == F.col(f"__hi{i}")
+        )
+    aggs = [F.max("n").alias("n")]
+    for i in range(len(ps)):
+        aggs += [
+            F.max(F.when(F.col("__gi") == F.col(f"__lo{i}"), F.col("__v"))).alias(f"__vlo{i}"),
+            F.max(F.when(F.col("__gi") == F.col(f"__hi{i}"), F.col("__v"))).alias(f"__vhi{i}"),
+            F.max(f"__pos{i}").alias(f"__p{i}"),
+            F.max(f"__lo{i}").alias(f"__l{i}"),
+            F.max(f"__hi{i}").alias(f"__h{i}"),
+        ]
+    g = j.filter(need).groupBy(part_col).agg(*aggs)
+    sel: list[Column] = [F.col(part_col), F.col("n")]
+    for i, (name, _) in enumerate(ps):
+        pos, lo, hi = F.col(f"__p{i}"), F.col(f"__l{i}"), F.col(f"__h{i}")
+        vlo, vhi = F.col(f"__vlo{i}"), F.col(f"__vhi{i}")
+        val = F.when((lo == hi) | (vlo == vhi), vlo).otherwise(
+            ((hi - 1).cast("double") - pos) * vlo
+            + (pos - (lo - 1).cast("double")) * vhi
+        )
+        sel.append(val.alias(name))
+    return g.select(*sel)
+
+
 def global_cumsum_multi(
     df: DataFrame, order_cols: list[Column], values: list[tuple[Column, str]]
 ) -> DataFrame:

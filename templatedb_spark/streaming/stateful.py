@@ -83,7 +83,12 @@ def _sessionize_group(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator
 
 def stream_sessionize(events: DataFrame) -> DataFrame:
     """Streaming gap-sessionization; emits sessions as they close."""
-    return events.groupBy("user_id").applyInPandasWithState(
+    # Project to the three columns the group function reads BEFORE the
+    # stateful operator: applyInPandasWithState is opaque to column pruning,
+    # so without this the full event row (event_id, event_type and the
+    # props payload string) crosses the JVM->Arrow->Python boundary every
+    # trigger for nothing (guide §4.1).
+    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
         outputStructType=_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,

@@ -222,3 +222,94 @@ def test_pareto_front_sweep_equals_window_path(spark, monkeypatch):
         (r.grp, r.price): r.qty for r in analytics.pareto_front(spark, sf).collect()
     }
     assert small == big
+
+
+def test_grouped_row_number_matches_classic_group_window(spark):
+    """grouped_row_number (r10: per-group ranks without one-task-per-group)
+    must equal the classic partitioned window bit-for-bit, including
+    duplicate order keys straddling range boundaries."""
+    from templatedb_spark.operators.ranks import grouped_row_number
+
+    df = _data(spark, n=503).withColumn("g", (F.col("k") % 3).cast("long"))
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = {
+        r.k: r.i
+        for r in grouped_row_number(df, ["g"], order, rank_col="i")
+        .select("k", "i")
+        .collect()
+    }
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        r.k: r.i
+        for r in df.select(
+            "k", F.row_number().over(w).cast("long").alias("i")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_exact_percentiles_matches_percentile_agg(spark):
+    """grouped_exact_percentiles must reproduce Spark's Percentile
+    interpolation EXACTLY (same doubles, unrounded), across group sizes that
+    hit every interpolation branch: fractional positions, exact-integer
+    positions (p*(n-1) whole), and n == 1 groups."""
+    from templatedb_spark.operators.ranks import grouped_exact_percentiles
+
+    # groups of size 1, 2, 5, 41, 101 with duplicated values inside groups
+    rows = []
+    k = 0
+    for g, n in [(0, 1), (1, 2), (2, 5), (3, 41), (4, 101)]:
+        for i in range(n):
+            rows.append((k, g, float((i * 2654435761 % 97) % 23) / 7.0))
+            k += 1
+    df = spark.createDataFrame(rows, "k long, g long, v double")
+    ps = [("q05", 0.05), ("q25", 0.25), ("q50", 0.5), ("q75", 0.75), ("q99", 0.99)]
+    got = {
+        r.g: (r.n, r.q05, r.q25, r.q50, r.q75, r.q99)
+        for r in grouped_exact_percentiles(df, "g", F.col("v"), ps).collect()
+    }
+    want = {
+        r.g: (r.n, r.ps[0], r.ps[1], r.ps[2], r.ps[3], r.ps[4])
+        for r in df.groupBy("g")
+        .agg(
+            F.count("v").alias("n"),
+            F.expr("percentile(v, array(0.05, 0.25, 0.5, 0.75, 0.99))").alias("ps"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_grouped_percentile_specs_equal_on_both_tiers(spark, monkeypatch):
+    """The three size-adaptive exact-percentile specs must produce identical
+    rows on the classic tier (percentile() agg, below
+    _PCT_DISTRIBUTED_MIN_BYTES) and the distributed tier
+    (ranks.grouped_exact_percentiles, forced via the guard)."""
+    from templatedb_spark.operators import profiling
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (
+        profiling.percentiles_price,
+        profiling.anomaly_mad,
+        profiling.winsorize_stats,
+    ):
+        small = sorted(tuple(r) for r in fn(spark, sf).collect())
+        monkeypatch.setattr(profiling, "_PCT_DISTRIBUTED_MIN_BYTES", 0)
+        big = sorted(tuple(r) for r in fn(spark, sf).collect())
+        monkeypatch.setattr(profiling, "_PCT_DISTRIBUTED_MIN_BYTES", 100 << 20)
+        assert small == big, fn.__name__
+
+
+def test_grouped_percentile_distributed_plan_has_no_group_buffer_agg(spark):
+    """Above the guard the plan must contain no Percentile aggregate (the
+    per-group buffer) and no unpartitioned global-sort window."""
+    from templatedb_spark.operators import profiling
+    from templatedb_spark.operators.ranks import grouped_exact_percentiles
+
+    df = _data(spark, n=251).withColumn("g", (F.col("k") % 3).cast("long"))
+    out = grouped_exact_percentiles(
+        df, "g", F.col("v"), [("p50", 0.5), ("p90", 0.9)]
+    )
+    plan = physical_plan(out)
+    assert "percentile(" not in plan.lower().replace("approx_percentile", "")
+    assert global_sort_window_lines(plan) == []
