@@ -1635,7 +1635,14 @@ def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "is_train", F.explode("t").alias("tok")
     ).localCheckpoint(eager=False)
     train = toks.filter(F.col("is_train"))
-    cnt = train.groupBy("lang", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # cnt is vocabulary-sized but has THREE consumers (tot, voc, lp) — each
+    # re-aggregated the full materialized token stream without this barrier
+    # (r10). The checkpoint holds |lang|x|vocab| rows, not the corpus.
+    cnt = (
+        train.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
     # vocab from the TYPE relation: distinct tok over cnt == distinct train
     # tokens (every train token occurs under its lang), one instance-stream
@@ -1690,12 +1697,17 @@ def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = terms.groupBy("doc_id", "true_lang", "cand").agg(
         (F.max("prior") + F.sum("term")).alias("score")
     )
-    best = scores.groupBy("doc_id", "true_lang").agg(F.max("score").alias("mx"))
-    pred = (
-        scores.join(best, ["doc_id", "true_lang"])
-        .filter(F.col("score") == F.col("mx"))
-        .groupBy("doc_id", "true_lang")
-        .agg(F.min("cand").alias("pred_lang"))
+    # argmax-with-min-tiebreak as ONE aggregate: min_by over
+    # (-score, cand) — the struct order makes the minimum the highest
+    # score, ties broken by the smallest cand, exactly the old
+    # max-then-join-then-min chain. That chain consumed `scores` twice, so
+    # the whole held⋈cand⋈lp terms subtree executed twice per run (r10;
+    # same shape as the q21/attribution aggregate rewrites). Scores are
+    # exact integers (micro-nats), so equality/ordering is bit-safe.
+    pred = scores.groupBy("doc_id", "true_lang").agg(
+        F.min_by("cand", F.struct((-F.col("score")).alias("ns"), F.col("cand"))).alias(
+            "pred_lang"
+        )
     )
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")

@@ -1136,16 +1136,18 @@ def ks_drift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = cums.crossJoin(F.broadcast(tot)).withColumn(
         "num", F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
     )
-    best = d.agg(F.max("num").alias("mx"))
-    return (
-        d.join(F.broadcast(best), d.num == F.col("mx"))
-        .groupBy()
-        .agg(
-            F.max("n1").cast("long").alias("n1"),
-            F.max("n2").cast("long").alias("n2"),
-            (F.max("mx") / (F.max("n1") * F.max("n2"))).alias("ks_stat"),
-            F.min("v").alias("ks_at_value"),
-        )
+    # argmax as ONE aggregate (r10): min_by over (-num, v) picks the row
+    # with the supremum numerator, ties broken by the smallest v — exactly
+    # the old max-then-join-back chain, which consumed `d` (and the whole
+    # cumsum subtree behind it) twice. The argmax compares exact integers,
+    # so no float decides it.
+    return d.groupBy().agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        (F.max("num") / (F.max("n1") * F.max("n2"))).alias("ks_stat"),
+        F.min_by("v", F.struct((-F.col("num")).alias("nn"), F.col("v"))).alias(
+            "ks_at_value"
+        ),
     )
 
 

@@ -620,8 +620,17 @@ def _orc_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ORC_LAYOUT_MEMO:
         out = _tempfile.mkdtemp(prefix="lineitem_orc_")
-        table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+        from templatedb_spark.suite import fan_out
+
+        # fan_out before the write: the single-row-group parquet source
+        # would otherwise produce a 1-task write → one ORC file → a scan
+        # whose parallelism is capped by the file count on every read-back
+        # (guide §2.5 / §6); writing defaultParallelism files keeps the
+        # roundtrip's read side as parallel as any real-scale ORC layout.
+        fan_out(
+            table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+            )
         ).write.mode("overwrite").orc(out)
         _ORC_LAYOUT_MEMO[key] = out
         atexit.register(shutil.rmtree, out, ignore_errors=True)
