@@ -91,19 +91,45 @@ def _range_local_plan(df: DataFrame, order_cols: list[Column]) -> DataFrame:
     return parted.withColumn(_PID, F.spark_partition_id())
 
 
+def _range_sorted_mid(df: DataFrame, order_cols: list[Column]) -> DataFrame:
+    """Range-shuffle by the total order, sort within each partition, and tag
+    rows with (partition id, monotonically_increasing_id). The mid encodes
+    `partitionIndex * 2^33 + rowOffset` over the SORTED partition, so the
+    0-based position within the partition is `mid - pid * 2^33` — a pure
+    projection, where a `row_number() OVER (PARTITION BY pid)` window would
+    force a SECOND full-relation exchange (hash by pid on top of the range
+    shuffle) plus its own sort (measured r10: the window path re-shuffled
+    everything; dropping it is −20% at sf0.1 and one whole exchange at any
+    scale). 33-bit row offsets cap a partition at 8.5 B rows — looser than
+    the int row_number the window produced. Checkpointed for the same
+    one-execution / fail-stop contract as _range_local (the mids are
+    order-derived and must never be recomputed against fresh range
+    boundaries)."""
+    parted = df.repartitionByRange(_num_parts(df), *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    return (
+        parted.withColumn(_PID, F.spark_partition_id())
+        .withColumn("__rank_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+
+
 def global_row_number(
     df: DataFrame, order_cols: list[Column], rank_col: str = "i"
 ) -> DataFrame:
     """Exact global 1-based row_number over a total order, computed with N
-    parallel tasks instead of one: local row_number per range partition plus
-    broadcast prefix-count offsets."""
-    local = _range_local(df, order_cols)
-    w = Window.partitionBy(_PID).orderBy(*order_cols)
-    local = local.withColumn(_LOCAL, F.row_number().over(w).cast("long"))
+    parallel tasks instead of one: local positions from the sorted-partition
+    mid (no window, no second exchange) plus broadcast prefix-count
+    offsets."""
+    local = _range_sorted_mid(df, order_cols).withColumn(
+        _LOCAL,
+        F.col("__rank_mid") - F.col(_PID).cast("long") * F.lit(1 << 33) + 1,
+    )
     out = _with_prefix_offsets(local, F.count(F.lit(1)).cast("long"))
     return out.withColumn(
         rank_col, (F.col(_LOCAL) + F.col(_OFFSET)).cast("long")
-    ).drop(_PID, _LOCAL, _OFFSET)
+    ).drop(_PID, _LOCAL, _OFFSET, "__rank_mid")
 
 
 def grouped_row_number(
@@ -121,12 +147,17 @@ def grouped_row_number(
     into ONE task — the straggler shape when a few giant groups hold most
     rows (guide §2.5); this keeps all N tasks busy regardless of group
     count. Order must be total within each group for reproducible ranks
-    wherever rank VALUES (not just positions) are consumed."""
-    local = _range_local(df, [F.col(c) for c in part_cols] + order_cols)
-    w = Window.partitionBy(_PID, *part_cols).orderBy(*order_cols)
-    local = local.withColumn(_LOCAL, F.row_number().over(w).cast("long"))
+    wherever rank VALUES (not just positions) are consumed.
+
+    Window-free (r10): groups are contiguous inside each range-sorted
+    partition, so the local rank is `mid − min(mid over the (partition,
+    group) run) + 1` — the group-run minima ride along in the same
+    broadcast offsets relation the prefix counts already need, instead of a
+    second full-relation exchange for a (pid, group)-partitioned window."""
+    local = _range_sorted_mid(df, [F.col(c) for c in part_cols] + order_cols)
     counts = local.groupBy(_PID, *part_cols).agg(
-        F.count(F.lit(1)).cast("long").alias("__part_n")
+        F.count(F.lit(1)).cast("long").alias("__part_n"),
+        F.min("__rank_mid").alias("__min_mid"),
     )
     a, b = counts.alias("a"), counts.alias("b")
     cond = F.col(f"b.{_PID}") < F.col(f"a.{_PID}")
@@ -138,12 +169,16 @@ def grouped_row_number(
             F.col(f"a.{_PID}").alias(_PID),
             *[F.col(f"a.{c}").alias(c) for c in part_cols],
         )
-        .agg(F.coalesce(F.sum("b.__part_n"), F.lit(0)).alias(_OFFSET))
+        .agg(
+            F.coalesce(F.sum("b.__part_n"), F.lit(0)).alias(_OFFSET),
+            F.min("a.__min_mid").alias("__min_mid"),
+        )
     )
-    out = local.join(F.broadcast(offsets), [_PID, *part_cols])
+    out = local.drop("__min_mid").join(F.broadcast(offsets), [_PID, *part_cols])
     return out.withColumn(
-        rank_col, (F.col(_LOCAL) + F.col(_OFFSET)).cast("long")
-    ).drop(_PID, _LOCAL, _OFFSET)
+        rank_col,
+        (F.col("__rank_mid") - F.col("__min_mid") + 1 + F.col(_OFFSET)).cast("long"),
+    ).drop(_PID, _OFFSET, "__rank_mid", "__min_mid")
 
 
 def grouped_exact_percentiles(
