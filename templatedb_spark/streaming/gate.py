@@ -78,6 +78,46 @@ def _stage_microbatches(sf_dir: str, out_dir: str, n_batches: int | None = None)
         os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
 
 
+def _stream_session(spark: SparkSession, stage_dir: str) -> SparkSession:
+    """Clone the session with a state-store-sized shuffle partition count
+    for a JVM-state trigger chain.
+
+    Every streaming stateful operator keeps one state store PER SHUFFLE
+    PARTITION, and each store pays per-trigger open/snapshot/delta-commit
+    I/O regardless of how few rows it holds — at micro-batch sizes that
+    fixed cost dominates addBatch (measured r10, best-of-3 warm at sf0.1,
+    8 → 4 partitions: interval join 3.17 → 2.51 s, window_late 1.88 →
+    1.51 s, hll 2.50 → 1.90 s, cms 2.64 → 2.24 s, mv_wide 2.72 → 2.30 s,
+    dedup_ingest 1.25 → 1.06 s; going further to 2 kept winning for the
+    join but is skipped for headroom). Scale-adaptive, not a local[32]
+    constant: partitions = staged-bytes / 32 MB clamped to [4, ambient]
+    (the same 32 MB/partition rule the bench session itself uses), so any
+    real-scale stage hits the ambient cluster-sized count and ONLY the
+    state-store floor regime shrinks. Python-parallelism-bound chains
+    (sessionize, the near-dup signature maps) deliberately stay on the
+    ambient session — lowering their partition count serializes the Python
+    side (measured: sessionize 3.49 → 4.82 s at 4, 7.80 s at 2).
+
+    newSession() shares the SparkContext (and therefore the FAIR pool
+    local properties) but isolates conf and the temp-view catalog, so
+    concurrent suite queries planning on the ambient session never observe
+    the override."""
+    from pathlib import Path
+
+    try:
+        staged = sum(
+            f.stat().st_size for f in Path(stage_dir).glob("*.parquet")
+        )
+    except OSError:
+        staged = 1 << 60  # unknown layout → assume scale, keep ambient
+    ambient = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    parts = max(4, min(ambient, staged // (32 << 20) or 4))
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", str(parts))
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return s2
+
+
 def stream_cdc_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from templatedb_spark.kv import KVTable
     from templatedb_spark.streaming.cdc import changes_from_events, stream_cdc_to_kv
@@ -97,7 +137,7 @@ def stream_cdc_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same write lock, so the audited state is read from the compacted base —
     # any auto-compaction bug (lost delta, wrong merge order) hash-mismatches.
     kv = KVTable(spark, kv_dir, auto_compact_every=_N_MICROBATCHES)
-    stream = changes_from_events(read_events_stream(spark, stage))
+    stream = changes_from_events(read_events_stream(_stream_session(spark, stage), stage))
     stream_cdc_to_kv(stream, kv, f"gate_cdc_{abs(hash(stage))}")
     # the drain is complete and the returned DataFrame reads only the KV
     # dir — drop the staged micro-batches so repeated runs don't litter /tmp
@@ -258,8 +298,9 @@ def stream_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third trigger bought no coverage at real makespan cost.
     _stage_microbatches(sf_dir, stage, n_batches=2)
     name = f"gate_ssjoin_{os.path.basename(stage).split('_')[-1]}"
+    s2 = _stream_session(spark, stage)
     q = (
-        stream_stream_interval_join(read_events_stream(spark, stage))
+        stream_stream_interval_join(read_events_stream(s2, stage))
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -269,7 +310,7 @@ def stream_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     shutil.rmtree(stage, ignore_errors=True)  # memory sink holds the rows now
     return (
-        spark.table(name)
+        s2.table(name)  # memory-sink temp view lives in the clone's catalog
         .groupBy(F.col("e_user").alias("user_id"), "error_id")
         .agg(F.count(F.lit(1)).alias("n_recent_clicks"))
     )
@@ -738,8 +779,9 @@ def stream_dedup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="ing_stage_")
     _stage_ingest_microbatches(sf_dir, stage)
     name = f"gate_ingest_{os.path.basename(stage).split('_')[-1]}"
+    s2 = _stream_session(spark, stage)
     q = (
-        stream_dedup_ingest(read_documents_stream(spark, stage))
+        stream_dedup_ingest(read_documents_stream(s2, stage))
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -748,7 +790,7 @@ def stream_dedup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     shutil.rmtree(stage, ignore_errors=True)  # memory sink holds the rows now
-    return spark.table(name)
+    return s2.table(name)
 
 
 _INGEST_DEDUP_ORACLE = r"""
@@ -853,7 +895,8 @@ def stream_window_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="winlate_stage_")
     _stage_late_microbatches(sf_dir, stage)
     name = f"gate_winlate_{os.path.basename(stage).split('_')[-1]}"
-    agg = windowed_exact_rollup(read_events_stream(spark, stage))
+    s2 = _stream_session(spark, stage)
+    agg = windowed_exact_rollup(read_events_stream(s2, stage))
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -863,7 +906,7 @@ def stream_window_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     shutil.rmtree(stage, ignore_errors=True)  # memory sink holds the rows now
-    return spark.table(name)
+    return s2.table(name)
 
 
 _STREAM_WINDOW_LATE_ORACLE = """
@@ -922,13 +965,15 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="enrich_stage_")
     _stage_microbatches(sf_dir, stage)
     name = f"gate_enrich_{os.path.basename(stage).split('_')[-1]}"
+    s2 = _stream_session(spark, stage)
+    # the static dim must come from the SAME session as the stream side
     dim = F.broadcast(
-        table(spark, sf_dir, "customer").select(
+        table(s2, sf_dir, "customer").select(
             F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
         )
     )
     enriched = (
-        read_events_stream(spark, stage)
+        read_events_stream(s2, stage)
         .join(dim, "user_id")  # stream-static inner join, broadcast per trigger
         .select("event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey")
     )
@@ -1066,7 +1111,7 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache: dict = {"cur": None}
 
     q = (
-        read_events_stream(spark, stage)
+        read_events_stream(_stream_session(spark, stage), stage)
         .writeStream.foreachBatch(
             lambda bdf, bid: _hll_apply(spark, kv, cache, qname, bdf, bid)
         )
@@ -1223,7 +1268,7 @@ def stream_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache: dict = {"cur": None}
 
     q = (
-        read_documents_stream(spark, stage)
+        read_documents_stream(_stream_session(spark, stage), stage)
         .writeStream.foreachBatch(
             lambda bdf, bid: _cms_apply(spark, kv, cache, qname, bdf, bid)
         )
@@ -1491,16 +1536,18 @@ def stream_mv_join_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     kv = KVTable(spark, kv_dir)
     qname = f"gate_mvjw_{abs(hash(stage))}"
 
+    # stream + dim + batch plans all live in the state-store-sized clone
+    s2 = _stream_session(spark, stage)
     dim = F.broadcast(
-        table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        table(s2, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     )
 
     def apply_batch(batch_df, batch_id: int) -> None:
         _mvjw_apply(kv, dim, batch_df, f"{qname}:b{batch_id}")
 
-    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    schema = s2.read.parquet(f"{sf_dir}/orders.parquet").schema
     q = (
-        spark.readStream.schema(schema)
+        s2.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
         .writeStream.foreachBatch(apply_batch)
