@@ -1577,24 +1577,19 @@ _PARETO_SWEEP_MIN_BYTES = 100 << 20
 
 
 def pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pathlib import Path
-
     from pyspark.sql.window import Window as W
 
     from templatedb_spark.operators.ranks import global_prefix_max
+    from templatedb_spark.suite import input_bytes
 
     li = table(spark, sf_dir, "lineitem")
     best = li.groupBy(
         F.col("l_returnflag").alias("grp"),
         F.col("l_extendedprice").alias("price"),
     ).agg(F.max("l_quantity").alias("qty"))
-    try:
-        big = (
-            Path(sf_dir.rstrip("/"), "lineitem.parquet").stat().st_size
-            >= _PARETO_SWEEP_MIN_BYTES
-        )
-    except OSError:
-        big = True  # unknown layout → assume scale
+    # directory-aware size (a parquet DIRECTORY's own stat is ~4 KB and
+    # would misclassify a huge table as small — ADVICE r10)
+    big = input_bytes(sf_dir, "lineitem") >= _PARETO_SWEEP_MIN_BYTES
     if big:
         swept = global_prefix_max(
             best, ["grp"], [F.col("price").asc()], F.col("qty")

@@ -43,15 +43,11 @@ _PCT_DISTRIBUTED_MIN_BYTES = 100 << 20
 
 
 def _pct_big(sf_dir: str, table_name: str) -> bool:
-    from pathlib import Path
+    from templatedb_spark.suite import input_bytes
 
-    try:
-        return (
-            Path(sf_dir.rstrip("/"), f"{table_name}.parquet").stat().st_size
-            >= _PCT_DISTRIBUTED_MIN_BYTES
-        )
-    except OSError:
-        return True  # unknown layout → assume scale
+    # input_bytes sums directory members (a parquet DIRECTORY's own stat is
+    # ~4 KB — ADVICE r10) and returns huge on unreadable layouts
+    return input_bytes(sf_dir, table_name) >= _PCT_DISTRIBUTED_MIN_BYTES
 
 
 def percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:

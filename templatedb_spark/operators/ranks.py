@@ -194,52 +194,65 @@ def grouped_exact_percentiles(
     3-5-task stage no core count can speed up, and an OOM at 100 TB).
 
     Returns one row per group: (part_col, n, <name> per requested p), where
-    n is the group's non-null value count and each <name> reproduces
+    n is the group's ROW count (COUNT(*), matching the classic tier's
+    ``count(lit(1))`` companion aggregate) and each <name> reproduces
     Spark's ``Percentile`` interpolation bit-for-bit (pinned by
-    tests/test_ranks.py): with pos = p * (n - 1), lower = floor(pos),
-    higher = ceil(pos), the result is the value at lower when
-    higher == lower (or when both neighbour values are equal), else
-    (higher - pos) * v[lower] + (pos - lower) * v[higher] — the exact
-    expression Percentile.getPercentile evaluates, in the same operand
-    order. Only rank-targeted rows (≤ 2 per percentile per group) leave the
-    ranked relation, so the whole computation after the range shuffle is
-    N parallel tasks plus a broadcast-sized tail."""
-    pc = df.filter(value.isNotNull()).select(part_col, value.cast("double").alias("__v"))
-    counts = pc.groupBy(part_col).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tests/test_ranks.py): with pos = p * (nn - 1) over the NON-NULL value
+    count nn, lower = floor(pos), higher = ceil(pos), the result is the
+    value at lower when higher == lower (or when both neighbour values are
+    equal), else (higher - pos) * v[lower] + (pos - lower) * v[higher] —
+    the exact expression Percentile.getPercentile evaluates, in the same
+    operand order. A group whose values are ALL NULL stays in the output
+    with NULL percentiles — exactly like the ``percentile()`` aggregate it
+    replaces (ADVICE r10: the old isNotNull prefilter silently dropped such
+    groups on this tier only). Only rank-targeted rows (≤ 2 per percentile
+    per group) leave the ranked relation, so the whole computation after
+    the range shuffle is N parallel tasks plus a broadcast-sized tail."""
+    pc = df.select(part_col, value.cast("double").alias("__v"))
+    counts = pc.groupBy(part_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("__v").cast("long").alias("__nn"),
+    )
     for i, (_, p) in enumerate(ps):
-        pos = F.lit(p) * (F.col("n") - F.lit(1)).cast("double")
+        pos = F.lit(p) * (F.col("__nn") - F.lit(1)).cast("double")
         counts = (
             counts.withColumn(f"__pos{i}", pos)
             .withColumn(f"__lo{i}", F.floor(F.col(f"__pos{i}")).cast("long") + 1)
             .withColumn(f"__hi{i}", F.ceil(F.col(f"__pos{i}")).cast("long") + 1)
         )
-    ranked = grouped_row_number(pc, [part_col], [F.col("__v").asc()], rank_col="__gi")
+    ranked = grouped_row_number(
+        pc.filter(F.col("__v").isNotNull()),
+        [part_col],
+        [F.col("__v").asc()],
+        rank_col="__gi",
+    )
     j = ranked.join(F.broadcast(counts), part_col)
     need = F.lit(False)
     for i in range(len(ps)):
         need = need | (F.col("__gi") == F.col(f"__lo{i}")) | (
             F.col("__gi") == F.col(f"__hi{i}")
         )
-    aggs = [F.max("n").alias("n")]
+    aggs = []
     for i in range(len(ps)):
         aggs += [
             F.max(F.when(F.col("__gi") == F.col(f"__lo{i}"), F.col("__v"))).alias(f"__vlo{i}"),
             F.max(F.when(F.col("__gi") == F.col(f"__hi{i}"), F.col("__v"))).alias(f"__vhi{i}"),
-            F.max(f"__pos{i}").alias(f"__p{i}"),
-            F.max(f"__lo{i}").alias(f"__l{i}"),
-            F.max(f"__hi{i}").alias(f"__h{i}"),
         ]
     g = j.filter(need).groupBy(part_col).agg(*aggs)
+    # LEFT join keeps all-NULL-value groups (no ranked row → no g row):
+    # their vlo/vhi stay NULL and the interpolation below yields NULL, the
+    # classic aggregate's answer. pos/lo/hi already live in `counts`.
+    out = counts.join(F.broadcast(g), part_col, "left")
     sel: list[Column] = [F.col(part_col), F.col("n")]
     for i, (name, _) in enumerate(ps):
-        pos, lo, hi = F.col(f"__p{i}"), F.col(f"__l{i}"), F.col(f"__h{i}")
+        pos, lo, hi = F.col(f"__pos{i}"), F.col(f"__lo{i}"), F.col(f"__hi{i}")
         vlo, vhi = F.col(f"__vlo{i}"), F.col(f"__vhi{i}")
         val = F.when((lo == hi) | (vlo == vhi), vlo).otherwise(
             ((hi - 1).cast("double") - pos) * vlo
             + (pos - (lo - 1).cast("double")) * vhi
         )
         sel.append(val.alias(name))
-    return g.select(*sel)
+    return out.select(*sel)
 
 
 def global_cumsum_multi(

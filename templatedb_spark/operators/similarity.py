@@ -702,13 +702,11 @@ def _lsh_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _use_ann_kernel(sf_dir: str) -> bool:
-    from pathlib import Path
+    from templatedb_spark.suite import input_bytes
 
-    try:
-        size = Path(sf_dir.rstrip("/"), "embeddings.parquet").stat().st_size
-    except OSError:
-        return True  # unknown layout → kernel path
-    return size >= _IVF_KERNEL_MIN_BYTES
+    # directory-aware size (a parquet DIRECTORY's own stat is ~4 KB and
+    # would misclassify a huge table as small — ADVICE r10)
+    return input_bytes(sf_dir, "embeddings") >= _IVF_KERNEL_MIN_BYTES
 
 
 def _ann_rank(cand: DataFrame) -> DataFrame:

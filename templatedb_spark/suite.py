@@ -113,15 +113,36 @@ def all_specs() -> dict[str, QuerySpec]:
     # (Driver-round-9 churn — dedup_levenshtein's SymSpell retarget and the
     # KV chains' shared-compaction restructure — is fully recorded in
     # CORRECTNESS_r09.json: retired.)
-    # Driver-round-10 churn: specs whose semantics, output schema, oracle, or
-    # write-path implementation changed THIS session — prior rows no longer
-    # vouch, so they re-enter the front of the capped audit window as if
-    # never covered.
+    # (Driver-round-10 churn — the re-oracled ANN nprobe ladder — is fully
+    # recorded in CORRECTNESS_r10.json: retired.)
+    # Driver-round-11 fronting (VERDICT r10 #1): every spec whose
+    # IMPLEMENTATION was rewritten in the round-10 optimization session but
+    # which missed the r10 oracle sample (the rotation keyed off audit age,
+    # not the session's commits), plus the round-11 rewrites themselves.
+    # Prior rows no longer vouch for a rewritten plan — they re-enter the
+    # front of the capped audit window as if never covered. Retire once
+    # CORRECTNESS_r11.json records them.
     changed_now = {
-        # adaptive nprobe ladder (VERDICT r9 #2): driver-tier results are
-        # bit-identical by the small-N guard, but the oracle SQL now embeds
-        # the _IVF_NPROBE_SQL scalar twin — re-audit the new oracle text
-        "ann_ivf_topk", "ann_recall_eval",
+        # r10 rewrites without a driver-side r10 row:
+        "q21_waiting_suppliers",       # EXISTS/NOT-EXISTS → aggregates
+        "attribution_linear",          # single materialized range join
+        "percentiles_price",           # distributed percentile tier
+        "naive_bayes_lang",            # min_by argmax + checkpoint barriers
+        "ks_drift_value",              # min_by argmax
+        "histogram_equidepth",         # window-free rank machinery
+        "gini_revenue",
+        "decile_lift",
+        "revenue_concentration",
+        "perplexity_filter_verdict",
+        "pareto_front",                # size-guarded global_prefix_max
+        "kn_bigram_perplexity",        # vocab from the bigram-count relation
+        "dedup_levenshtein",           # one-shuffle candidate generation
+        "kv_compact_range_state",      # width-matched version writes
+        "kv_range_layout_scan",
+        # the 8 streaming gates moved onto the state-store-sized session:
+        "stream_cdc_kv_state", "stream_interval_join_clicks",
+        "stream_window_late", "stream_dedup_ingest", "stream_static_enrich",
+        "stream_hll_users", "stream_cms_tokens", "stream_mv_join_wide",
     }
     covered -= changed_now
     # Front order (VERDICT r7 #2): never-audited / changed-this-round specs
@@ -202,6 +223,26 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)
+
+
+def input_bytes(sf_dir: str, table_name: str) -> int:
+    """Physical byte size of a table's backing parquet, file OR directory.
+
+    The scale-tier guards (distributed percentiles, pareto sweep, ANN
+    kernel) key off this size. At real scale Spark tables are parquet
+    DIRECTORIES whose own stat().st_size is ~4 KB — a bare stat() would
+    classify a huge table as 'small' and take exactly the one-task-per-group
+    plan the guard exists to avoid (ADVICE r10, medium). Directories sum
+    their member files; an unreadable path is assumed to be at scale."""
+    from pathlib import Path
+
+    p = Path(sf_dir.rstrip("/"), f"{table_name}.parquet")
+    try:
+        if p.is_dir():
+            return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+        return p.stat().st_size
+    except OSError:
+        return 1 << 60  # unknown layout → assume scale
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -280,6 +280,44 @@ def test_grouped_exact_percentiles_matches_percentile_agg(spark):
     assert got == want
 
 
+def test_grouped_exact_percentiles_null_groups_match_percentile_agg(spark):
+    """NULL handling must match the percentile() aggregate tier exactly
+    (ADVICE r10): a group whose values are ALL NULL stays in the output with
+    NULL percentiles, n is COUNT(*) (not the non-null count), and positions
+    interpolate over non-null values only."""
+    from templatedb_spark.operators.ranks import grouped_exact_percentiles
+
+    rows = []
+    k = 0
+    # g=0: all NULL; g=1: half NULL; g=2: no NULL; g=3: single NULL row
+    for g, vals in [
+        (0, [None, None, None]),
+        (1, [None, 3.0, None, 1.0, 7.0]),
+        (2, [2.0, 9.0, 4.0]),
+        (3, [None]),
+    ]:
+        for v in vals:
+            rows.append((k, g, v))
+            k += 1
+    df = spark.createDataFrame(rows, "k long, g long, v double")
+    ps = [("q25", 0.25), ("q50", 0.5), ("q90", 0.9)]
+    got = {
+        r.g: (r.n, r.q25, r.q50, r.q90)
+        for r in grouped_exact_percentiles(df, "g", F.col("v"), ps).collect()
+    }
+    want = {
+        r.g: (r.n, r.ps[0] if r.ps else None, r.ps[1] if r.ps else None,
+              r.ps[2] if r.ps else None)
+        for r in df.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("percentile(v, array(0.25, 0.5, 0.9))").alias("ps"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_grouped_percentile_specs_equal_on_both_tiers(spark, monkeypatch):
     """The three size-adaptive exact-percentile specs must produce identical
     rows on the classic tier (percentile() agg, below
