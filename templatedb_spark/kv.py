@@ -70,7 +70,11 @@ def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
         return empty_df(spark, schema)
     names = [f.split()[0] for f in schema.split(",")]
     try:
-        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # session.py pins arrow.pyspark.enabled=true at build; setting it
+        # HERE would silently mutate the caller's shared session conf on
+        # every control-plane write (ADVICE r10). A session that disabled
+        # Arrow converts through the classic pandas path — same semantics,
+        # pre-r10 speed.
         df = spark.createDataFrame(
             pd.DataFrame(rows, columns=names, dtype=object), schema
         )
@@ -851,6 +855,66 @@ class KVTable:
         self._append_manifest(self._add_record(v, meta))
         self._maybe_auto_compact()
         return v
+
+    @_locked
+    def write_batches_df(
+        self,
+        batches: list[DataFrame],
+        n_rows_hint: int | None = None,
+    ) -> list[int]:
+        """Commit several INDEPENDENT change batches as consecutive versions
+        with their Spark write jobs running CONCURRENTLY (guide §2.6 —
+        overlap independent jobs so the next write's tasks back-fill the
+        tail of the previous one). Semantically identical to calling
+        write_batch_df once per batch in list order: version numbers are
+        allocated in that order up front, each batch's delta directory is
+        written by its own thread, and the manifest records are appended
+        IN VERSION ORDER only after every write landed — so the append-is-
+        the-commit contract holds and a crash anywhere leaves either
+        nothing (all dirs orphaned, invisible, reclaimed on number reuse)
+        or a clean prefix of the batches committed, exactly the states a
+        sequential caller could observe. Callers are responsible for the
+        batches being truly independent (disjoint keys, as the write_batch
+        contract already requires at most one row per key per batch) —
+        otherwise ordering between them is meaningless anyway, since each
+        batch is its own atomic version and later versions shadow earlier
+        ones per key regardless of wall-clock write order.
+
+        An empty batch commits nothing (its version number is skipped —
+        numbering is not required to be dense anywhere: reads order by the
+        recorded version values, recovery walks recorded dirs). Returns the
+        committed version per non-empty batch."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not batches:
+            return []
+        v0 = self.latest_version() + 1
+        outs = [
+            b.select(
+                F.col("key").cast("string").alias("key"),
+                F.col("value").cast("string").alias("value"),
+                F.col("op").cast("string").alias("op"),
+                F.lit(v0 + i).cast("long").alias("version"),
+            )
+            for i, b in enumerate(batches)
+        ]
+        with ThreadPoolExecutor(max_workers=len(outs)) as pool:
+            metas = list(
+                pool.map(
+                    lambda iv: self._write_version_df(
+                        iv[1], v0 + iv[0], n_rows_hint=n_rows_hint
+                    ),
+                    enumerate(outs),
+                )
+            )
+        committed: list[int] = []
+        for i, meta in enumerate(metas):
+            if meta is None:
+                continue  # empty batch: no data dirs — no commit
+            self._append_manifest(self._add_record(v0 + i, meta))
+            committed.append(v0 + i)
+        self._maybe_auto_compact()
+        return committed
 
     def _tag_version(self, tag: str) -> int | None:
         """Version committed under `tag`, or None (see write_batch_df)."""

@@ -111,7 +111,10 @@ def _stream_session(spark: SparkSession, stage_dir: str) -> SparkSession:
     except OSError:
         staged = 1 << 60  # unknown layout → assume scale, keep ambient
     ambient = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
-    parts = max(4, min(ambient, staged // (32 << 20) or 4))
+    # clamp to [4, ambient] with ambient winning when ambient < 4 — the
+    # inner max() must not RAISE the count above the ambient session's
+    # (ADVICE r10: max-outside-min at ambient=2 yielded 4)
+    parts = min(ambient, max(4, staged // (32 << 20)))
     s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", str(parts))
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -596,15 +599,21 @@ def kv_compact_range_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the exact per-version row count, so each micro-version writes at
         # a width matched to its size instead of the full bucket fan-out
         # (r10 — see kv._write_version_df n_rows_hint; grows back to the
-        # full width as the feed grows)
+        # full width as the feed grows).
         per_version = (net_all.count() + 2) // 3
-        for i in range(3):
-            kv.write_batch_df(
+        # the three versions hold DISJOINT key sets (user_id % 3 routing),
+        # so their write jobs run concurrently (kv.write_batches_df, guide
+        # §2.6) — wall = the slowest write instead of the sum of three
+        # serial commit latencies (VERDICT r10 #2)
+        kv.write_batches_df(
+            [
                 net_all.filter(F.col("key") % 3 == i).select(
                     F.col("key").cast("string").alias("key"), "value", "op"
-                ),
-                n_rows_hint=per_version,
-            )
+                )
+                for i in range(3)
+            ],
+            n_rows_hint=per_version,
+        )
     finally:
         net_all.unpersist()
     kv.compact_range("145", "155")  # lexicographic: keys 1450-1549
@@ -671,15 +680,18 @@ def kv_range_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
     ).cache()
     try:
-        # same width-matched writes as kv_compact_range_state (see above)
+        # same width-matched CONCURRENT writes as kv_compact_range_state
+        # (disjoint key routing — see its comment; kv.write_batches_df)
         per_version = (net_all.count() + 2) // 3
-        for i in range(3):
-            kv.write_batch_df(
+        kv.write_batches_df(
+            [
                 net_all.filter(F.col("key") % 3 == i).select(
                     F.col("key").cast("string").alias("key"), "value", "op"
-                ),
-                n_rows_hint=per_version,
-            )
+                )
+                for i in range(3)
+            ],
+            n_rows_hint=per_version,
+        )
     finally:
         net_all.unpersist()
     kv.compact_range("145", "155")  # lexicographic: keys 1450-1549

@@ -288,6 +288,35 @@ def test_write_batch_df_distributed_contract(kv):
     assert kv.latest_version() == v1
 
 
+def test_write_batches_df_concurrent_commits_match_sequential(spark):
+    """write_batches_df (r11: concurrent version writes for independent
+    batches) must leave EXACTLY the state sequential write_batch_df calls
+    would: same version numbering, same merged snapshot, same MVCC reads,
+    empty batches skipped without a commit. Run on both layouts."""
+    for layout in ("hash", "range"):
+        with tempfile.TemporaryDirectory() as d:
+            kv = KVTable(spark, d, layout=layout)
+            kv.put("seed", "s0")
+            batches = [
+                spark.createDataFrame(
+                    [(f"k{i}_{j}", f"v{i}", "put") for j in range(3)]
+                    + ([("seed", None, "del")] if i == 1 else []),
+                    "key string, value string, op string",
+                )
+                for i in range(3)
+            ]
+            # middle insert: an EMPTY batch whose version number is skipped
+            empty = spark.createDataFrame([], "key string, value string, op string")
+            vs = kv.write_batches_df(batches[:1] + [empty] + batches[1:])
+            assert vs == [1, 3, 4], (layout, vs)  # version 2 skipped (empty)
+            assert kv.latest_version() == 4
+            got = {r.key: r.value for r in kv.snapshot().collect()}
+            want = {f"k{i}_{j}": f"v{i}" for i in range(3) for j in range(3)}
+            assert got == want, layout  # seed deleted by batch 1's tombstone
+            assert kv.get("seed", as_of=1) == "s0"  # MVCC preserved
+            assert kv.get("seed") is None
+
+
 def test_recovery_skips_success_only_dirs_above_committed_marker(spark):
     """The r5 ADVICE crash window: a batch whose parquet job FINISHED
     (_SUCCESS present) but which crashed before its manifest append is
