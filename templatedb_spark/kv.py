@@ -1181,25 +1181,28 @@ class KVTable:
                 F.lit(v).cast("long").alias("version"),
             )
         )
-        # no live in-range keys → _write_version_df drops the empty dir and
-        # returns None; numbering stays dense either way
-        meta = self._write_version_df(base, v)
-        if meta is not None:
-            state[v] = meta
-        nxt = v + 1
         # out-of-range history: one version per old version, in the original
         # ascending order (shadowing among surviving keys preserved — and
         # preserved ACROSS cloned and rewritten versions, because both take
         # their new numbers from the same ascending counter). The manifest
-        # is stable inside the write lock — read it once.
+        # is stable inside the write lock — read it once. Version numbers
+        # are assigned in this serial planning pass; the base write and the
+        # per-version rewrites then EXECUTE concurrently (guide §2.6 —
+        # they read only pre-compaction dirs and write disjoint new dirs,
+        # and nothing publishes until the manifest snapshot below, so the
+        # crash states are exactly the serial loop's: invisible orphans).
+        # Measured r11 (paired best-of-6 at sf0.1): kv_compact_range_state's
+        # compaction phase was the spec's largest serial run of mini jobs.
         mstate = self._load_manifest()
+        nxt = v + 1
+        clones: list[tuple[int, int, dict]] = []
+        rewrites: list[tuple[int, int, list[int], list[int], dict]] = []
         for o in old_versions:
             meta_o = mstate.get(o, {"buckets": []})
             if not self._intersects(meta_o, start, end):
                 # no in-range key can exist in this version: clone, don't
                 # rewrite — carry the (exact) old key range forward
-                link_clone(o, nxt)
-                state[nxt] = dict(meta_o)
+                clones.append((o, nxt, dict(meta_o)))
                 nxt += 1
                 continue
             # range layout records per-bucket key ranges: rewrite ONLY the
@@ -1216,10 +1219,16 @@ class KVTable:
                 miss = [b for b in meta_o["buckets"] if b not in set(hit)]
             else:
                 hit, miss = list(meta_o["buckets"]), []
+            rewrites.append((o, nxt, hit, miss, meta_o))
+            nxt += 1
+
+        def rewrite_one(item: tuple) -> tuple[int, dict | None]:
+            o, nv, hit, miss, meta_o = item
+            branges = meta_o.get("bucket_ranges")
             rows = self._read_deltas(
                 [f"{self.path}/version={o}/bucket={b}" for b in hit]
             )
-            self._clear_orphan(nxt)
+            self._clear_orphan(nv)
             wrote: list[int] = []
             if rows is not None:
                 # preserve each kept row's ORIGINAL bucket id (derived from
@@ -1230,7 +1239,7 @@ class KVTable:
                     "key",
                     "value",
                     "op",
-                    F.lit(nxt).cast("long").alias("version"),
+                    F.lit(nv).cast("long").alias("version"),
                     F.regexp_extract(F.input_file_name(), r"bucket=(\d+)", 1)
                     .cast("int")
                     .alias("bucket"),
@@ -1239,24 +1248,24 @@ class KVTable:
                     max(len(hit), 1), F.col("bucket")
                 ).sortWithinPartitions("bucket", "key")
                 kept.write.mode("errorifexists").partitionBy("bucket").parquet(
-                    f"{self.path}/version={nxt}"
+                    f"{self.path}/version={nv}"
                 )
-                vroot = Path(f"{self.path}/version={nxt}")
+                vroot = Path(f"{self.path}/version={nv}")
                 wrote = sorted(
                     int(b.name.split("=")[1])
                     for b in vroot.glob("bucket=*")
                     if b.is_dir()
                 )
             if miss:
-                link_clone(o, nxt, buckets=miss)
+                link_clone(o, nv, buckets=miss)
             buckets = sorted(set(wrote) | set(miss))
             if not buckets:
-                shutil.rmtree(f"{self.path}/version={nxt}", ignore_errors=True)
-                continue
+                shutil.rmtree(f"{self.path}/version={nv}", ignore_errors=True)
+                return nv, None
             kmeta: dict = {"buckets": buckets}
             if branges:
                 nr = {b: branges[b] for b in miss if b in branges}
-                wr = self._bucket_key_ranges(nxt, wrote) if wrote else {}
+                wr = self._bucket_key_ranges(nv, wrote) if wrote else {}
                 if wr is not None:
                     nr.update(wr)
                     if nr:
@@ -1270,8 +1279,25 @@ class KVTable:
             ):
                 # superset of the kept rows' true range — sound for pruning
                 kmeta["kmin"], kmeta["kmax"] = meta_o["kmin"], meta_o["kmax"]
-            state[nxt] = kmeta
-            nxt += 1
+            return nv, kmeta
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1 + max(1, len(rewrites))) as pool:
+            base_fut = pool.submit(self._write_version_df, base, v)
+            rw_futs = [pool.submit(rewrite_one, it) for it in rewrites]
+            # no live in-range keys → _write_version_df drops the empty dir
+            # and returns None; numbering stays dense either way
+            meta = base_fut.result()
+            rw_results = [f.result() for f in rw_futs]
+        if meta is not None:
+            state[v] = meta
+        for o, nv, m in clones:
+            link_clone(o, nv)
+            state[nv] = m
+        for nv, kmeta in rw_results:
+            if kmeta is not None:
+                state[nv] = kmeta
         self._write_manifest_snapshot(state)
         # floor BEFORE cleanup — every surviving version number is ≥ v, so a
         # recovery after manifest loss mid-cleanup quarantines the retired

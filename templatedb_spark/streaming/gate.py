@@ -111,10 +111,18 @@ def _stream_session(spark: SparkSession, stage_dir: str) -> SparkSession:
     except OSError:
         staged = 1 << 60  # unknown layout → assume scale, keep ambient
     ambient = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
-    # clamp to [4, ambient] with ambient winning when ambient < 4 — the
+    # clamp to [2, ambient] with ambient winning when ambient < 2 — the
     # inner max() must not RAISE the count above the ambient session's
-    # (ADVICE r10: max-outside-min at ambient=2 yielded 4)
-    parts = min(ambient, max(4, staged // (32 << 20)))
+    # (ADVICE r10: max-outside-min at ambient=2 yielded 4). Floor 4 → 2
+    # (r11, paired interleaved A/B at sf0.1, best-of-3 warm): interval
+    # join 3.16 → 2.77 s, window_late 2.20 → 2.00 s, static_enrich 1.50 →
+    # 1.33 s, hll 2.33 → 2.23 s, cms 2.91 → 2.69 s, cdc/dedup_ingest/
+    # mv_wide a wash — every per-partition state-store instance pays
+    # per-trigger open/commit I/O, and the join keeps FOUR stores per
+    # partition; floor 1 measured mixed (window_late kept winning,
+    # dedup_ingest and the join's min regressed), so 2 keeps cross-task
+    # overlap while halving the store count.
+    parts = min(ambient, max(2, staged // (32 << 20)))
     s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", str(parts))
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
