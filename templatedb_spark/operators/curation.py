@@ -971,7 +971,18 @@ def lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos", "bg"),
     ).select("doc_id", "split", "pos", F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
     train = big.filter(F.col("split") == "train")
-    cab = train.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    # ONE materialization of the bigram-count TYPE relation: its consumers
+    # below (ca, the vocab union, the scored join) each re-executed the
+    # whole tokenize+posexplode train pass otherwise (measured r11: the
+    # spec's profile was 5 corpus-explode map stages; exchange reuse does
+    # not collapse them across the differing aggregates). cab is
+    # vocab²-bounded — the right size to pin executor-resident, same
+    # barrier discipline as naive_bayes_lang's cnt (r10).
+    cab = (
+        train.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .localCheckpoint(eager=False)
+    )
     ca = cab.groupBy("a").agg(F.sum("cab").alias("ca"))
     # vocab from the TYPE relation, not the instance stream: distinct(a) ∪
     # distinct(b) over cab equals train's distinct tokens exactly (every
@@ -1896,7 +1907,15 @@ def kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos", "bg"),
     ).select("doc_id", "split", "pos", F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
     train = big.filter(F.col("split") == "train")
-    cab = train.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("cab"))
+    # same one-materialization barrier as lm_heldout_perplexity: cab has SIX
+    # consumers here (ca, n1b, n1tot, the vocab union twice, the scored
+    # join) and each re-ran the corpus explode (measured r11: 7 explode map
+    # stages in the profile)
+    cab = (
+        train.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .localCheckpoint(eager=False)
+    )
     ca = cab.groupBy("a").agg(
         F.sum("cab").cast("long").alias("ca"),
         F.count(F.lit(1)).cast("long").alias("n1a"),  # N1+(a·): distinct b after a

@@ -127,6 +127,9 @@ def all_specs() -> dict[str, QuerySpec]:
         "q21_waiting_suppliers",       # EXISTS/NOT-EXISTS → aggregates
         "attribution_linear",          # single materialized range join
         "percentiles_price",           # distributed percentile tier
+        # r11: grouped_exact_percentiles NULL-group/COUNT(*) fix + the
+        # directory-aware scale guard touched all three percentile specs
+        "anomaly_mad", "winsorize_stats",
         "naive_bayes_lang",            # min_by argmax + checkpoint barriers
         "ks_drift_value",              # min_by argmax
         "histogram_equidepth",         # window-free rank machinery
