@@ -488,6 +488,8 @@ _KVGEN_STREAM_PER_BATCH = 250
 def pyds_stream_source(spark: SparkSession, sf_dir: str):
     from pyspark.sql import functions as F
 
+    from templatedb_spark.streaming.gate import _ckpt_dir as _gate_ckpt
+
     register_python_sources(spark)
     # uuid, not pid/thread: a bench worker thread can run this spec twice
     # (warmup + timed), and a reused memory-sink queryName must never risk
@@ -501,6 +503,10 @@ def pyds_stream_source(spark: SparkSession, sf_dir: str):
         .load()
         .writeStream.format("memory")
         .queryName(name)
+        # tmpfs checkpoint: 3 micro-batches × (offset+commit WAL fsyncs) were
+        # pure disk latency for a drain whose checkpoint dies with the call
+        # (see streaming/gate._ckpt_dir)
+        .option("checkpointLocation", _gate_ckpt())
         .outputMode("append")
         # availableNow pins the drain's end at the FIRST latestOffset (one
         # batch of a backlog whose clock advances per poll), so the bounded

@@ -78,6 +78,35 @@ def _stage_microbatches(sf_dir: str, out_dir: str, n_batches: int | None = None)
         os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
 
 
+def _ckpt_dir() -> str:
+    """Fresh checkpoint dir for ONE gated drain, on the fastest usable tier.
+
+    The gated chains are self-contained availableNow drains: the checkpoint
+    (offset/commit WALs + state-store deltas) is written, read within the
+    same call, and deleted — durability past the call has zero value, yet
+    every trigger was paying fsync-to-disk latency for it (measured r11,
+    stream_probe durationMs: state commitTimeMs 80-870 ms/batch + walCommit/
+    commitOffsets ~40 ms each with /tmp on /dev/vda; moving the checkpoint
+    to tmpfs cut the interval-join drain 3.6-4.2 → 2.8 s, ingest 1.3 → 1.0 s
+    — guide §5/§6: don't pay durable-I/O costs for data with no durability
+    requirement). A REAL deployment with restart semantics points this at
+    reliable storage: set SPARK_GRAFT_STREAM_CKPT to any path (or to "disk"
+    to force the historical java-tmp behavior).
+    """
+    import atexit
+    import shutil
+
+    base = _os.environ.get("SPARK_GRAFT_STREAM_CKPT", "")
+    if base == "disk":
+        base = tempfile.gettempdir()
+    elif not base:
+        shm = "/dev/shm"
+        base = shm if _os.access(shm, _os.W_OK) else tempfile.gettempdir()
+    d = tempfile.mkdtemp(prefix="gate_ckpt_", dir=base)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _stream_session(spark: SparkSession, stage_dir: str) -> SparkSession:
     """Clone the session with a state-store-sized shuffle partition count
     for a JVM-state trigger chain.
@@ -126,6 +155,29 @@ def _stream_session(spark: SparkSession, stage_dir: str) -> SparkSession:
     s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", str(parts))
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # State-store provider A/B knob (VERDICT r10 #3): rocksdb routes the
+    # chain's state through RocksDBStateStoreProvider with changelog
+    # checkpointing. Measured r11 (paired interleaved best-of-4, sf0.1, see
+    # OPTIMIZATION_r11.md): RocksDB LOST on every JVM-state chain at this
+    # scale — per-trigger native store open/load dominates the tiny state —
+    # so the default stays the HDFS-backed provider; the knob remains for
+    # cluster-scale states where RocksDB is the right choice.
+    # State-store provider A/B knob (VERDICT r10 #3): rocksdb routes the
+    # chain's state through RocksDBStateStoreProvider with changelog
+    # checkpointing. Measured r11 (stream_probe, paired): RocksDB was a
+    # wash-to-marginal at this state size (join 3.6→3.5 s, ingest −15%,
+    # sessionize a wash) — per-trigger native store open/load replaces the
+    # delta-file cost the tmpfs checkpoint already removed — so the default
+    # stays the HDFS-backed provider; the knob remains for cluster-scale
+    # state where RocksDB is the right choice (events.rocksdb_state_conf).
+    if _os.environ.get("SPARK_GRAFT_STATE_PROVIDER", "") == "rocksdb":
+        from templatedb_spark.streaming.events import rocksdb_state_conf
+
+        for k, v in rocksdb_state_conf().items():
+            s2.conf.set(k, v)
+    # every query this clone starts checkpoints under a fresh per-chain dir
+    # (name-keyed subdirs; gate query names embed the unique stage path)
+    s2.conf.set("spark.sql.streaming.checkpointLocation", _ckpt_dir())
     return s2
 
 
@@ -218,6 +270,7 @@ def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_sessionize(read_events_stream(spark, stage))
         .writeStream.format("memory")
         .queryName(name)
+        .option("checkpointLocation", _ckpt_dir())  # tmpfs: see _ckpt_dir
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -310,6 +363,17 @@ def stream_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     _stage_microbatches(sf_dir, stage, n_batches=2)
     name = f"gate_ssjoin_{os.path.basename(stage).split('_')[-1]}"
     s2 = _stream_session(spark, stage)
+    # skip the trailing NO-DATA micro-batch: an INNER symmetric-hash join
+    # emits every match eagerly inside the data batches; the extra batch
+    # exists only to advance the watermark and evict state, which this
+    # one-shot drain discards anyway. Measured (stream_probe, r11): the
+    # no-data batch cost ~0.6-0.7 s of a ~2.9 s drain (getBatch=0 rows,
+    # full trigger+commit overhead). Output rows are UNCHANGED — eager
+    # emission means the sink table is complete after the last data batch;
+    # oracle-gated below as always. (Append-mode AGG chains like
+    # stream_window_late MUST keep no-data batches: their final windows
+    # only emit when the watermark advances past them.)
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     q = (
         stream_stream_interval_join(read_events_stream(s2, stage))
         .writeStream.format("memory")
@@ -415,6 +479,7 @@ def stream_neardup_pairs_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_neardup_pairs(read_documents_stream(spark, stage))
         .writeStream.format("memory")
         .queryName(name)
+        .option("checkpointLocation", _ckpt_dir())
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -501,6 +566,7 @@ def stream_neardup_reps_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .writeStream.format("memory")
         .queryName(name)
+        .option("checkpointLocation", _ckpt_dir())
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -800,6 +866,13 @@ def stream_dedup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _stage_ingest_microbatches(sf_dir, stage)
     name = f"gate_ingest_{os.path.basename(stage).split('_')[-1]}"
     s2 = _stream_session(spark, stage)
+    # dropDuplicatesWithinWatermark emits every FIRST-SEEN row eagerly in
+    # its data batch; the trailing no-data batch only evicts expired state
+    # (discarded after this one-shot drain). Skipping it saves a full
+    # trigger+commit round (~0.2 s of a ~1.1 s drain, stream_probe r11)
+    # with the sink rows unchanged — same argument as the interval-join
+    # gate; oracle-gated.
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     q = (
         stream_dedup_ingest(read_documents_stream(s2, stage))
         .writeStream.format("memory")
@@ -1003,7 +1076,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ships them executor-side (the production enrichment topology end to
     # end). The rollup then reads the committed files as batch.
     sink = tempfile.mkdtemp(prefix="enrich_sink_")
-    ckpt = tempfile.mkdtemp(prefix="enrich_ckpt_")
+    ckpt = _ckpt_dir()  # tmpfs: the drain deletes it right after (see _ckpt_dir)
     atexit.register(shutil.rmtree, sink, ignore_errors=True)
     q = (
         enriched.writeStream.format("parquet")
@@ -1451,6 +1524,7 @@ def stream_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage)
         .writeStream.foreachBatch(apply_batch)
         .queryName(qname)
+        .option("checkpointLocation", _ckpt_dir())  # tmpfs: see _ckpt_dir
         .trigger(availableNow=True)
         .start()
     )

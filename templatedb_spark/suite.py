@@ -138,7 +138,9 @@ def all_specs() -> dict[str, QuerySpec]:
         "revenue_concentration",
         "perplexity_filter_verdict",
         "pareto_front",                # size-guarded global_prefix_max
-        "kn_bigram_perplexity",        # vocab from the bigram-count relation
+        # r11: cab-relation materialization rewrote BOTH heldout LM specs
+        "kn_bigram_perplexity",
+        "lm_heldout_perplexity",
         "dedup_levenshtein",           # one-shuffle candidate generation
         "kv_compact_range_state",      # width-matched version writes
         "kv_range_layout_scan",
