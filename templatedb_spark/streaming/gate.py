@@ -107,6 +107,13 @@ def _ckpt_dir() -> str:
     return d
 
 
+# NEGATIVE RESULT (r11, measured): moving the gated specs' scratch KVTable
+# roots to tmpfs the way the checkpoints moved was tried and REVERTED — no
+# paired win (tight disk/shm/disk interleaves at sf0.1: 2.53/2.84, 2.85/3.44
+# under heavy host-window drift). Mechanism: Spark's parquet commit is a
+# rename into the page cache with NO fsync, so /tmp writes were never paying
+# disk latency; the checkpoint win (_ckpt_dir) comes from the state-store
+# delta + WAL fsyncs, which KV version writes don't do.
 def _stream_session(spark: SparkSession, stage_dir: str) -> SparkSession:
     """Clone the session with a state-store-sized shuffle partition count
     for a JVM-state trigger chain.
