@@ -273,8 +273,23 @@ def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extend-and-close within the same successor batch
     _stage_microbatches(sf_dir, stage, n_batches=3)
     name = f"gate_sessions_{os.path.basename(stage).split('_')[-1]}"
+    # Python-stateful partition rule (r11): this chain is bound by serial
+    # per-group Python calls inside each state partition, the OPPOSITE
+    # regime from the JVM-state chains `_stream_session` shrinks — more
+    # partitions = more concurrent Python workers, until per-instance
+    # state-store overhead wins again. With the r11 tmpfs checkpoints the
+    # old r4 measurement (8→32→64 monotonically worse) no longer holds:
+    # paired A/B at sf0.1, two windows, 16 beats ambient-8 by ~10-20%
+    # (2.97 vs 3.31 s; 4.03 vs 5.00 s mins) and 32 loses again. Rule:
+    # double the ambient count, never below ambient, capped at core count
+    # — at real scale ambient is already ≥ cores and this is a no-op.
+    amb = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    cores = spark.sparkContext.defaultParallelism
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", str(min(2 * amb, max(amb, cores))))
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     q = (
-        stream_sessionize(read_events_stream(spark, stage))
+        stream_sessionize(read_events_stream(s2, stage))
         .writeStream.format("memory")
         .queryName(name)
         .option("checkpointLocation", _ckpt_dir())  # tmpfs: see _ckpt_dir
@@ -286,7 +301,7 @@ def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(stage, ignore_errors=True)  # memory sink holds the rows now
-    t = spark.table(name)
+    t = s2.table(name)  # memory-sink temp view lives in the clone's catalog
     return t.select(
         F.col("user_id").cast("long").alias("user_id"),
         "session_start",
